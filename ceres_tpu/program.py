@@ -1,0 +1,480 @@
+"""CompiledProgram: lowering a Problem to static batched arrays + jitted evaluators.
+
+This is the TPU-native fusion of the reference's Program
+(/root/reference/internal/ceres/program.cc — SetParameterOffsetsAndIndex:144,
+CreateReducedProgram:291, RemoveFixedBlocks:309) and ProgramEvaluator
+(/root/reference/internal/ceres/program_evaluator.h:118-397). Where the
+reference ParallelFor's over residual blocks with per-thread scratch and
+writes Jacobian blocks in place, here residual blocks are bucketed into
+*kinds* (same cost function + loss + per-slot manifold family — the analog of
+"detect structure" / the 21 generated template specializations), each kind is
+evaluated as ONE vmapped forward-mode autodiff call (dense batched ops on the
+MXU), and gradients/Jacobians are assembled by scatter-add (segment-sum) —
+no locks, deterministic by construction.
+
+Layout invariants (what makes this fast):
+ - state vector x is family-major and block-contiguous: gathering a family is
+   a reshape, not a gather;
+ - within a family, variable blocks come first, then constant blocks; the
+   tangent vector is family-major over variable blocks only;
+ - constant blocks scatter into a 1-element padding slot (index == tangent
+   size) that is sliced off — branch-free handling of constants, the analog
+   of the reference dropping fixed blocks from the Jacobian
+   (program.cc:309).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .loss import correct_residuals_and_jacobians
+from .manifolds import EuclideanManifold, Manifold
+from .problem import ParameterBlock, Problem, ResidualBlock
+
+
+@dataclasses.dataclass
+class Family:
+    """Blocks sharing (ambient size, manifold); vmapped together."""
+
+    manifold: Optional[Manifold]  # None => Euclidean fast path
+    blocks: List[ParameterBlock]
+    asize: int
+    num_var: int  # leading blocks are variable; the rest constant
+    state_offset: int = 0
+    tangent_offset: int = 0
+    lower: Optional[np.ndarray] = None  # (num_var, asize) or None
+    upper: Optional[np.ndarray] = None
+
+    @property
+    def tsize(self) -> int:
+        if self.manifold is None:
+            return self.asize
+        return self.manifold.tangent_size
+
+    @property
+    def count(self) -> int:
+        return len(self.blocks)
+
+
+@dataclasses.dataclass
+class SlotPlan:
+    """Per-parameter-slot indexing for one kind."""
+
+    family: Family
+    state_idx: np.ndarray  # (B, asize) int32 gather into x
+    tangent_idx: np.ndarray  # (B, tsize) int32 scatter into gradient (sentinel=T)
+    pos_in_family: np.ndarray  # (B,) int32 row in the family's (count, a) view
+    any_variable: bool
+
+
+@dataclasses.dataclass
+class Kind:
+    """One residual-block bucket: same cost fn, loss, slot families."""
+
+    cost: object
+    loss: object
+    rbs: List[ResidualBlock]
+    slots: List[SlotPlan]
+    data: object  # stacked pytree (leaves (B, ...)) or None
+    row_offset: int
+    B: int
+    r: int
+
+
+def _family_key(blk: ParameterBlock):
+    mkey = blk.manifold.batch_key() if blk.manifold is not None else ("Euclidean", blk.size)
+    return (blk.size, mkey)
+
+
+def _stack_data(rbs: List[ResidualBlock]):
+    datas = [rb.data for rb in rbs]
+    if all(d is None for d in datas):
+        return None
+    if any(d is None for d in datas):
+        raise ValueError("all residual blocks of a kind must carry data, or none")
+    leaves_list = [jax.tree_util.tree_flatten(d) for d in datas]
+    treedef = leaves_list[0][1]
+    stacked = [
+        jnp.asarray(np.stack([lv[i] for lv, _ in leaves_list]))
+        for i in range(len(leaves_list[0][0]))
+    ]
+    return jax.tree_util.tree_unflatten(treedef, stacked)
+
+
+class CompiledProgram:
+    """Static evaluation plan + jitted evaluators for a Problem snapshot."""
+
+    def __init__(self, problem: Problem, apply_loss: bool = True):
+        self.problem = problem
+        self.apply_loss = apply_loss
+        self.structure_version = problem.structure_version
+        self._fn_cache: Dict[str, object] = {}
+        self._build()
+
+    # ------------------------------------------------------------------ build
+
+    def _build(self):
+        problem = self.problem
+        rbs_all = problem.residual_blocks()
+
+        # Reduced program (program.cc:291): keep residual blocks with at
+        # least one variable parameter; all-constant ones contribute
+        # fixed_cost. Blocks referenced by no active residual are dropped
+        # from the state vector.
+        active_rbs: List[ResidualBlock] = []
+        fixed_rbs: List[ResidualBlock] = []
+        for rb in rbs_all:
+            if any(not b.constant for b in rb.blocks):
+                active_rbs.append(rb)
+            else:
+                fixed_rbs.append(rb)
+        self.active_rbs = active_rbs
+        self.fixed_rbs = fixed_rbs
+
+        used: Dict[int, ParameterBlock] = {}
+        for rb in active_rbs:
+            for b in rb.blocks:
+                used.setdefault(id(b), b)
+        # Deterministic order: problem insertion order.
+        used_blocks = [b for b in problem.parameter_blocks() if id(b) in used]
+
+        # Families.
+        fam_map: Dict[tuple, Family] = {}
+        for b in used_blocks:
+            key = _family_key(b)
+            fam = fam_map.get(key)
+            if fam is None:
+                fam = Family(manifold=b.manifold, blocks=[], asize=b.size, num_var=0)
+                fam_map[key] = fam
+            fam.blocks.append(b)
+        self.families: List[Family] = list(fam_map.values())
+        self._fam_of_key = fam_map
+
+        # Order blocks variable-first within each family; assign offsets.
+        state_off = 0
+        tangent_off = 0
+        self._block_pos: Dict[int, Tuple[Family, int]] = {}
+        for fam in self.families:
+            variable = [b for b in fam.blocks if not b.constant]
+            constant = [b for b in fam.blocks if b.constant]
+            fam.blocks = variable + constant
+            fam.num_var = len(variable)
+            fam.state_offset = state_off
+            fam.tangent_offset = tangent_off
+            state_off += fam.count * fam.asize
+            tangent_off += fam.num_var * fam.tsize
+            for i, b in enumerate(fam.blocks):
+                self._block_pos[id(b)] = (fam, i)
+            if any(b.has_bounds() for b in variable):
+                lo = np.full((fam.num_var, fam.asize), -np.inf)
+                hi = np.full((fam.num_var, fam.asize), np.inf)
+                for i, b in enumerate(variable):
+                    if b.lower_bounds is not None:
+                        lo[i] = b.lower_bounds
+                    if b.upper_bounds is not None:
+                        hi[i] = b.upper_bounds
+                fam.lower, fam.upper = lo, hi
+        self.state_size = state_off
+        self.tangent_size = tangent_off
+
+        # Kinds: bucket active residual blocks.
+        kind_map: Dict[tuple, List[ResidualBlock]] = {}
+        for rb in active_rbs:
+            slot_fams = tuple(id(self._block_pos[id(b)][0]) for b in rb.blocks)
+            dshape = (
+                None
+                if rb.data is None
+                else tuple(
+                    (np.shape(leaf), np.asarray(leaf).dtype.str)
+                    for leaf in jax.tree_util.tree_leaves(rb.data)
+                )
+            )
+            key = (id(rb.cost), id(rb.loss), slot_fams, dshape)
+            kind_map.setdefault(key, []).append(rb)
+
+        self.kinds: List[Kind] = []
+        row_off = 0
+        for key, rbs in kind_map.items():
+            cost = rbs[0].cost
+            B = len(rbs)
+            r = cost.num_residuals
+            slots: List[SlotPlan] = []
+            for si, size in enumerate(cost.parameter_block_sizes):
+                fam, _ = self._block_pos[id(rbs[0].blocks[si])]
+                pos = np.array(
+                    [self._block_pos[id(rb.blocks[si])][1] for rb in rbs], dtype=np.int32
+                )
+                state_idx = (
+                    fam.state_offset + pos[:, None] * fam.asize + np.arange(fam.asize)[None, :]
+                ).astype(np.int32)
+                t = fam.tsize
+                is_var = pos < fam.num_var
+                tstart = np.where(
+                    is_var, fam.tangent_offset + pos * t, self.tangent_size
+                ).astype(np.int64)
+                tangent_idx = np.where(
+                    is_var[:, None],
+                    tstart[:, None] + np.arange(t)[None, :],
+                    self.tangent_size,
+                ).astype(np.int32)
+                slots.append(
+                    SlotPlan(
+                        family=fam,
+                        state_idx=state_idx,
+                        tangent_idx=tangent_idx,
+                        pos_in_family=pos,
+                        any_variable=bool(is_var.any()),
+                    )
+                )
+            self.kinds.append(
+                Kind(
+                    cost=cost,
+                    loss=rbs[0].loss if self.apply_loss else None,
+                    rbs=rbs,
+                    slots=slots,
+                    data=_stack_data(rbs),
+                    row_offset=row_off,
+                    B=B,
+                    r=r,
+                )
+            )
+            row_off += B * r
+        self.num_residuals = row_off
+
+        # Fixed cost from all-constant residual blocks (program.cc:309).
+        self.fixed_cost = 0.0
+        if fixed_rbs:
+            total = 0.0
+            for rb in fixed_rbs:
+                params = [jnp.asarray(b.values) for b in rb.blocks]
+                res = rb.cost.residuals(params, rb.data)
+                s = float(jnp.sum(res * res))
+                if self.apply_loss and rb.loss is not None:
+                    rho0, _, _ = rb.loss.evaluate(jnp.asarray(s))
+                    total += 0.5 * float(rho0)
+                else:
+                    total += 0.5 * s
+            self.fixed_cost = total
+
+    # ---------------------------------------------------------------- state IO
+
+    def initial_state(self) -> jax.Array:
+        parts = []
+        for fam in self.families:
+            for b in fam.blocks:
+                parts.append(b.values)
+        if not parts:
+            return jnp.zeros((0,), dtype=jnp.float64)
+        return jnp.asarray(np.concatenate(parts))
+
+    def write_state(self, x) -> None:
+        """Write solver state back into the user-owned arrays."""
+        xv = np.asarray(x)
+        for fam in self.families:
+            off = fam.state_offset
+            for b in fam.blocks:
+                b.values[:] = xv[off : off + fam.asize]
+                off += fam.asize
+
+    def state_norm(self, x) -> jax.Array:
+        return jnp.linalg.norm(x)
+
+    # ------------------------------------------------------------- evaluators
+
+    def _vmapped_eval(self, kind: Kind, with_jac: bool):
+        cost = kind.cost
+
+        if with_jac:
+
+            def one(params, data):
+                return cost.residuals_and_jacobians(list(params), data)
+
+        else:
+
+            def one(params, data):
+                return cost.residuals(list(params), data)
+
+        in_axes = ((0,) * len(kind.slots), None if kind.data is None else 0)
+        return jax.vmap(one, in_axes=in_axes)
+
+    def _plus_jacobians(self, x):
+        """Per-family (count, asize, tsize) PlusJacobians (only non-Euclidean)."""
+        out = {}
+        for fam in self.families:
+            if fam.manifold is None or isinstance(fam.manifold, EuclideanManifold):
+                continue
+            xf = jax.lax.dynamic_slice(
+                x, (fam.state_offset,), (fam.count * fam.asize,)
+            ).reshape(fam.count, fam.asize)
+            out[id(fam)] = jax.vmap(fam.manifold.plus_jacobian)(xf)
+        return out
+
+    def _eval_core(self, x, with_jac: bool, dense_jac: bool):
+        """Shared evaluation body; returns dict of outputs."""
+        total_cost = jnp.asarray(self.fixed_cost, dtype=jnp.float64)
+        res_chunks = []
+        T = self.tangent_size
+        grad = jnp.zeros((T + 1,), dtype=jnp.float64) if with_jac else None
+        J_dense = (
+            jnp.zeros((self.num_residuals, T + 1), dtype=jnp.float64)
+            if (with_jac and dense_jac)
+            else None
+        )
+        block_jacs = []  # list over kinds of list over slots of (B, r, t)
+        plus_jacs = self._plus_jacobians(x) if with_jac else {}
+
+        for kind in self.kinds:
+            params = tuple(jnp.take(x, jnp.asarray(s.state_idx)) for s in kind.slots)
+            fn = self._vmapped_eval(kind, with_jac)
+            if with_jac:
+                res, jacs = fn(params, kind.data)
+                tjacs = []
+                for s, J in zip(kind.slots, jacs):
+                    fam = s.family
+                    pj = plus_jacs.get(id(fam))
+                    if pj is None:
+                        tj = J  # Euclidean: tangent == ambient
+                    else:
+                        pj_b = jnp.take(pj, jnp.asarray(s.pos_in_family), axis=0)
+                        tj = jnp.einsum("bra,bat->brt", J, pj_b)
+                    tjacs.append(tj)
+                cost_b, res_c, tjacs = correct_residuals_and_jacobians(
+                    kind.loss, res, tjacs
+                )
+            else:
+                res = fn(params, kind.data)
+                cost_b, res_c, _ = correct_residuals_and_jacobians(kind.loss, res, [])
+                tjacs = None
+            total_cost = total_cost + jnp.sum(cost_b)
+            res_chunks.append(res_c.reshape(-1))
+            if with_jac:
+                block_jacs.append(tjacs)
+                for s, tj in zip(kind.slots, tjacs):
+                    if not s.any_variable:
+                        continue
+                    contrib = jnp.einsum("brt,br->bt", tj, res_c)
+                    grad = grad.at[jnp.asarray(s.tangent_idx).reshape(-1)].add(
+                        contrib.reshape(-1)
+                    )
+                    if dense_jac:
+                        rows = kind.row_offset + np.arange(kind.B * kind.r).reshape(
+                            kind.B, kind.r
+                        )
+                        J_dense = J_dense.at[
+                            jnp.asarray(rows)[:, :, None],
+                            jnp.asarray(s.tangent_idx)[:, None, :],
+                        ].add(tj)
+
+        residuals = (
+            jnp.concatenate(res_chunks)
+            if res_chunks
+            else jnp.zeros((0,), dtype=jnp.float64)
+        )
+        out = {"cost": total_cost, "residuals": residuals}
+        if with_jac:
+            out["gradient"] = grad[:T]
+            out["block_jacs"] = block_jacs
+            if dense_jac:
+                out["jacobian"] = J_dense[:, :T]
+        return out
+
+    # Cached jitted entry points -------------------------------------------
+
+    def _get_fn(self, name, builder):
+        fn = self._fn_cache.get(name)
+        if fn is None:
+            fn = builder()
+            self._fn_cache[name] = fn
+        return fn
+
+    def evaluate_cost(self, x):
+        fn = self._get_fn(
+            "cost", lambda: jax.jit(lambda x: self._eval_core(x, False, False)["cost"])
+        )
+        return fn(x)
+
+    def evaluate_residuals(self, x):
+        def build():
+            def f(x):
+                o = self._eval_core(x, False, False)
+                return o["cost"], o["residuals"]
+
+            return jax.jit(f)
+
+        return self._get_fn("residuals", build)(x)
+
+    def evaluate_dense(self, x):
+        """-> (cost, residuals, gradient, dense tangent-space Jacobian)."""
+
+        def build():
+            def f(x):
+                o = self._eval_core(x, True, True)
+                return o["cost"], o["residuals"], o["gradient"], o["jacobian"]
+
+            return jax.jit(f)
+
+        return self._get_fn("dense", build)(x)
+
+    def evaluate_grad(self, x):
+        """-> (cost, residuals, gradient) without materializing J."""
+
+        def build():
+            def f(x):
+                o = self._eval_core(x, True, False)
+                return o["cost"], o["residuals"], o["gradient"]
+
+            return jax.jit(f)
+
+        return self._get_fn("grad", build)(x)
+
+    # Step application ------------------------------------------------------
+
+    def has_bounds(self) -> bool:
+        return any(f.lower is not None for f in self.families)
+
+    def plus(self, x, delta):
+        fn = self._get_fn("plus", lambda: jax.jit(self._plus_impl))
+        return fn(x, delta)
+
+    def _plus_impl(self, x, delta):
+        """x ⊞ delta with box-bound projection, per ParameterBlock::Plus."""
+        parts = []
+        for fam in self.families:
+            xf = jax.lax.dynamic_slice(
+                x, (fam.state_offset,), (fam.count * fam.asize,)
+            ).reshape(fam.count, fam.asize)
+            if fam.num_var > 0:
+                df = jax.lax.dynamic_slice(
+                    delta, (fam.tangent_offset,), (fam.num_var * fam.tsize,)
+                ).reshape(fam.num_var, fam.tsize)
+                xv = xf[: fam.num_var]
+                if fam.manifold is None or isinstance(fam.manifold, EuclideanManifold):
+                    xv = xv + df
+                else:
+                    xv = jax.vmap(fam.manifold.plus)(xv, df)
+                if fam.lower is not None:
+                    xv = jnp.clip(xv, jnp.asarray(fam.lower), jnp.asarray(fam.upper))
+                xf = jnp.concatenate([xv, xf[fam.num_var :]], axis=0)
+            parts.append(xf.reshape(-1))
+        if not parts:
+            return x
+        return jnp.concatenate(parts)
+
+    # Bounds helpers for projected gradient (trust_region_minimizer.cc:281) --
+
+    def ambient_bounds(self):
+        """(lower, upper) arrays over the full state vector (inf-filled)."""
+        lo = np.full(self.state_size, -np.inf)
+        hi = np.full(self.state_size, np.inf)
+        for fam in self.families:
+            if fam.lower is None:
+                continue
+            o = fam.state_offset
+            nv = fam.num_var
+            lo[o : o + nv * fam.asize] = fam.lower.reshape(-1)
+            hi[o : o + nv * fam.asize] = fam.upper.reshape(-1)
+        return lo, hi

@@ -1,0 +1,184 @@
+"""Solve driver: validate -> preprocess -> minimize -> summarize.
+
+Mirrors /root/reference/internal/ceres/solver.cc:734-855 (Solve),
+trust_region_preprocessor.cc:378-428 (Preprocess -> CreateReducedProgram ->
+SetupLinearSolver -> SetupEvaluator -> SetupMinimizerOptions) and
+solver.cc:646-673 (Minimize). The reduced program + evaluator are fused in
+CompiledProgram; preprocessing here is solver selection + kernel building.
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .options import Options
+from .problem import Problem
+from .program import CompiledProgram
+from .summary import Summary
+from .types import (
+    LinearSolverType,
+    MinimizerType,
+    PreconditionerType,
+    TerminationType,
+)
+
+
+def _pick_linear_solver(options: Options, program: CompiledProgram, summary: Summary):
+    """Create the linear-solver kernel for the trust-region step.
+
+    Mirrors SetupLinearSolver (trust_region_preprocessor.cc:161-259)
+    including the Schur -> alternate solver fallback when there are no
+    e-blocks. Returns (kernels_factory, used_type)."""
+    from .solvers.linear import dense as dense_mod
+
+    given = options.linear_solver_type
+    used = given
+
+    # Schur-family solvers need an e/f partition; wired in the Schur
+    # milestone. Dense/sparse fallbacks mirror LinearSolverForZeroEBlocks.
+    if given in (LinearSolverType.DENSE_SCHUR, LinearSolverType.SPARSE_SCHUR,
+                 LinearSolverType.ITERATIVE_SCHUR, LinearSolverType.CGNR,
+                 LinearSolverType.SPARSE_NORMAL_CHOLESKY):
+        # Until the block-sparse tier is wired into the minimizer kernels,
+        # everything solves through the dense normal equations path.
+        used = LinearSolverType.DENSE_NORMAL_CHOLESKY
+
+    if used == LinearSolverType.DENSE_QR:
+        kernel = dense_mod.qr_solve
+    else:
+        if options.use_mixed_precision_solves:
+            def kernel(J, r, D):
+                return dense_mod.normal_cholesky_solve_mixed(
+                    J, r, D,
+                    refinement_steps=max(1, options.max_num_refinement_iterations),
+                )
+        else:
+            kernel = dense_mod.normal_cholesky_solve
+    return kernel, used
+
+
+def solve(options: Options, problem: Problem, summary: Optional[Summary] = None) -> Summary:
+    """ceres::Solve equivalent (solver.h:1119)."""
+    if summary is None:
+        summary = Summary()
+    t_start = time.monotonic()
+
+    ok, msg = options.is_valid()
+    if not ok:
+        summary.message = msg
+        summary.termination_type = TerminationType.FAILURE
+        return summary
+
+    summary.minimizer_type = options.minimizer_type
+    summary.num_threads_given = options.num_threads
+    summary.num_threads_used = 1
+    summary.linear_solver_type_given = options.linear_solver_type
+    summary.preconditioner_type_given = options.preconditioner_type
+    summary.trust_region_strategy_type = options.trust_region_strategy_type
+    summary.num_parameter_blocks = problem.num_parameter_blocks()
+    summary.num_parameters = problem.num_parameters()
+    summary.num_residual_blocks = problem.num_residual_blocks()
+    summary.num_residuals = problem.num_residuals()
+    summary.num_effective_parameters = sum(
+        b.tangent_size for b in problem.parameter_blocks()
+    )
+    dev = jax.devices()[0]
+    summary.device_kind = dev.device_kind
+    summary.num_devices = jax.device_count()
+
+    if options.check_gradients:
+        from .gradient_checker import check_problem_gradients
+
+        ok, message = check_problem_gradients(
+            problem,
+            relative_precision=options.gradient_check_relative_precision,
+            relative_step_size=options.gradient_check_numeric_derivative_relative_step_size,
+        )
+        if not ok:
+            summary.message = message
+            summary.termination_type = TerminationType.FAILURE
+            return summary
+
+    # ---- Preprocess -------------------------------------------------------
+    program = CompiledProgram(problem)
+    options._program = program  # for update_state_every_iteration
+    summary.fixed_cost = program.fixed_cost
+    summary.num_parameter_blocks_reduced = sum(f.count for f in program.families)
+    summary.num_parameters_reduced = program.state_size
+    summary.num_effective_parameters_reduced = program.tangent_size
+    summary.num_residual_blocks_reduced = len(program.active_rbs)
+    summary.num_residuals_reduced = program.num_residuals
+    summary.is_constrained = program.has_bounds()
+
+    if program.num_residuals == 0 or program.tangent_size == 0:
+        # Nothing to optimize (solver.cc handles the empty problem path).
+        summary.initial_cost = program.fixed_cost
+        summary.final_cost = program.fixed_cost
+        x = program.initial_state()
+        c = float(program.evaluate_cost(x)) if program.num_residuals else program.fixed_cost
+        summary.initial_cost = summary.final_cost = c
+        summary.termination_type = TerminationType.CONVERGENCE
+        summary.message = "Function tolerance reached. No non-constant parameter blocks found."
+        summary.preprocessor_time_in_seconds = time.monotonic() - t_start
+        summary.total_time_in_seconds = time.monotonic() - t_start
+        return summary
+
+    if options.minimizer_type == MinimizerType.LINE_SEARCH:
+        if program.has_bounds():
+            summary.message = (
+                "LINE_SEARCH Minimizer does not support bounds."
+            )
+            summary.termination_type = TerminationType.FAILURE
+            return summary
+        from .solvers.line_search import LineSearchMinimizer
+
+        summary.preprocessor_time_in_seconds = time.monotonic() - t_start
+        t_min = time.monotonic()
+        minimizer = LineSearchMinimizer(program, options, summary)
+        x0 = program.initial_state()
+        x_final = minimizer.minimize(x0)
+        summary.minimizer_time_in_seconds = time.monotonic() - t_min
+        t_post = time.monotonic()
+        program.write_state(np.asarray(x_final))
+        summary.final_cost = float(program.evaluate_cost(x_final)) + summary.fixed_cost
+        summary.postprocessor_time_in_seconds = time.monotonic() - t_post
+        summary.total_time_in_seconds = time.monotonic() - t_start
+        return summary
+
+    kernel, used_type = _pick_linear_solver(options, program, summary)
+    summary.linear_solver_type_used = used_type
+    summary.preconditioner_type_used = (
+        options.preconditioner_type
+        if used_type == LinearSolverType.ITERATIVE_SCHUR
+        else PreconditionerType.IDENTITY
+    )
+
+    from .solvers.trust_region import DenseTrustRegionKernels, TrustRegionMinimizer
+
+    kernels = DenseTrustRegionKernels(program, kernel, options)
+
+    inner_minimizer = None
+    if options.use_inner_iterations:
+        from .solvers.coordinate_descent import CoordinateDescentMinimizer
+
+        inner_minimizer = CoordinateDescentMinimizer(program, options)
+
+    summary.preprocessor_time_in_seconds = time.monotonic() - t_start
+
+    # ---- Minimize ---------------------------------------------------------
+    t_min = time.monotonic()
+    minimizer = TrustRegionMinimizer(program, kernels, options, summary, inner_minimizer)
+    x0 = program.initial_state()
+    x_final = minimizer.minimize(x0)
+    summary.minimizer_time_in_seconds = time.monotonic() - t_min
+
+    # ---- Postprocess ------------------------------------------------------
+    t_post = time.monotonic()
+    program.write_state(np.asarray(x_final))
+    summary.final_cost = minimizer.x_cost + summary.fixed_cost
+    summary.postprocessor_time_in_seconds = time.monotonic() - t_post
+    summary.total_time_in_seconds = time.monotonic() - t_start
+    return summary

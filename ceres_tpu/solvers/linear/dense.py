@@ -1,0 +1,99 @@
+"""Dense linear solvers for the trust-region step.
+
+TPU-native equivalents of the reference's dense backends
+(/root/reference/internal/ceres/dense_qr_solver.cc:48,
+dense_normal_cholesky_solver.cc:49, dense_qr.cc, dense_cholesky.cc). The
+EIGEN/LAPACK/CUDA backend switch collapses to XLA: one jitted function per
+program runs on TPU or CPU. The mixed-precision path (fp32 factorization +
+iterative refinement, dense_cholesky.h:104-249) is a first-class option here
+because fp64 on TPU is emulated and fp32+refinement rides the MXU.
+
+All solvers compute y minimizing ||J y - r||^2 + ||D y||^2 and return y
+(the caller negates: step = -y, levenberg_marquardt_strategy.cc:113-133).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ...types import LinearSolverTerminationType
+
+
+def qr_solve(J, r, D):
+    """DENSE_QR: QR factorization of the stacked [J; diag(D)] system."""
+    n = J.shape[1]
+    A = jnp.concatenate([J, jnp.diag(D)], axis=0)
+    b = jnp.concatenate([r, jnp.zeros((n,), J.dtype)])
+    Q, R = jnp.linalg.qr(A)
+    y = jax.scipy.linalg.solve_triangular(R, Q.T @ b, lower=False)
+    return y
+
+
+def normal_cholesky_solve(J, r, D):
+    """DENSE_NORMAL_CHOLESKY: factorize J'J + D'D."""
+    A = J.T @ J
+    A = A + jnp.diag(D * D)
+    rhs = J.T @ r
+    L = jnp.linalg.cholesky(A)
+    y = jax.scipy.linalg.cho_solve((L, True), rhs)
+    return y
+
+
+def normal_cholesky_solve_mixed(J, r, D, refinement_steps: int = 3):
+    """Mixed-precision: fp32 Cholesky factor + fp64 iterative refinement
+    (the RefinedDenseCholesky path, dense_cholesky.h:198-249;
+    iterative_refiner.h:61). The factorization and triangular solves run in
+    fp32 on the MXU; residual correction accumulates in fp64."""
+    A = J.T @ J + jnp.diag(D * D)
+    rhs = J.T @ r
+    A32 = A.astype(jnp.float32)
+    L32 = jnp.linalg.cholesky(A32)
+
+    def solve32(b):
+        return jax.scipy.linalg.cho_solve((L32, True), b.astype(jnp.float32)).astype(
+            jnp.float64
+        )
+
+    y = solve32(rhs)
+
+    def refine(_, y):
+        resid = rhs - A @ y
+        return y + solve32(resid)
+
+    y = jax.lax.fori_loop(0, refinement_steps, refine, y)
+    return y
+
+
+class DenseLinearSolver:
+    """Shared wrapper: jit once, classify non-finite results as FAILURE
+    (linear_solver.h:57-74 taxonomy; the invalidate-and-check pattern of
+    levenberg_marquardt_strategy.cc:108-129)."""
+
+    def __init__(self, kernel, **kw):
+        self._kernel = kernel
+        self._kw = kw
+        self._jitted = jax.jit(lambda J, r, D: kernel(J, r, D, **kw) if kw else kernel(J, r, D))
+
+    def solve(self, J, r, D):
+        y = self._jitted(J, r, D)
+        finite = bool(jnp.all(jnp.isfinite(y)))
+        term = (
+            LinearSolverTerminationType.SUCCESS
+            if finite
+            else LinearSolverTerminationType.FAILURE
+        )
+        return y, term, 1
+
+
+def create_dense_solver(kind: str, use_mixed_precision: bool = False,
+                        max_num_refinement_iterations: int = 3) -> DenseLinearSolver:
+    if kind == "DENSE_QR":
+        return DenseLinearSolver(qr_solve)
+    if kind == "DENSE_NORMAL_CHOLESKY":
+        if use_mixed_precision:
+            return DenseLinearSolver(
+                normal_cholesky_solve_mixed,
+                refinement_steps=max_num_refinement_iterations,
+            )
+        return DenseLinearSolver(normal_cholesky_solve)
+    raise ValueError(kind)
