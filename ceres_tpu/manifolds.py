@@ -23,6 +23,18 @@ from . import rotation
 Array = jax.Array
 
 
+def _atan2_over_s(s2, c):
+    """atan2(sqrt(s2), c)/sqrt(s2), with the Taylor limit 1/c - s2/(3c^3) in
+    the s2->0 branch so jacfwd is exact at the branch point (for c>0)."""
+    eps = jnp.finfo(jnp.float64).eps
+    small = s2 <= eps
+    s = jnp.sqrt(jnp.where(small, 1.0, s2))
+    exact = jnp.arctan2(s, c) / s
+    safe_c = jnp.where(c == 0, 1.0, c)
+    taylor = 1.0 / safe_c - s2 / (3.0 * safe_c**3)
+    return jnp.where(small, taylor, exact)
+
+
 class Manifold:
     """Interface mirroring manifold.h:148-221 semantics.
 
@@ -147,10 +159,11 @@ class QuaternionManifold(Manifold):
         xq = self._to_wxyz(x)
         d = rotation.quaternion_product(yq, rotation.quaternion_conjugate(xq))
         u = d[1:]
-        u2 = jnp.sum(u * u)
-        u_norm = jnp.sqrt(jnp.where(u2 > 0, u2, 1.0))
-        theta = jnp.arctan2(u_norm, d[0])
-        return jnp.where(u2 > 0, theta * u / u_norm, jnp.zeros_like(u))
+        w = d[0]
+        # k = atan2(|u|, w)/|u| with a Taylor branch at |u|->0 so forward-mode
+        # AD through the log map is exact at the identity (Jet parity).
+        k = _atan2_over_s(jnp.sum(u * u), w)
+        return k * u
 
     def plus_jacobian(self, x):
         w, qx, qy, qz = self._to_wxyz(x)
@@ -256,10 +269,7 @@ class SphereManifold(Manifold):
         hy = (y - beta * v * jnp.dot(v, y)) / jnp.where(nx > 0, nx, 1.0)
         u = hy[:-1]
         w = hy[-1]
-        u2 = jnp.sum(u * u)
-        u_norm = jnp.sqrt(jnp.where(u2 > 0, u2, 1.0))
-        theta = jnp.arctan2(u_norm, w)
-        return jnp.where(u2 > 0, theta * u / u_norm, jnp.zeros_like(u))
+        return _atan2_over_s(jnp.sum(u * u), w) * u
 
     def batch_key(self):
         return ("Sphere", self.ambient_size)
@@ -314,10 +324,7 @@ class LineManifold(Manifold):
         hy = (dir_y - beta * v * jnp.dot(v, dir_y)) / jnp.where(ndx > 0, ndx, 1.0)
         u = hy[:-1]
         w = hy[-1]
-        u2 = jnp.sum(u * u)
-        u_norm = jnp.sqrt(jnp.where(u2 > 0, u2, 1.0))
-        theta = jnp.arctan2(u_norm, w)
-        t_dir = jnp.where(u2 > 0, theta * u / u_norm, jnp.zeros_like(u))
+        t_dir = _atan2_over_s(jnp.sum(u * u), w) * u
         return jnp.concatenate([t_origin, t_dir])
 
     def batch_key(self):

@@ -1,0 +1,135 @@
+"""Problem API tests (reference problem_test.cc, 2313 LoC — the core
+behaviors: add/remove, constants, bounds, evaluate)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ceres_tpu as ct
+from ceres_tpu.program import CompiledProgram
+
+
+def quad_cost():
+    return ct.AutoDiffCostFunction(lambda x: x - 1.0, 2, [2])
+
+
+def test_add_residual_block_counts():
+    p = ct.Problem()
+    x = np.zeros(2)
+    rb = p.add_residual_block(quad_cost(), None, [x])
+    assert p.num_parameter_blocks() == 1
+    assert p.num_parameters() == 2
+    assert p.num_residual_blocks() == 1
+    assert p.num_residuals() == 2
+    p.remove_residual_block(rb)
+    assert p.num_residual_blocks() == 0
+    assert p.num_parameter_blocks() == 1  # block stays (reference semantics)
+
+
+def test_remove_parameter_block_removes_dependents():
+    p = ct.Problem()
+    x = np.zeros(2)
+    y = np.zeros(2)
+    cost2 = ct.AutoDiffCostFunction(lambda a, b: a - b, 2, [2, 2])
+    p.add_residual_block(cost2, None, [x, y])
+    p.add_residual_block(quad_cost(), None, [x])
+    p.remove_parameter_block(y)
+    assert p.num_residual_blocks() == 1
+    assert p.num_parameter_blocks() == 1
+
+
+def test_size_mismatch_raises():
+    p = ct.Problem()
+    with pytest.raises(ValueError):
+        p.add_residual_block(quad_cost(), None, [np.zeros(3)])
+
+
+def test_duplicate_blocks_raise():
+    p = ct.Problem()
+    x = np.zeros(2)
+    cost2 = ct.AutoDiffCostFunction(lambda a, b: a - b, 2, [2, 2])
+    with pytest.raises(ValueError):
+        p.add_residual_block(cost2, None, [x, x])
+
+
+def test_constant_blocks_reduce_program():
+    p = ct.Problem()
+    x = np.asarray([2.0, 2.0])
+    y = np.asarray([5.0, 5.0])
+    p.add_residual_block(quad_cost(), None, [x])
+    p.add_residual_block(quad_cost(), None, [y])
+    p.set_parameter_block_constant(y)
+    prog = CompiledProgram(p)
+    assert prog.tangent_size == 2
+    # all-constant residual blocks contribute fixed cost
+    assert prog.num_residuals == 2
+    np.testing.assert_allclose(prog.fixed_cost, 0.5 * 2 * 16.0)
+
+
+def test_evaluate_cost_residuals_gradient_jacobian():
+    p = ct.Problem()
+    x = np.asarray([3.0, 0.0])
+    p.add_residual_block(quad_cost(), None, [x])
+    cost, res, grad, J = p.evaluate(residuals=True, gradient=True, jacobian=True)
+    np.testing.assert_allclose(cost, 0.5 * (4.0 + 1.0))
+    np.testing.assert_allclose(sorted(res), [-1.0, 2.0])
+    np.testing.assert_allclose(J, np.eye(2))
+    np.testing.assert_allclose(grad, res @ J)
+
+
+def test_evaluate_without_loss():
+    p = ct.Problem()
+    x = np.asarray([3.0, 0.0])
+    p.add_residual_block(quad_cost(), ct.CauchyLoss(0.1), [x])
+    c_with = p.evaluate()
+    c_without = p.evaluate(apply_loss_function=False)
+    assert c_with < c_without  # Cauchy shrinks large costs
+    np.testing.assert_allclose(c_without, 2.5)
+
+
+def test_evaluate_residual_block():
+    p = ct.Problem()
+    x = np.asarray([3.0, 0.0])
+    rb = p.add_residual_block(quad_cost(), None, [x])
+    cost, res, jacs = p.evaluate_residual_block(rb)
+    np.testing.assert_allclose(cost, 2.5)
+    np.testing.assert_allclose(res, [2.0, -1.0])
+    np.testing.assert_allclose(jacs[0], np.eye(2))
+
+
+def test_bounds_accessors():
+    p = ct.Problem()
+    x = np.zeros(2)
+    p.add_parameter_block(x)
+    assert p.get_parameter_lower_bound(x, 0) == -np.inf
+    p.set_parameter_lower_bound(x, 0, -1.0)
+    p.set_parameter_upper_bound(x, 1, 2.0)
+    assert p.get_parameter_lower_bound(x, 0) == -1.0
+    assert p.get_parameter_upper_bound(x, 1) == 2.0
+
+
+def test_mixed_kind_grouping():
+    """Blocks with the same cost fn but different manifolds split kinds."""
+    p = ct.Problem()
+    q1 = np.asarray([1.0, 0, 0, 0])
+    q2 = np.asarray([1.0, 0, 0, 0.0])
+    cost = ct.AutoDiffCostFunction(lambda q: q - jnp.asarray([0.0, 1.0, 0, 0]), 4, [4])
+    p.add_parameter_block(q1, manifold=ct.QuaternionManifold())
+    p.add_parameter_block(q2)  # plain Euclidean
+    p.add_residual_block(cost, None, [q1])
+    p.add_residual_block(cost, None, [q2])
+    prog = CompiledProgram(p)
+    assert len(prog.kinds) == 2
+    assert prog.tangent_size == 3 + 4
+
+
+def test_implicit_parameter_block_registration():
+    p = ct.Problem()
+    x = np.zeros(2)
+    p.add_residual_block(quad_cost(), None, [x])  # x never explicitly added
+    assert p.num_parameter_blocks() == 1
+
+
+def test_non_float64_rejected():
+    p = ct.Problem()
+    with pytest.raises(TypeError):
+        p.add_parameter_block(np.zeros(2, dtype=np.float32))
