@@ -431,6 +431,19 @@ class CompiledProgram:
 
         return self._get_fn("grad", build)(x)
 
+    def evaluate_bsr(self, x):
+        """-> (cost, residuals, gradient, block_jacs) — the block-sparse
+        Jacobian as per-kind per-slot (B, r, t) tensors (see ops/bsr.py)."""
+
+        def build():
+            def f(x):
+                o = self._eval_core(x, True, False)
+                return o["cost"], o["residuals"], o["gradient"], o["block_jacs"]
+
+            return jax.jit(f)
+
+        return self._get_fn("bsr", build)(x)
+
     # Step application ------------------------------------------------------
 
     def has_bounds(self) -> bool:

@@ -37,13 +37,16 @@ def _pick_linear_solver(options: Options, program: CompiledProgram, summary: Sum
     given = options.linear_solver_type
     used = given
 
+    if given == LinearSolverType.CGNR:
+        return ("bsr", None), used
+
     # Schur-family solvers need an e/f partition; wired in the Schur
     # milestone. Dense/sparse fallbacks mirror LinearSolverForZeroEBlocks.
     if given in (LinearSolverType.DENSE_SCHUR, LinearSolverType.SPARSE_SCHUR,
-                 LinearSolverType.ITERATIVE_SCHUR, LinearSolverType.CGNR,
+                 LinearSolverType.ITERATIVE_SCHUR,
                  LinearSolverType.SPARSE_NORMAL_CHOLESKY):
-        # Until the block-sparse tier is wired into the minimizer kernels,
-        # everything solves through the dense normal equations path.
+        # Until the block-sparse direct tier is wired into the minimizer
+        # kernels, these solve through the dense normal equations path.
         used = LinearSolverType.DENSE_NORMAL_CHOLESKY
 
     if used == LinearSolverType.DENSE_QR:
@@ -57,7 +60,7 @@ def _pick_linear_solver(options: Options, program: CompiledProgram, summary: Sum
                 )
         else:
             kernel = dense_mod.normal_cholesky_solve
-    return kernel, used
+    return ("dense", kernel), used
 
 
 def solve(options: Options, problem: Problem, summary: Optional[Summary] = None) -> Summary:
@@ -148,17 +151,22 @@ def solve(options: Options, problem: Problem, summary: Optional[Summary] = None)
         summary.total_time_in_seconds = time.monotonic() - t_start
         return summary
 
-    kernel, used_type = _pick_linear_solver(options, program, summary)
+    (tier, kernel), used_type = _pick_linear_solver(options, program, summary)
     summary.linear_solver_type_used = used_type
     summary.preconditioner_type_used = (
         options.preconditioner_type
-        if used_type == LinearSolverType.ITERATIVE_SCHUR
+        if used_type in (LinearSolverType.ITERATIVE_SCHUR, LinearSolverType.CGNR)
         else PreconditionerType.IDENTITY
     )
 
     from .solvers.trust_region import DenseTrustRegionKernels, TrustRegionMinimizer
 
-    kernels = DenseTrustRegionKernels(program, kernel, options)
+    if tier == "bsr":
+        from .solvers.bsr_kernels import BlockTrustRegionKernels
+
+        kernels = BlockTrustRegionKernels(program, options)
+    else:
+        kernels = DenseTrustRegionKernels(program, kernel, options)
 
     inner_minimizer = None
     if options.use_inner_iterations:

@@ -1,0 +1,100 @@
+"""Block-sparse trust-region kernels: the scalable LM path.
+
+Provides the same five fused entry points as DenseTrustRegionKernels but
+over the block Jacobian (ops/bsr.py) with an iterative CGNR step — the
+reference's evaluator + CgnrSolver combination
+(/root/reference/internal/ceres/cgnr_solver.cc,
+program_evaluator.h:118-397) with zero per-iteration host round-trips
+inside the linear solve.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import bsr
+from ..options import Options
+from .linear.cgnr import cgnr_solve
+
+
+class BlockTrustRegionKernels:
+    """Same interface as DenseTrustRegionKernels; `jacobian` is the values
+    pytree (list per kind of list per slot of (B, r, t))."""
+
+    def __init__(self, program, options: Options):
+        self.program = program
+        self.options = options
+        meta = bsr.build_meta(program)
+        self.meta = meta
+        prog = program
+
+        @jax.jit
+        def eval_full(x):
+            o = prog._eval_core(x, True, False)
+            cost, residuals, gradient = o["cost"], o["residuals"], o["gradient"]
+            values = o["block_jacs"]
+            pg = prog._plus_impl(x, -gradient)
+            dx = x - pg
+            gmax = jnp.max(jnp.abs(dx)) if dx.shape[0] else jnp.asarray(0.0)
+            return cost, residuals, gradient, values, jnp.linalg.norm(dx), gmax
+
+        @jax.jit
+        def jacobi_scale(values):
+            return 1.0 / (1.0 + jnp.sqrt(bsr.squared_column_norm(meta, values)))
+
+        min_d, max_d = options.min_lm_diagonal, options.max_lm_diagonal
+
+        @jax.jit
+        def lm_diagonal(values, scale):
+            vs = bsr.scale_columns(meta, values, scale)
+            return jnp.clip(bsr.squared_column_norm(meta, vs), min_d, max_d)
+
+        eta = options.eta
+        max_li = options.max_linear_solver_iterations
+        min_li = options.min_linear_solver_iterations
+        precond = (
+            "JACOBI"
+            if options.preconditioner_type.name in ("JACOBI", "SCHUR_JACOBI")
+            else "IDENTITY"
+        )
+
+        @jax.jit
+        def compute_step(values, residuals, scale, diagonal, radius):
+            vs = bsr.scale_columns(meta, values, scale)
+            D = jnp.sqrt(diagonal / radius)
+            res = cgnr_solve(
+                meta,
+                vs,
+                residuals,
+                D,
+                q_tolerance=eta,
+                r_tolerance=-1.0,
+                max_num_iterations=max_li,
+                min_num_iterations=min_li,
+                preconditioner=precond,
+            )
+            step = -res.x
+            model_residuals = bsr.right_multiply(meta, vs, step)
+            model_cost_change = -jnp.dot(
+                model_residuals, residuals + model_residuals / 2.0
+            )
+            delta = step * scale
+            return step, delta, model_cost_change, res.num_iterations
+
+        @jax.jit
+        def candidate(x, delta):
+            cx = prog._plus_impl(x, delta)
+            o = prog._eval_core(cx, False, False)
+            return cx, o["cost"], jnp.linalg.norm(x - cx)
+
+        @jax.jit
+        def cost_at(x, delta):
+            cx = prog._plus_impl(x, delta)
+            return prog._eval_core(cx, False, False)["cost"]
+
+        self.eval_full = eval_full
+        self.jacobi_scale = jacobi_scale
+        self.lm_diagonal = lm_diagonal
+        self.compute_step = compute_step
+        self.candidate = candidate
+        self.cost_at = cost_at

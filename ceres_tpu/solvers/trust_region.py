@@ -111,7 +111,7 @@ class LevenbergMarquardtStrategy:
         if not self.reuse_diagonal or self._diagonal is None:
             self._diagonal = m.k.lm_diagonal(m.jacobian, m.scale)
         self.reuse_diagonal = True
-        step, delta, mcc = m.k.compute_step(
+        step, delta, mcc, num_iters = m.k.compute_step(
             m.jacobian, m.residuals, m.scale, self._diagonal, self.radius
         )
         finite = bool(jnp.all(jnp.isfinite(step)))
@@ -121,6 +121,7 @@ class LevenbergMarquardtStrategy:
             delta=delta,
             model_cost_change=float(mcc),
             termination=LinearSolverTerminationType.SUCCESS,
+            num_iterations=int(num_iters),
         )
 
     def step_accepted(self, step_quality: float):
@@ -196,7 +197,7 @@ class DenseTrustRegionKernels:
                 model_residuals, residuals + model_residuals / 2.0
             )
             delta = step * scale
-            return step, delta, model_cost_change
+            return step, delta, model_cost_change, jnp.asarray(1, jnp.int32)
 
         @jax.jit
         def candidate(x, delta):
