@@ -1,0 +1,109 @@
+"""Benchmark: BAL-shaped bundle adjustment on the local accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+auxiliary fields. Workload mirrors BASELINE.md config 3/4: a synthetic BAL
+instance shaped like problem-16-22106 (16 cameras, 22106 points, ~83k
+observations), solved with the sharded LM step (matrix-free PCG inner
+loop). Also reports block-SpMV throughput in nnz/s.
+
+The reference publishes no end-to-end numbers (SURVEY.md §6);
+vs_baseline is therefore measured against this repo's recorded first-round
+value (bench_baseline.json) once it exists, else 1.0.
+"""
+import json
+import pathlib
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_enable_x64", True)
+
+    from ceres_tpu.models import bal
+    from ceres_tpu.parallel import sharded_ba
+
+    dtype = jnp.float32  # TPU-native precision for the hot path
+    n_cams, n_pts = 16, 22106
+    target_obs = 83718
+    vis = target_obs / (n_cams * n_pts)
+    b = bal.synthetic_bal(num_cameras=n_cams, num_points=n_pts, visibility=vis,
+                          noise=1.0, seed=0)
+    b = bal.perturb(b, rotation_sigma=0.02, translation_sigma=0.2,
+                    point_sigma=0.2, seed=1)
+    n_obs = b.num_observations
+    nnz = n_obs * 2 * 12  # per-obs 2x9 + 2x3 blocks
+
+    cams = jnp.asarray(b.cameras, dtype)
+    pts = jnp.asarray(b.points, dtype)
+    cam_idx = jnp.asarray(b.camera_index)
+    pt_idx = jnp.asarray(b.point_index)
+    obs = jnp.asarray(b.observations, dtype)
+
+    import functools
+
+    step = jax.jit(functools.partial(sharded_ba.lm_step, cg_iters=10))
+    radius = jnp.asarray(1e4, dtype)
+
+    # Warm up (compile).
+    st = sharded_ba.BAState(cams, pts, radius, jnp.asarray(0.0, dtype))
+    st = sharded_ba.BAState(*step(st.cams, st.pts, cam_idx, pt_idx, obs, st.radius))
+    jax.block_until_ready(st)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st = sharded_ba.BAState(
+            *step(st.cams, st.pts, cam_idx, pt_idx, obs, st.radius)
+        )
+    jax.block_until_ready(st)
+    dt = time.perf_counter() - t0
+    lm_per_sec = iters / dt
+
+    # SpMV benchmark: J v with the per-obs blocks (the CGNR hot op).
+    r, Jc, Jp = jax.jit(sharded_ba._evaluate)(cams, pts, cam_idx, pt_idx, obs)
+    jax.block_until_ready((Jc, Jp))
+    vc = jnp.ones_like(cams)
+    vp = jnp.ones_like(pts)
+    D2c = jnp.ones_like(cams)
+    D2p = jnp.ones_like(pts)
+    mv = jax.jit(sharded_ba._jtj_matvec, static_argnums=())
+    out = mv(Jc, Jp, cam_idx, pt_idx, vc, vp, D2c, D2p)
+    jax.block_until_ready(out)
+    n_mv = 50
+    t0 = time.perf_counter()
+    for _ in range(n_mv):
+        out = mv(Jc, Jp, cam_idx, pt_idx, out[0], out[1], D2c, D2p)
+    jax.block_until_ready(out)
+    dt_mv = time.perf_counter() - t0
+    # each matvec does J v and J^T u => 2 * nnz mults
+    nnz_per_sec = 2 * nnz * n_mv / dt_mv
+
+    baseline_path = pathlib.Path(__file__).parent / "bench_baseline.json"
+    vs = 1.0
+    if baseline_path.exists():
+        base = json.loads(baseline_path.read_text())
+        if base.get("value"):
+            vs = lm_per_sec / base["value"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "BAL(16cam,22106pt,83k obs) LM iterations/sec, sharded matrix-free PCG",
+                "value": round(lm_per_sec, 3),
+                "unit": "iter/s",
+                "vs_baseline": round(vs, 3),
+                "spmv_nnz_per_sec": round(nnz_per_sec / 1e9, 3),
+                "spmv_unit": "Gnnz/s",
+                "final_cost": float(st.cost),
+                "device": str(jax.devices()[0].device_kind),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Bundle adjustment in the large (BAL) problems.
+
+TPU-native equivalent of /root/reference/examples/bal_problem.{h,cc},
+simple_bundle_adjuster.cc (the Snavely reprojection model) and the
+synthetic-Jacobian generator fake_bundle_adjustment_jacobian.{h,cc}
+(fake_bundle_adjustment_jacobian.h:42) used to test scale-shaped code
+without datasets.
+
+Camera: 9 params — angle-axis rotation (3), translation (3), focal f,
+radial distortion k1, k2. BAL convention: P = R X + t, p = -P/P_z,
+predicted = f * (1 + k1 r^2 + k2 r^4) * p.
+"""
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import AutoDiffCostFunction, HuberLoss, Problem
+from ..rotation import angle_axis_rotate_point
+
+
+def snavely_reprojection_residual(camera, point, observed):
+    """simple_bundle_adjuster.cc SnavelyReprojectionError, batched-friendly."""
+    p = angle_axis_rotate_point(camera[:3], point) + camera[3:6]
+    xp = -p[0] / p[2]
+    yp = -p[1] / p[2]
+    r2 = xp * xp + yp * yp
+    distortion = 1.0 + r2 * (camera[7] + camera[8] * r2)
+    predicted_x = camera[6] * distortion * xp
+    predicted_y = camera[6] * distortion * yp
+    return jnp.stack([predicted_x - observed[0], predicted_y - observed[1]])
+
+
+SNAVELY_COST = AutoDiffCostFunction(
+    snavely_reprojection_residual, 2, [9, 3], name="snavely"
+)
+
+
+@dataclasses.dataclass
+class BALProblem:
+    cameras: np.ndarray  # (num_cameras, 9)
+    points: np.ndarray  # (num_points, 3)
+    camera_index: np.ndarray  # (num_obs,)
+    point_index: np.ndarray  # (num_obs,)
+    observations: np.ndarray  # (num_obs, 2)
+
+    @property
+    def num_cameras(self):
+        return self.cameras.shape[0]
+
+    @property
+    def num_points(self):
+        return self.points.shape[0]
+
+    @property
+    def num_observations(self):
+        return self.observations.shape[0]
+
+
+def read_bal_file(path) -> BALProblem:
+    """BAL text format (bal_problem.cc): header then observations then
+    parameters."""
+    with open(path) as f:
+        tokens = f.read().split()
+    it = iter(tokens)
+    num_cameras = int(next(it))
+    num_points = int(next(it))
+    num_obs = int(next(it))
+    cam_idx = np.zeros(num_obs, np.int32)
+    pt_idx = np.zeros(num_obs, np.int32)
+    obs = np.zeros((num_obs, 2))
+    for i in range(num_obs):
+        cam_idx[i] = int(next(it))
+        pt_idx[i] = int(next(it))
+        obs[i, 0] = float(next(it))
+        obs[i, 1] = float(next(it))
+    cameras = np.array([float(next(it)) for _ in range(9 * num_cameras)]).reshape(
+        num_cameras, 9
+    )
+    points = np.array([float(next(it)) for _ in range(3 * num_points)]).reshape(
+        num_points, 3
+    )
+    return BALProblem(cameras, points, cam_idx, pt_idx, obs)
+
+
+def synthetic_bal(
+    num_cameras=16,
+    num_points=500,
+    visibility=0.3,
+    noise=1.0,
+    seed=0,
+) -> BALProblem:
+    """Synthetic BA instance with realistic structure (the reference's
+    fake_bundle_adjustment_jacobian pattern: random camera/point blocks
+    with controllable visibility density) — observations generated from a
+    ground-truth model plus pixel noise so the global optimum is known to
+    be near the ground truth."""
+    rng = np.random.default_rng(seed)
+    # Cameras on a rough ring looking at the origin cluster.
+    cameras = np.zeros((num_cameras, 9))
+    cameras[:, :3] = rng.standard_normal((num_cameras, 3)) * 0.1  # small rotations
+    angles = np.linspace(0, 2 * np.pi, num_cameras, endpoint=False)
+    cameras[:, 3] = 0.5 * np.cos(angles)
+    cameras[:, 4] = 0.5 * np.sin(angles)
+    cameras[:, 5] = 10.0 + rng.uniform(-0.5, 0.5, num_cameras)  # in front
+    cameras[:, 6] = 500.0 + rng.uniform(-25, 25, num_cameras)  # focal
+    cameras[:, 7] = rng.uniform(-1e-7, 1e-7, num_cameras)
+    cameras[:, 8] = rng.uniform(-1e-13, 1e-13, num_cameras)
+    points = rng.standard_normal((num_points, 3)) * 2.0
+
+    cam_idx, pt_idx = [], []
+    for j in range(num_points):
+        seen = rng.random(num_cameras) < visibility
+        if not seen.any():
+            seen[rng.integers(num_cameras)] = True
+        for i in np.nonzero(seen)[0]:
+            cam_idx.append(i)
+            pt_idx.append(j)
+    cam_idx = np.asarray(cam_idx, np.int32)
+    pt_idx = np.asarray(pt_idx, np.int32)
+
+    import jax
+
+    obs_clean = jax.vmap(
+        lambda c, p: snavely_reprojection_residual(c, p, jnp.zeros(2))
+    )(jnp.asarray(cameras[cam_idx]), jnp.asarray(points[pt_idx]))
+    obs = np.asarray(obs_clean) + noise * rng.standard_normal((len(cam_idx), 2))
+    return BALProblem(cameras, points, cam_idx, pt_idx, obs)
+
+
+def perturb(bal: BALProblem, rotation_sigma=0.0, translation_sigma=0.0,
+            point_sigma=0.0, seed=1) -> BALProblem:
+    """bal_problem.cc Perturb equivalent."""
+    rng = np.random.default_rng(seed)
+    cams = bal.cameras.copy()
+    pts = bal.points.copy()
+    cams[:, :3] += rotation_sigma * rng.standard_normal((bal.num_cameras, 3))
+    cams[:, 3:6] += translation_sigma * rng.standard_normal((bal.num_cameras, 3))
+    pts += point_sigma * rng.standard_normal(pts.shape)
+    return BALProblem(cams, pts, bal.camera_index, bal.point_index, bal.observations)
+
+
+def build_problem(bal: BALProblem, loss=None, use_huber=False) -> "tuple[Problem, list, list]":
+    """Build a ceres_tpu Problem; returns (problem, camera_arrays,
+    point_arrays) — the arrays are the live parameter blocks."""
+    cams = [np.ascontiguousarray(bal.cameras[i]) for i in range(bal.num_cameras)]
+    pts = [np.ascontiguousarray(bal.points[j]) for j in range(bal.num_points)]
+    if use_huber and loss is None:
+        loss = HuberLoss(1.0)
+    p = Problem()
+    for k in range(bal.num_observations):
+        p.add_residual_block(
+            SNAVELY_COST,
+            loss,
+            [cams[bal.camera_index[k]], pts[bal.point_index[k]]],
+            data=bal.observations[k],
+        )
+    return p, cams, pts

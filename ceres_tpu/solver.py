@@ -40,13 +40,40 @@ def _pick_linear_solver(options: Options, program: CompiledProgram, summary: Sum
     if given == LinearSolverType.CGNR:
         return ("bsr", None), used
 
-    # Schur-family solvers need an e/f partition; wired in the Schur
-    # milestone. Dense/sparse fallbacks mirror LinearSolverForZeroEBlocks.
     if given in (LinearSolverType.DENSE_SCHUR, LinearSolverType.SPARSE_SCHUR,
-                 LinearSolverType.ITERATIVE_SCHUR,
-                 LinearSolverType.SPARSE_NORMAL_CHOLESKY):
+                 LinearSolverType.ITERATIVE_SCHUR):
+        from .utils import ordering as ordering_mod
+
+        if options.linear_solver_ordering is not None:
+            e_fams = ordering_mod.e_set_from_user_ordering(
+                program, options.linear_solver_ordering
+            )
+        else:
+            e_fams = ordering_mod.eligible_e_sets(program)
+        if e_fams:
+            summary.schur_structure_given = summary.schur_structure_used = (
+                _schur_structure_string(program, e_fams)
+            )
+            if given == LinearSolverType.ITERATIVE_SCHUR:
+                return ("schur_iterative", e_fams), given
+            # SPARSE_SCHUR solves through the dense reduced system until the
+            # block-sparse Cholesky tier lands; the reduced camera system is
+            # small in both regimes.
+            used = LinearSolverType.DENSE_SCHUR
+            return ("schur_dense", e_fams), used
+        # No e-blocks: LinearSolverForZeroEBlocks fallback policy
+        # (trust_region_preprocessor.cc:79).
+        used = {
+            LinearSolverType.DENSE_SCHUR: LinearSolverType.DENSE_QR,
+            LinearSolverType.SPARSE_SCHUR: LinearSolverType.SPARSE_NORMAL_CHOLESKY,
+            LinearSolverType.ITERATIVE_SCHUR: LinearSolverType.CGNR,
+        }[given]
+        if used == LinearSolverType.CGNR:
+            return ("bsr", None), used
+
+    if used == LinearSolverType.SPARSE_NORMAL_CHOLESKY:
         # Until the block-sparse direct tier is wired into the minimizer
-        # kernels, these solve through the dense normal equations path.
+        # kernels, this solves through the dense normal equations path.
         used = LinearSolverType.DENSE_NORMAL_CHOLESKY
 
     if used == LinearSolverType.DENSE_QR:
@@ -61,6 +88,23 @@ def _pick_linear_solver(options: Options, program: CompiledProgram, summary: Sum
         else:
             kernel = dense_mod.normal_cholesky_solve
     return ("dense", kernel), used
+
+
+def _schur_structure_string(program, e_fams) -> str:
+    """'2,3,9'-style structure tag (detect_structure.cc:59 analog): row
+    block size x e block size x f block size, 'd' for dynamic."""
+
+    def uniq(vals):
+        vals = set(vals)
+        return str(vals.pop()) if len(vals) == 1 else "d"
+
+    e_set = set(e_fams)
+    rows = [k.r for k in program.kinds]
+    e_sizes = [program.families[fi].tsize for fi in e_fams]
+    f_sizes = [
+        f.tsize for i, f in enumerate(program.families) if i not in e_set and f.num_var
+    ]
+    return f"{uniq(rows)},{uniq(e_sizes)},{uniq(f_sizes)}"
 
 
 def solve(options: Options, problem: Problem, summary: Optional[Summary] = None) -> Summary:
@@ -146,7 +190,7 @@ def solve(options: Options, problem: Problem, summary: Optional[Summary] = None)
         summary.minimizer_time_in_seconds = time.monotonic() - t_min
         t_post = time.monotonic()
         program.write_state(np.asarray(x_final))
-        summary.final_cost = float(program.evaluate_cost(x_final)) + summary.fixed_cost
+        summary.final_cost = float(program.evaluate_cost(x_final))
         summary.postprocessor_time_in_seconds = time.monotonic() - t_post
         summary.total_time_in_seconds = time.monotonic() - t_start
         return summary
@@ -165,6 +209,18 @@ def solve(options: Options, problem: Problem, summary: Optional[Summary] = None)
         from .solvers.bsr_kernels import BlockTrustRegionKernels
 
         kernels = BlockTrustRegionKernels(program, options)
+    elif tier == "schur_dense":
+        from .solvers.bsr_kernels import BlockTrustRegionKernels
+
+        kernels = BlockTrustRegionKernels(
+            program, options, step_solver="DENSE_SCHUR", e_families=kernel
+        )
+    elif tier == "schur_iterative":
+        from .solvers.bsr_kernels import BlockTrustRegionKernels
+
+        kernels = BlockTrustRegionKernels(
+            program, options, step_solver="ITERATIVE_SCHUR", e_families=kernel
+        )
     else:
         kernels = DenseTrustRegionKernels(program, kernel, options)
 
@@ -186,7 +242,7 @@ def solve(options: Options, problem: Problem, summary: Optional[Summary] = None)
     # ---- Postprocess ------------------------------------------------------
     t_post = time.monotonic()
     program.write_state(np.asarray(x_final))
-    summary.final_cost = minimizer.x_cost + summary.fixed_cost
+    summary.final_cost = minimizer.x_cost
     summary.postprocessor_time_in_seconds = time.monotonic() - t_post
     summary.total_time_in_seconds = time.monotonic() - t_start
     return summary

@@ -19,14 +19,24 @@ from .linear.cgnr import cgnr_solve
 
 class BlockTrustRegionKernels:
     """Same interface as DenseTrustRegionKernels; `jacobian` is the values
-    pytree (list per kind of list per slot of (B, r, t))."""
+    pytree (list per kind of list per slot of (B, r, t)).
 
-    def __init__(self, program, options: Options):
+    step_solver: "CGNR" | "DENSE_SCHUR" | "ITERATIVE_SCHUR" — the latter two
+    need e_families (the Schur partition, utils/ordering.py)."""
+
+    def __init__(self, program, options: Options, step_solver: str = "CGNR",
+                 e_families=None):
         self.program = program
         self.options = options
         meta = bsr.build_meta(program)
         self.meta = meta
         prog = program
+        pm = None
+        if step_solver in ("DENSE_SCHUR", "ITERATIVE_SCHUR"):
+            from ..ops import partition as pt_mod
+
+            pm = pt_mod.build_partition(meta, e_families)
+            self.pm = pm
 
         @jax.jit
         def eval_full(x):
@@ -58,28 +68,76 @@ class BlockTrustRegionKernels:
             else "IDENTITY"
         )
 
-        @jax.jit
-        def compute_step(values, residuals, scale, diagonal, radius):
-            vs = bsr.scale_columns(meta, values, scale)
-            D = jnp.sqrt(diagonal / radius)
-            res = cgnr_solve(
-                meta,
-                vs,
-                residuals,
-                D,
-                q_tolerance=eta,
-                r_tolerance=-1.0,
-                max_num_iterations=max_li,
-                min_num_iterations=min_li,
-                preconditioner=precond,
+        if step_solver == "DENSE_SCHUR":
+            from .linear.dense_schur import dense_schur_solve
+
+            @jax.jit
+            def compute_step(values, residuals, scale, diagonal, radius):
+                vs = bsr.scale_columns(meta, values, scale)
+                D = jnp.sqrt(diagonal / radius)
+                y = dense_schur_solve(pm, vs, residuals, D)
+                step = -y
+                model_residuals = bsr.right_multiply(meta, vs, step)
+                model_cost_change = -jnp.dot(
+                    model_residuals, residuals + model_residuals / 2.0
+                )
+                return step, step * scale, model_cost_change, jnp.asarray(1, jnp.int32)
+
+        elif step_solver == "ITERATIVE_SCHUR":
+            from .linear.implicit_schur import iterative_schur_solve
+
+            isc_precond = (
+                "SCHUR_JACOBI"
+                if options.preconditioner_type.name
+                in ("JACOBI", "SCHUR_JACOBI", "CLUSTER_JACOBI", "CLUSTER_TRIDIAGONAL")
+                else "IDENTITY"
             )
-            step = -res.x
-            model_residuals = bsr.right_multiply(meta, vs, step)
-            model_cost_change = -jnp.dot(
-                model_residuals, residuals + model_residuals / 2.0
-            )
-            delta = step * scale
-            return step, delta, model_cost_change, res.num_iterations
+
+            @jax.jit
+            def compute_step(values, residuals, scale, diagonal, radius):
+                vs = bsr.scale_columns(meta, values, scale)
+                D = jnp.sqrt(diagonal / radius)
+                y, res = iterative_schur_solve(
+                    pm,
+                    vs,
+                    residuals,
+                    D,
+                    q_tolerance=eta,
+                    max_num_iterations=max_li,
+                    min_num_iterations=min_li,
+                    preconditioner=isc_precond,
+                )
+                step = -y
+                model_residuals = bsr.right_multiply(meta, vs, step)
+                model_cost_change = -jnp.dot(
+                    model_residuals, residuals + model_residuals / 2.0
+                )
+                return step, step * scale, model_cost_change, res.num_iterations
+
+        else:
+
+            @jax.jit
+            def compute_step(values, residuals, scale, diagonal, radius):
+                vs = bsr.scale_columns(meta, values, scale)
+                D = jnp.sqrt(diagonal / radius)
+                res = cgnr_solve(
+                    meta,
+                    vs,
+                    residuals,
+                    D,
+                    q_tolerance=eta,
+                    r_tolerance=-1.0,
+                    max_num_iterations=max_li,
+                    min_num_iterations=min_li,
+                    preconditioner=precond,
+                )
+                step = -res.x
+                model_residuals = bsr.right_multiply(meta, vs, step)
+                model_cost_change = -jnp.dot(
+                    model_residuals, residuals + model_residuals / 2.0
+                )
+                delta = step * scale
+                return step, delta, model_cost_change, res.num_iterations
 
         @jax.jit
         def candidate(x, delta):

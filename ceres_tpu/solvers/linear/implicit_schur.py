@@ -1,0 +1,173 @@
+"""Implicit Schur complement + ITERATIVE_SCHUR solver.
+
+TPU-native re-design of /root/reference/internal/ceres/
+implicit_schur_complement.{h,cc} (Init :49, RightMultiplyAndAccumulate
+:106), iterative_schur_complement_solver.cc:64, and
+schur_jacobi_preconditioner.h:78. The Schur complement
+
+    S = F'F + D_f^2 - F'E (E'E + D_e^2)^{-1} E'F
+
+is never materialized: each CG iteration does four partitioned SpMV
+products plus batched block-diagonal solves, all fused into one XLA
+while-loop. The SCHUR_JACOBI preconditioner block-diag(S)^{-1} is
+assembled in one batched einsum pass over observations (replacing the
+eliminator-with-diagonal-target run of the reference) and factorized with
+batched Cholesky.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...ops import bsr, partition as pt
+from .cg import CGResult, conjugate_gradients
+
+
+class SchurSystem(NamedTuple):
+    """Precomputed per-solve state (ImplicitSchurComplement::Init)."""
+
+    ete_factors: list  # batched Cholesky of E'E + D_e^2, per e-family
+    rhs: jax.Array  # F'b - F'E (E'E)^{-1} E'b
+    etb: jax.Array  # E'b (for back substitution)
+
+
+def _minv(pm: pt.PartitionedMeta, factors, v):
+    return pt.apply_block_diag_inverse_part(pm.e_fams, factors, v)
+
+
+def build_schur_system(pm: pt.PartitionedMeta, values, b, D_e) -> SchurSystem:
+    blocks = pt.block_diag_ete(pm, values, D_e)
+    factors = [jnp.linalg.cholesky(blk) for blk in blocks]
+    etb = pt.left_multiply_e(pm, values, b)
+    tmp = pt.right_multiply_e(pm, values, _minv(pm, factors, etb))
+    rhs = pt.left_multiply_f(pm, values, b - tmp)
+    return SchurSystem(ete_factors=factors, rhs=rhs, etb=etb)
+
+
+def schur_multiply(pm: pt.PartitionedMeta, values, sys: SchurSystem, D_f, z):
+    """S z, matrix-free (implicit_schur_complement.cc:106)."""
+    fz = pt.right_multiply_f(pm, values, z)
+    etfz = pt.left_multiply_e(pm, values, fz)
+    e_part = pt.right_multiply_e(pm, values, _minv(pm, sys.ete_factors, etfz))
+    out = pt.left_multiply_f(pm, values, fz - e_part)
+    return out + (D_f * D_f) * z
+
+
+def back_substitute(pm: pt.PartitionedMeta, values, sys: SchurSystem, z):
+    """y = (E'E + D_e^2)^{-1} (E'b - E'F z) (eliminator BackSubstitute)."""
+    fz = pt.right_multiply_f(pm, values, z)
+    etfz = pt.left_multiply_e(pm, values, fz)
+    return _minv(pm, sys.ete_factors, sys.etb - etfz)
+
+
+# --------------------------------------------------------------------------
+# SCHUR_JACOBI preconditioner: block-diag(S)^{-1}.
+# --------------------------------------------------------------------------
+
+
+def schur_jacobi_blocks(pm: pt.PartitionedMeta, values, sys: SchurSystem, D_f):
+    """Per-f-block diagonal blocks of S, batched over observations.
+
+    block(S)[i] = F_i'F_i + D_i^2 - sum_j W_ji' M_j^{-1} W_ji with
+    W_ji = E_j' F_ji aggregated per observation (exact when each (e,f)
+    block pair shares at most one residual block — the BA structure)."""
+    out_blocks = pt.block_diag_ftf(pm, values, D_f)
+
+    # Gather per-e-block inverse factors as dense (t_e, t_e) inverses for
+    # einsum use: build M^{-1} blocks per e-family.
+    minv_blocks = []
+    for (off, nv, t, _), L in zip(pm.e_fams, sys.ete_factors):
+        eye = jnp.broadcast_to(jnp.eye(t, dtype=L.dtype), (nv, t, t))
+        minv = jax.vmap(lambda Li, I: jax.scipy.linalg.cho_solve((Li, True), I))(L, eye)
+        # Append a sentinel zero block for constant/masked rows.
+        minv_blocks.append(
+            jnp.concatenate([minv, jnp.zeros((1, t, t), minv.dtype)], axis=0)
+        )
+
+    part_f = pm.f_family_indices
+    part_e = pm.e_family_indices
+    for k, kind in enumerate(pm.base.kinds):
+        # find the e-slot (at most one) and the f-slots
+        e_slot = None
+        for s, slot in enumerate(kind.slots):
+            if pm.e_bid_keys[k][s] >= 0 and slot.any_variable:
+                e_slot = s
+        if e_slot is None:
+            continue
+        slot_e = kind.slots[e_slot]
+        efi = part_e.index(slot_e.family_index)
+        _, e_nv, te, e_bid_off = pm.e_fams[efi]
+        ebid = pm.idx(pm.e_bid_keys[k][e_slot])
+        local_e = jnp.clip(ebid - e_bid_off, 0, e_nv)
+        minv = jnp.take(minv_blocks[efi], local_e, axis=0)  # (B, te, te)
+        Je = values[k][e_slot]
+        for s, slot in enumerate(kind.slots):
+            key = pm.f_bid_keys[k][s]
+            if key < 0 or not slot.any_variable:
+                continue
+            Jf = values[k][s]
+            W = jnp.einsum("bre,brf->bef", Je, Jf)  # (B, te, tf)
+            corr = jnp.einsum("bef,beh,bhg->bfg", W, minv, W)
+            ffi = part_f.index(slot.family_index)
+            _, f_nv, tf, f_bid_off = pm.f_fams[ffi]
+            fbid = pm.idx(key)
+            local_f = fbid - f_bid_off
+            tgt = jnp.where((local_f >= 0) & (local_f < f_nv), local_f, f_nv)
+            padded = jnp.concatenate(
+                [out_blocks[ffi], jnp.zeros((1, tf, tf), corr.dtype)], axis=0
+            )
+            padded = padded.at[tgt].add(-corr)
+            out_blocks[ffi] = padded[:f_nv]
+    return out_blocks
+
+
+def make_schur_jacobi_preconditioner(pm, values, sys, D_f):
+    blocks = schur_jacobi_blocks(pm, values, sys, D_f)
+    factors = [jnp.linalg.cholesky(b) for b in blocks]
+
+    def apply(v):
+        return pt.apply_block_diag_inverse_part(pm.f_fams, factors, v)
+
+    return apply
+
+
+def iterative_schur_solve(
+    pm: pt.PartitionedMeta,
+    values,
+    b,
+    D,
+    *,
+    q_tolerance: float,
+    max_num_iterations: int = 500,
+    min_num_iterations: int = 0,
+    preconditioner: str = "SCHUR_JACOBI",
+):
+    """Full ITERATIVE_SCHUR step: eliminate -> PCG on S -> back substitute.
+
+    Returns (x_global_tangent, CGResult)."""
+    D_e = pt.extract_e(pm, D)
+    D_f = pt.extract_f(pm, D)
+    sys = build_schur_system(pm, values, b, D_e)
+
+    def lhs(z):
+        return schur_multiply(pm, values, sys, D_f, z)
+
+    precond = None
+    if preconditioner == "SCHUR_JACOBI":
+        precond = make_schur_jacobi_preconditioner(pm, values, sys, D_f)
+    res = conjugate_gradients(
+        lhs,
+        sys.rhs,
+        jnp.zeros_like(sys.rhs),
+        precond,
+        min_num_iterations=min_num_iterations,
+        max_num_iterations=max_num_iterations,
+        residual_reset_period=10,
+        r_tolerance=-1.0,
+        q_tolerance=q_tolerance,
+    )
+    y = back_substitute(pm, values, sys, res.x)
+    x = pt.combine(pm, y, res.x)
+    return x, res

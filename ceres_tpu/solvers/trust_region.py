@@ -267,12 +267,12 @@ class TrustRegionMinimizer:
             summary.message = "Initial residual and Jacobian evaluation failed."
             summary.termination_type = TerminationType.FAILURE
             return self.x
-        it.cost = self.x_cost + summary.fixed_cost
+        it.cost = self.x_cost  # evaluator cost already includes fixed_cost
         it.gradient_norm = self.gradient_norm
         it.gradient_max_norm = self.gradient_max_norm
         it.step_is_valid = True
         it.step_is_successful = True
-        summary.initial_cost = self.x_cost + summary.fixed_cost
+        summary.initial_cost = self.x_cost
         step_evaluator = TrustRegionStepEvaluator(
             self.x_cost,
             opts.max_consecutive_nonmonotonic_steps if opts.use_nonmonotonic_steps else 0,
@@ -376,7 +376,7 @@ class TrustRegionMinimizer:
                     summary.termination_type = TerminationType.FAILURE
                     break
                 strategy.step_is_invalid()
-                it.cost = self.x_cost + summary.fixed_cost
+                it.cost = self.x_cost  # evaluator cost already includes fixed_cost
                 it.cost_change = 0.0
                 it.gradient_max_norm = prev_gradient_max_norm
                 it.gradient_norm = prev_gradient_norm
@@ -453,7 +453,7 @@ class TrustRegionMinimizer:
                     summary.message = "Residual and Jacobian evaluation failed."
                     summary.termination_type = TerminationType.FAILURE
                     break
-                it.cost = self.x_cost + summary.fixed_cost
+                it.cost = self.x_cost  # evaluator cost already includes fixed_cost
                 it.gradient_norm = self.gradient_norm
                 it.gradient_max_norm = self.gradient_max_norm
                 it.step_is_successful = True
@@ -461,7 +461,7 @@ class TrustRegionMinimizer:
                 step_evaluator.step_accepted(candidate_cost, model_cost_change)
             else:
                 it.step_is_successful = False
-                it.cost = candidate_cost + summary.fixed_cost
+                it.cost = candidate_cost
                 it.gradient_norm = prev_gradient_norm
                 it.gradient_max_norm = prev_gradient_max_norm
                 strategy.step_rejected(it.relative_decrease)

@@ -1,0 +1,90 @@
+"""Schur ordering: choosing which blocks to eliminate first.
+
+TPU-native analog of the reference's automatic MIS ordering
+(/root/reference/internal/ceres/parameter_block_ordering.cc —
+ComputeStableSchurOrdering, graph_algorithms.h:97-165) and of
+ReorderProgramForSchurTypeLinearSolver (reorder_program.h:76).
+
+Granularity difference by design: the compiled program batches blocks into
+(size, manifold) *families*, so the e-partition is a set of families. A
+family set is independent iff no residual kind has two slots inside it —
+for BA/SLAM this picks exactly the point blocks, matching the reference's
+block-level greedy MIS. Contiguous-chunk reordering is unnecessary here:
+kind-major batching already gives the eliminator unit-stride access.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+
+def eligible_e_sets(program) -> List[int]:
+    """Greedy maximum-tangent-size independent family set.
+
+    Returns family indices to eliminate (possibly empty). Mirrors the
+    greedy MIS of graph_algorithms.h:97: order candidates by eliminated
+    size (descending) and add while independence holds."""
+    families = program.families
+    kinds = program.kinds
+
+    def is_valid(chosen: set) -> bool:
+        for kind in kinds:
+            n = 0
+            for s in kind.slots:
+                fi = _family_index(program, s.family)
+                if fi in chosen:
+                    n += 1
+            if n > 1:
+                return False
+        return True
+
+    # Candidates: families with variable blocks only.
+    order = sorted(
+        (fi for fi, f in enumerate(families) if f.num_var > 0),
+        key=lambda fi: families[fi].num_var * families[fi].tsize,
+        reverse=True,
+    )
+    chosen: set = set()
+    for fi in order:
+        trial = chosen | {fi}
+        if is_valid(trial):
+            chosen = trial
+    # Never eliminate everything: keep at least one f-family so the Schur
+    # system is non-trivial (reference falls back when no e-blocks too).
+    if len(chosen) == sum(1 for f in families if f.num_var > 0):
+        # Drop the smallest family from the eliminated set.
+        if chosen:
+            smallest = min(chosen, key=lambda fi: families[fi].num_var * families[fi].tsize)
+            chosen.discard(smallest)
+    return sorted(chosen)
+
+
+def _family_index(program, family) -> int:
+    for i, f in enumerate(program.families):
+        if f is family:
+            return i
+    raise KeyError
+
+
+def e_set_from_user_ordering(program, ordering: Sequence[Sequence]) -> Optional[List[int]]:
+    """Map a user ParameterBlockOrdering (list of groups of user arrays) to
+    an e-family set: group 0's blocks are eliminated. Requires group 0 to
+    cover whole families (the batched granularity)."""
+    if not ordering or len(ordering) < 2:
+        return None
+    group0 = ordering[0]
+    ids = set()
+    for values in group0:
+        blk = program.problem.parameter_block_for(values)
+        fam, _ = program._block_pos[id(blk)]
+        ids.add(_family_index(program, fam))
+    # check coverage: every variable block of each chosen family in group 0
+    chosen_blocks = {id(program.problem.parameter_block_for(v)) for v in group0}
+    for fi in ids:
+        fam = program.families[fi]
+        for b in fam.blocks[: fam.num_var]:
+            if id(b) not in chosen_blocks:
+                raise ValueError(
+                    "linear_solver_ordering group 0 must cover whole "
+                    "(size, manifold) families in the TPU build"
+                )
+    return sorted(ids)
