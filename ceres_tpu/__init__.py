@@ -48,6 +48,16 @@ from .manifolds import (  # noqa: E402
     SubsetManifold,
 )
 from .callbacks import IterationCallback  # noqa: E402
+from .covariance import Covariance, CovarianceOptions  # noqa: E402
+from .cubic_interpolation import (  # noqa: E402
+    BiCubicInterpolator,
+    CubicInterpolator,
+    Grid1D,
+    Grid2D,
+)
+from .gradient_checker import GradientChecker  # noqa: E402
+from .gradient_problem import GradientProblem, solve_gradient_problem  # noqa: E402
+from .tiny_solver import TinySolver, TinySolverOptions, TinySolverSummary  # noqa: E402
 from .options import Options  # noqa: E402
 from .problem import Problem  # noqa: E402
 from .solver import solve  # noqa: E402

@@ -1,0 +1,214 @@
+"""Tests for the satellite public APIs: Covariance, TinySolver,
+GradientProblem, cubic interpolation, dogleg, line search minimizer
+(SURVEY.md §2 L8 rows)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ceres_tpu as ct
+
+
+# ---------------------------------------------------------------- covariance
+
+
+def _linear_problem():
+    # r = A x - b with known covariance (A'A)^{-1}.
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((10, 3))
+    b = rng.standard_normal(10)
+    x = np.zeros(3)
+    p = ct.Problem()
+    p.add_residual_block(
+        ct.AutoDiffCostFunction(lambda v: jnp.asarray(A) @ v - jnp.asarray(b), 10, [3]),
+        None,
+        [x],
+    )
+    return p, A, x
+
+
+@pytest.mark.parametrize("alg", ["DENSE_SVD", "SPARSE_QR"])
+def test_covariance_linear(alg):
+    p, A, x = _linear_problem()
+    ct.solve(ct.Options(max_num_iterations=20), p)
+    cov = ct.Covariance(
+        ct.CovarianceOptions(algorithm_type=ct.CovarianceAlgorithmType.parse(alg))
+    )
+    assert cov.compute([(x, x)], p)
+    C = cov.get_covariance_block(x, x)
+    np.testing.assert_allclose(C, np.linalg.inv(A.T @ A), rtol=1e-8)
+
+
+def test_covariance_rank_deficient_svd():
+    # Two identical columns: J'J singular; SPARSE_QR must fail, DENSE_SVD
+    # with null_space_rank=1 must succeed (covariance.h semantics).
+    x = np.zeros(2)
+    p = ct.Problem()
+    p.add_residual_block(
+        ct.AutoDiffCostFunction(lambda v: jnp.asarray([v[0] + v[1]]), 1, [2]), None, [x]
+    )
+    qr_cov = ct.Covariance(
+        ct.CovarianceOptions(algorithm_type=ct.CovarianceAlgorithmType.SPARSE_QR)
+    )
+    assert not qr_cov.compute([(x, x)], p)
+    svd_cov = ct.Covariance(
+        ct.CovarianceOptions(
+            algorithm_type=ct.CovarianceAlgorithmType.DENSE_SVD, null_space_rank=1
+        )
+    )
+    assert svd_cov.compute([(x, x)], p)
+    C = svd_cov.get_covariance_block(x, x)
+    assert np.all(np.isfinite(C))
+
+
+def test_covariance_tangent_space_quaternion():
+    q = np.asarray([1.0, 0.0, 0.0, 0.0])
+    p = ct.Problem()
+    p.add_parameter_block(q, manifold=ct.QuaternionManifold())
+    p.add_residual_block(
+        ct.AutoDiffCostFunction(lambda v: v - jnp.asarray([1.0, 0, 0, 0]), 4, [4]),
+        None,
+        [q],
+    )
+    cov = ct.Covariance()
+    assert cov.compute([(q, q)], p)
+    Ct = cov.get_covariance_block(q, q, lift_to_ambient=False)
+    assert Ct.shape == (3, 3)
+    Ca = cov.get_covariance_block(q, q, lift_to_ambient=True)
+    assert Ca.shape == (4, 4)
+
+
+# ---------------------------------------------------------------- tiny solver
+
+
+def test_tiny_solver_single():
+    def residual(x, data):
+        return jnp.stack([10.0 * (x[1] - x[0] ** 2), 1.0 - x[0]])
+
+    ts = ct.TinySolver(residual)
+    x, s = ts.solve(jnp.asarray([-1.2, 1.0]))
+    np.testing.assert_allclose(np.asarray(x), [1.0, 1.0], atol=1e-6)
+    assert float(s.final_cost) < 1e-12
+
+
+def test_tiny_solver_batch():
+    # B independent curve fits in one launch.
+    B = 64
+    rng = np.random.default_rng(1)
+    true_ab = rng.uniform(0.5, 2.0, (B, 2))
+    ts_x = np.linspace(0, 1, 8)
+    ys = true_ab[:, :1] * np.exp(true_ab[:, 1:] * ts_x[None, :])
+
+    def residual(ab, y):
+        return y - ab[0] * jnp.exp(ab[1] * jnp.asarray(ts_x))
+
+    ts = ct.TinySolver(residual)
+    x0 = jnp.ones((B, 2))
+    xs, s = ts.solve_batch(x0, jnp.asarray(ys))
+    np.testing.assert_allclose(np.asarray(xs), true_ab, rtol=1e-4)
+    assert np.all(np.asarray(s.final_cost) < 1e-10)
+
+
+# ------------------------------------------------------------ gradient problem
+
+
+def test_gradient_problem_with_manifold():
+    from ceres_tpu.gradient_problem import GradientProblem, solve_gradient_problem
+
+    # minimize angle between quaternion-rotated vector and target.
+    target = jnp.asarray([0.0, 0.0, 1.0])
+
+    def cost(q):
+        from ceres_tpu import rotation as rot
+
+        v = rot.unit_quaternion_rotate_point(q, jnp.asarray([1.0, 0.0, 0.0]))
+        return jnp.sum((v - target) ** 2)
+
+    q = np.asarray([1.0, 0.0, 0.0, 0.0])
+    gp = GradientProblem(cost, 4, manifold=ct.QuaternionManifold())
+    s = solve_gradient_problem(
+        ct.Options(minimizer_type=ct.MinimizerType.LINE_SEARCH, max_num_iterations=200),
+        gp,
+        q,
+    )
+    assert s.final_cost < 1e-12
+    np.testing.assert_allclose(np.linalg.norm(q), 1.0, atol=1e-9)
+
+
+# --------------------------------------------------------- cubic interpolation
+
+
+def test_cubic_interpolator_reproduces_quadratic():
+    # The Catmull-Rom kernel (as in the reference) reproduces polynomials up
+    # to degree 2 exactly away from boundaries.
+    xs = np.arange(10.0)
+    f = lambda x: 0.5 * x**2 - x + 3.0
+    interp = ct.CubicInterpolator(ct.Grid1D(f(xs)))
+    for x in [2.5, 3.25, 6.75]:
+        np.testing.assert_allclose(float(interp(x)), f(x), rtol=1e-10)
+    # derivative via AD matches analytic
+    g = jax.grad(lambda x: interp(x))(jnp.asarray(4.5))
+    np.testing.assert_allclose(float(g), 4.5 - 1.0, rtol=1e-10)
+
+
+def test_bicubic_interpolator_linear_exact():
+    r, c = np.meshgrid(np.arange(8.0), np.arange(9.0), indexing="ij")
+    vals = 2 * r + 3 * c + 1
+    interp = ct.BiCubicInterpolator(ct.Grid2D(vals))
+    np.testing.assert_allclose(float(interp(3.3, 4.7)), 2 * 3.3 + 3 * 4.7 + 1, rtol=1e-10)
+    gr = jax.grad(lambda r: interp(r, 4.7))(jnp.asarray(3.3))
+    np.testing.assert_allclose(float(gr), 2.0, atol=1e-10)
+
+
+def test_interpolated_cost_function():
+    # cubic_interpolation.h use case: sampled data inside an autodiff cost.
+    xs = np.arange(20.0)
+    data = np.sin(xs / 3.0)
+    interp = ct.CubicInterpolator(ct.Grid1D(data))
+    x = np.asarray([2.0])
+    p = ct.Problem()
+    p.add_residual_block(
+        ct.AutoDiffCostFunction(lambda v: jnp.atleast_1d(interp(v[0]) - 1.0), 1, [1]),
+        None,
+        [x],
+    )
+    s = ct.solve(ct.Options(max_num_iterations=100), p)
+    # sin(x/3)=1 => x = 3*pi/2 ~ 4.712; interpolation error is small
+    assert abs(x[0] - 3 * np.pi / 2) < 0.05
+
+
+# ------------------------------------------------------------------- dogleg
+
+
+@pytest.mark.parametrize("dt", ["TRADITIONAL_DOGLEG", "SUBSPACE_DOGLEG"])
+def test_dogleg_powell(dt):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_solver import make_powell
+
+    p, xs = make_powell()
+    s = ct.solve(
+        ct.Options(
+            trust_region_strategy_type=ct.TrustRegionStrategyType.DOGLEG,
+            dogleg_type=ct.DoglegType.parse(dt),
+            linear_solver_type=ct.LinearSolverType.DENSE_QR,
+            max_num_iterations=100,
+        ),
+        p,
+    )
+    assert s.termination_type == ct.TerminationType.CONVERGENCE
+    assert s.final_cost < 1e-10
+
+
+def test_dogleg_rejects_iterative_solvers():
+    p = ct.Problem()
+    x = np.zeros(2)
+    p.add_residual_block(ct.AutoDiffCostFunction(lambda v: v, 2, [2]), None, [x])
+    s = ct.solve(
+        ct.Options(
+            trust_region_strategy_type=ct.TrustRegionStrategyType.DOGLEG,
+            linear_solver_type=ct.LinearSolverType.CGNR,
+        ),
+        p,
+    )
+    assert s.termination_type == ct.TerminationType.FAILURE
