@@ -1,0 +1,129 @@
+"""Native (C++) host components, built on demand with g++ and bound via
+ctypes — the role pybind11'd vendor libraries play in the reference.
+
+Currently: simplicial sparse Cholesky with RCM ordering
+(sparse_cholesky.cc), replacing the reference's CHOLMOD/Eigen/cuDSS
+backends (sparse_cholesky.cc:46-118 factory).
+"""
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+
+import numpy as np
+
+_DIR = pathlib.Path(__file__).parent
+_SRC = _DIR / "sparse_cholesky.cc"
+_SO = _DIR / "_sparse_cholesky.so"
+
+_lib = None
+
+
+def _build():
+    cmd = [
+        "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+        str(_SRC), "-o", str(_SO),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        _build()
+    lib = ctypes.CDLL(str(_SO))
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.ct_rcm.restype = ctypes.c_int32
+    lib.ct_rcm.argtypes = [ctypes.c_int32, i64p, i32p, i32p]
+    lib.ct_chol_symbolic.restype = ctypes.c_int64
+    lib.ct_chol_symbolic.argtypes = [ctypes.c_int32, i64p, i32p, i64p, i32p]
+    lib.ct_chol_numeric.restype = ctypes.c_int32
+    lib.ct_chol_numeric.argtypes = [
+        ctypes.c_int32, i64p, i32p, f64p, i64p, i32p, i32p, f64p,
+    ]
+    lib.ct_chol_solve.restype = ctypes.c_int32
+    lib.ct_chol_solve.argtypes = [ctypes.c_int32, i64p, i32p, f64p, f64p]
+    lib.ct_chol_solve_multi.restype = ctypes.c_int32
+    lib.ct_chol_solve_multi.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, i64p, i32p, f64p, f64p,
+    ]
+    _lib = lib
+    return lib
+
+
+class SparseCholesky:
+    """Cached-symbolic sparse Cholesky (sparse_cholesky.h:73-112 interface:
+    Factorize-with-reused-symbolic + Solve).
+
+    Input: full symmetric CSR. A fill-reducing RCM permutation is computed
+    once; numeric refactorization reuses the symbolic analysis.
+    """
+
+    def __init__(self, n, indptr, indices, use_ordering: bool = True):
+        lib = get_lib()
+        self.n = int(n)
+        indptr = np.ascontiguousarray(indptr, np.int64)
+        indices = np.ascontiguousarray(indices, np.int32)
+        if use_ordering and self.n > 1:
+            perm = np.zeros(self.n, np.int32)
+            lib.ct_rcm(self.n, indptr, indices, perm)
+        else:
+            perm = np.arange(self.n, dtype=np.int32)
+        self.perm = perm  # perm[new] = old
+        self.iperm = np.argsort(perm).astype(np.int32)
+        # Permute the pattern: A'[iperm[i], iperm[j]] = A[i, j].
+        import scipy.sparse as sp
+
+        nnz = indices.shape[0]
+        # 1-based positions so scipy cannot prune the entry at position 0.
+        A = sp.csr_matrix(
+            (np.arange(1, nnz + 1, dtype=np.int64), indices, indptr),
+            shape=(self.n, self.n),
+        )
+        P = sp.csr_matrix(
+            (np.ones(self.n), (self.iperm, np.arange(self.n))), shape=(self.n, self.n)
+        )
+        Ap_perm = (P @ A @ P.T).tocsr()
+        Ap_perm.sort_indices()
+        self.pindptr = np.ascontiguousarray(Ap_perm.indptr, np.int64)
+        self.pindices = np.ascontiguousarray(Ap_perm.indices, np.int32)
+        # value permutation: position k in permuted values = original position
+        self.value_perm = np.ascontiguousarray(Ap_perm.data, np.int64) - 1
+        # symbolic
+        self.Lp = np.zeros(self.n + 1, np.int64)
+        self.parent = np.zeros(self.n, np.int32)
+        self.nnzL = int(
+            lib.ct_chol_symbolic(self.n, self.pindptr, self.pindices, self.Lp, self.parent)
+        )
+        self.Li = np.zeros(self.nnzL, np.int32)
+        self.Lx = np.zeros(self.nnzL, np.float64)
+        self._lib = lib
+
+    def factorize(self, values) -> bool:
+        """Numeric factorization; returns False if not positive definite."""
+        pv = np.ascontiguousarray(np.asarray(values, np.float64)[self.value_perm])
+        ret = self._lib.ct_chol_numeric(
+            self.n, self.pindptr, self.pindices, pv, self.Lp, self.parent,
+            self.Li, self.Lx,
+        )
+        return ret == 0
+
+    def solve(self, b) -> np.ndarray:
+        x = np.ascontiguousarray(np.asarray(b, np.float64)[self.perm])
+        self._lib.ct_chol_solve(self.n, self.Lp, self.Li, self.Lx, x)
+        return x[self.iperm]
+
+    def solve_multi(self, B) -> np.ndarray:
+        """Solve for columns of B (n, m)."""
+        Bp = np.asfortranarray(np.asarray(B, np.float64)[self.perm, :])
+        flat = np.ascontiguousarray(Bp.T.reshape(-1))
+        self._lib.ct_chol_solve_multi(
+            self.n, B.shape[1], self.Lp, self.Li, self.Lx, flat
+        )
+        out = flat.reshape(B.shape[1], self.n).T
+        return out[self.iperm, :]

@@ -1,0 +1,207 @@
+// Simplicial sparse Cholesky (LL^T) with RCM fill-reducing ordering.
+//
+// Native host-side replacement for the vendor sparse-direct libraries the
+// reference plugs in (/root/reference/internal/ceres/sparse_cholesky.{h,cc}
+// factory over SuiteSparse/CHOLMOD, Eigen SimplicialLDLT, Accelerate,
+// cuDSS). The reference's symbolic phase is host-side there too; here both
+// symbolic and numeric run on host (the TPU tier handles the iterative and
+// Schur paths; SLAM-sized direct solves are host-friendly), exposed to
+// Python via ctypes (ceres_tpu/native/__init__.py).
+//
+// Algorithms: elimination tree + up-looking row-by-row factorization and
+// reverse Cuthill-McKee ordering, implemented from the standard textbook
+// formulations (Davis, "Direct Methods for Sparse Linear Systems").
+//
+// Input matrix: full symmetric CSR (int64 indptr, int32 indices, double
+// values). The factor L is stored CSC (column-compressed), which the
+// up-looking algorithm fills column-by-column as rows complete.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <vector>
+
+extern "C" {
+
+// --------------------------------------------------------------------------
+// Reverse Cuthill-McKee ordering on the symmetric pattern.
+// perm[new] = old. Returns 0 on success.
+// --------------------------------------------------------------------------
+int ct_rcm(int32_t n, const int64_t* Ap, const int32_t* Ai, int32_t* perm) {
+  std::vector<int32_t> degree(n);
+  for (int32_t i = 0; i < n; ++i) degree[i] = int32_t(Ap[i + 1] - Ap[i]);
+  std::vector<char> visited(n, 0);
+  std::vector<int32_t> order;
+  order.reserve(n);
+  std::vector<int32_t> nbrs;
+  for (;;) {
+    // pick unvisited node of minimum degree as the next component's root
+    int32_t root = -1, best = INT32_MAX;
+    for (int32_t i = 0; i < n; ++i) {
+      if (!visited[i] && degree[i] < best) {
+        best = degree[i];
+        root = i;
+      }
+    }
+    if (root < 0) break;
+    // BFS, visiting neighbors in increasing-degree order
+    std::queue<int32_t> q;
+    q.push(root);
+    visited[root] = 1;
+    while (!q.empty()) {
+      int32_t u = q.front();
+      q.pop();
+      order.push_back(u);
+      nbrs.clear();
+      for (int64_t p = Ap[u]; p < Ap[u + 1]; ++p) {
+        int32_t v = Ai[p];
+        if (v >= 0 && v < n && !visited[v]) {
+          visited[v] = 1;
+          nbrs.push_back(v);
+        }
+      }
+      std::sort(nbrs.begin(), nbrs.end(), [&](int32_t a, int32_t b) {
+        return degree[a] < degree[b];
+      });
+      for (int32_t v : nbrs) q.push(v);
+    }
+  }
+  // reverse
+  for (int32_t i = 0; i < n; ++i) perm[i] = order[n - 1 - i];
+  return 0;
+}
+
+// --------------------------------------------------------------------------
+// Elimination tree of the (upper-triangle view of the) symmetric matrix.
+// parent[j] = etree parent or -1.
+// --------------------------------------------------------------------------
+static void etree(int32_t n, const int64_t* Ap, const int32_t* Ai,
+                  int32_t* parent, int32_t* ancestor) {
+  for (int32_t k = 0; k < n; ++k) {
+    parent[k] = -1;
+    ancestor[k] = -1;
+    for (int64_t p = Ap[k]; p < Ap[k + 1]; ++p) {
+      int32_t i = Ai[p];
+      // traverse from i (< k) up to the root of its current subtree
+      while (i != -1 && i < k) {
+        int32_t inext = ancestor[i];
+        ancestor[i] = k;  // path compression
+        if (inext == -1) parent[i] = k;
+        i = inext;
+      }
+    }
+  }
+}
+
+// ereach: nonzero pattern of row k of L, topologically ordered (deepest
+// first in s[top..n-1]). Returns top.
+static int32_t ereach(int32_t n, const int64_t* Ap, const int32_t* Ai,
+                      int32_t k, const int32_t* parent, int32_t* s,
+                      int32_t* w /* mark workspace */) {
+  int32_t top = n;
+  w[k] = k;  // mark k
+  for (int64_t p = Ap[k]; p < Ap[k + 1]; ++p) {
+    int32_t i = Ai[p];
+    if (i > k) continue;  // use upper triangle (i <= k)
+    int32_t len = 0;
+    while (w[i] != k) {  // climb until hitting marked part
+      s[len++] = i;
+      w[i] = k;
+      i = parent[i];
+    }
+    while (len > 0) s[--top] = s[--len];
+  }
+  return top;
+}
+
+// --------------------------------------------------------------------------
+// Symbolic: column counts of L (excluding? including diagonal) via ereach.
+// Lp must have n+1 slots. Returns nnz(L).
+// --------------------------------------------------------------------------
+int64_t ct_chol_symbolic(int32_t n, const int64_t* Ap, const int32_t* Ai,
+                         int64_t* Lp, int32_t* parent) {
+  std::vector<int32_t> ancestor(n), w(n, -1), s(n);
+  etree(n, Ap, Ai, parent, ancestor.data());
+  std::vector<int64_t> count(n, 1);  // diagonal
+  for (int32_t k = 0; k < n; ++k) {
+    int32_t top = ereach(n, Ap, Ai, k, parent, s.data(), w.data());
+    for (int32_t t = top; t < n; ++t) count[s[t]]++;  // L(k, j) in column j
+  }
+  Lp[0] = 0;
+  for (int32_t j = 0; j < n; ++j) Lp[j + 1] = Lp[j] + count[j];
+  return Lp[n];
+}
+
+// --------------------------------------------------------------------------
+// Numeric up-looking LL^T. Fills Li (int32, nnz) and Lx (double, nnz).
+// Column j's entries are ordered: diagonal first, then rows in increasing
+// order of completion (rows k > j as they are processed).
+// Returns 0 on success, -(k+1) if the matrix is not positive definite at
+// row k.
+// --------------------------------------------------------------------------
+int32_t ct_chol_numeric(int32_t n, const int64_t* Ap, const int32_t* Ai,
+                        const double* Ax, const int64_t* Lp,
+                        const int32_t* parent, int32_t* Li, double* Lx) {
+  std::vector<int32_t> w(n, -1), s(n);
+  std::vector<int64_t> cursor(n);  // next free slot in column j (after diag)
+  std::vector<double> x(n, 0.0);
+  for (int32_t j = 0; j < n; ++j) cursor[j] = Lp[j] + 1;
+  for (int32_t k = 0; k < n; ++k) {
+    // scatter A(0:k, k) into x; diagonal into d
+    double d = 0.0;
+    int32_t top = ereach(n, Ap, Ai, k, parent, s.data(), w.data());
+    for (int64_t p = Ap[k]; p < Ap[k + 1]; ++p) {
+      int32_t i = Ai[p];
+      if (i < k)
+        x[i] = Ax[p];
+      else if (i == k)
+        d = Ax[p];
+    }
+    // eliminate along the topological pattern
+    for (int32_t t = top; t < n; ++t) {
+      int32_t j = s[t];
+      double lkj = x[j] / Lx[Lp[j]];  // divide by L(j,j)
+      x[j] = 0.0;
+      for (int64_t p = Lp[j] + 1; p < cursor[j]; ++p) x[Li[p]] -= Lx[p] * lkj;
+      d -= lkj * lkj;
+      int64_t c = cursor[j]++;
+      Li[c] = k;
+      Lx[c] = lkj;
+    }
+    if (d <= 0.0 || !std::isfinite(d)) return -(k + 1);
+    Li[Lp[k]] = k;
+    Lx[Lp[k]] = std::sqrt(d);
+  }
+  return 0;
+}
+
+// --------------------------------------------------------------------------
+// Solve L L^T x = b in place (CSC L as produced above).
+// --------------------------------------------------------------------------
+int32_t ct_chol_solve(int32_t n, const int64_t* Lp, const int32_t* Li,
+                      const double* Lx, double* b) {
+  // forward: L y = b
+  for (int32_t j = 0; j < n; ++j) {
+    b[j] /= Lx[Lp[j]];
+    double bj = b[j];
+    for (int64_t p = Lp[j] + 1; p < Lp[j + 1]; ++p) b[Li[p]] -= Lx[p] * bj;
+  }
+  // backward: L^T x = y
+  for (int32_t j = n - 1; j >= 0; --j) {
+    double sum = b[j];
+    for (int64_t p = Lp[j] + 1; p < Lp[j + 1]; ++p) sum -= Lx[p] * b[Li[p]];
+    b[j] = sum / Lx[Lp[j]];
+  }
+  return 0;
+}
+
+// Batched solve for multiple right-hand sides (column-major B, n x m).
+int32_t ct_chol_solve_multi(int32_t n, int32_t m, const int64_t* Lp,
+                            const int32_t* Li, const double* Lx, double* B) {
+  for (int32_t c = 0; c < m; ++c) ct_chol_solve(n, Lp, Li, Lx, B + (int64_t)c * n);
+  return 0;
+}
+
+}  // extern "C"

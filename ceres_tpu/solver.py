@@ -72,9 +72,7 @@ def _pick_linear_solver(options: Options, program: CompiledProgram, summary: Sum
             return ("bsr", None), used
 
     if used == LinearSolverType.SPARSE_NORMAL_CHOLESKY:
-        # Until the block-sparse direct tier is wired into the minimizer
-        # kernels, this solves through the dense normal equations path.
-        used = LinearSolverType.DENSE_NORMAL_CHOLESKY
+        return ("bsr_sparse", None), used
 
     if used == LinearSolverType.DENSE_QR:
         kernel = dense_mod.qr_solve
@@ -209,6 +207,12 @@ def solve(options: Options, problem: Problem, summary: Optional[Summary] = None)
         from .solvers.bsr_kernels import BlockTrustRegionKernels
 
         kernels = BlockTrustRegionKernels(program, options)
+    elif tier == "bsr_sparse":
+        from .solvers.bsr_kernels import BlockTrustRegionKernels
+
+        kernels = BlockTrustRegionKernels(
+            program, options, step_solver="SPARSE_NORMAL_CHOLESKY"
+        )
     elif tier == "schur_dense":
         from .solvers.bsr_kernels import BlockTrustRegionKernels
 

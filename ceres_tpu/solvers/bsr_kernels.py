@@ -114,6 +114,29 @@ class BlockTrustRegionKernels:
                 )
                 return step, step * scale, model_cost_change, res.num_iterations
 
+        elif step_solver == "SPARSE_NORMAL_CHOLESKY":
+            from .linear.sparse_normal import SparseNormalCholeskySolver
+
+            snc = SparseNormalCholeskySolver(meta)
+            self.sparse_solver = snc
+            scale_fn = jax.jit(lambda values, scale: bsr.scale_columns(meta, values, scale))
+
+            @jax.jit
+            def _mcc(vs, step, residuals):
+                model_residuals = bsr.right_multiply(meta, vs, step)
+                return -jnp.dot(model_residuals, residuals + model_residuals / 2.0)
+
+            def compute_step(values, residuals, scale, diagonal, radius):
+                vs = scale_fn(values, scale)
+                D = jnp.sqrt(diagonal / radius)
+                y, term = snc.solve(vs, residuals, D)
+                if y is None:
+                    nan = jnp.full((meta.tangent_size,), jnp.nan)
+                    return nan, nan, jnp.asarray(jnp.nan), jnp.asarray(1, jnp.int32)
+                step = -y
+                mcc = _mcc(vs, step, residuals)
+                return step, step * scale, mcc, jnp.asarray(1, jnp.int32)
+
         else:
 
             @jax.jit

@@ -1,0 +1,118 @@
+"""Native sparse Cholesky + inner-product computer tests (the reference's
+sparse_cholesky_test.cc / inner_product_computer_test.cc pattern: compare
+against dense computations on random problems)."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import ceres_tpu as ct
+from ceres_tpu.native import SparseCholesky
+from ceres_tpu.ops import bsr
+from ceres_tpu.ops.inner_product import InnerProductComputer
+from ceres_tpu.program import CompiledProgram
+
+
+def random_spd(n, density_extra=40, seed=0):
+    rng = np.random.default_rng(seed)
+    A = sp.diags(
+        [10.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)], [0, -1, 1]
+    ).tolil()
+    for _ in range(density_extra):
+        i, j = rng.integers(0, n, 2)
+        if i != j:
+            A[i, j] = A[j, i] = -0.5
+    A = A.tocsr()
+    A.sort_indices()
+    return A
+
+
+@pytest.mark.parametrize("use_ordering", [False, True])
+def test_cholesky_solve_matches_dense(use_ordering):
+    n = 200
+    A = random_spd(n, seed=1)
+    chol = SparseCholesky(n, A.indptr, A.indices, use_ordering=use_ordering)
+    assert chol.factorize(A.data)
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal(n)
+    x = chol.solve(b)
+    np.testing.assert_allclose(A @ x, b, atol=1e-10)
+
+
+def test_cholesky_refactorize_reuses_symbolic():
+    n = 100
+    A = random_spd(n, seed=3)
+    chol = SparseCholesky(n, A.indptr, A.indices)
+    assert chol.factorize(A.data)
+    A2 = A.copy()
+    A2.data = A2.data * 2.0
+    assert chol.factorize(A2.data)
+    b = np.ones(n)
+    np.testing.assert_allclose(A2 @ chol.solve(b), b, atol=1e-10)
+
+
+def test_cholesky_detects_indefinite():
+    n = 50
+    A = random_spd(n, seed=4).tolil()
+    A[0, 0] = -1.0
+    A = A.tocsr()
+    A.sort_indices()
+    chol = SparseCholesky(n, A.indptr, A.indices)
+    assert not chol.factorize(A.data)
+
+
+def test_rcm_reduces_fill_on_arrow_matrix():
+    # Arrow matrix: natural order produces dense fill; RCM avoids it.
+    n = 60
+    A = sp.lil_matrix((n, n))
+    A[0, :] = 1.0
+    A[:, 0] = 1.0
+    A.setdiag(10.0)
+    A = A.tocsr()
+    A.sort_indices()
+    с_natural = SparseCholesky(n, A.indptr, A.indices, use_ordering=False)
+    c_rcm = SparseCholesky(n, A.indptr, A.indices, use_ordering=True)
+    assert c_rcm.nnzL < с_natural.nnzL
+
+
+def test_inner_product_computer_matches_dense():
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_bsr import make_ba_like_problem
+
+    p, _, _ = make_ba_like_problem(seed=13)
+    prog = CompiledProgram(p)
+    x = prog.initial_state()
+    _, res, _, values = prog.evaluate_bsr(x)
+    meta = bsr.build_meta(prog)
+    J = np.asarray(bsr.to_dense(meta, values))
+    ipc = InnerProductComputer(meta)
+    D = np.random.default_rng(5).uniform(0.5, 1.5, prog.tangent_size)
+    vals = np.asarray(ipc.compute(values, D))
+    JtJ = sp.csr_matrix((vals, ipc.indices, ipc.indptr), shape=(ipc.n, ipc.n))
+    np.testing.assert_allclose(JtJ.toarray(), J.T @ J + np.diag(D * D), atol=1e-10)
+
+
+def test_sparse_normal_cholesky_end_to_end():
+    from ceres_tpu.models import pose_graph as pg
+
+    def make():
+        poses, cons, _ = pg.synthetic_2d(num_poses=50, loop_closures=8, noise=0.02, seed=7)
+        return pg.build_problem_2d(poses, cons)[0]
+
+    s_sparse = ct.solve(
+        ct.Options(
+            linear_solver_type=ct.LinearSolverType.SPARSE_NORMAL_CHOLESKY,
+            max_num_iterations=100,
+        ),
+        make(),
+    )
+    s_dense = ct.solve(
+        ct.Options(linear_solver_type=ct.LinearSolverType.DENSE_QR, max_num_iterations=100),
+        make(),
+    )
+    assert s_sparse.linear_solver_type_used == ct.LinearSolverType.SPARSE_NORMAL_CHOLESKY
+    assert s_sparse.termination_type == ct.TerminationType.CONVERGENCE
+    assert abs(s_sparse.final_cost - s_dense.final_cost) < 1e-10 * max(
+        1.0, s_dense.final_cost
+    )
