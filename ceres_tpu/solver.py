@@ -56,10 +56,8 @@ def _pick_linear_solver(options: Options, program: CompiledProgram, summary: Sum
             )
             if given == LinearSolverType.ITERATIVE_SCHUR:
                 return ("schur_iterative", e_fams), given
-            # SPARSE_SCHUR solves through the dense reduced system until the
-            # block-sparse Cholesky tier lands; the reduced camera system is
-            # small in both regimes.
-            used = LinearSolverType.DENSE_SCHUR
+            if given == LinearSolverType.SPARSE_SCHUR:
+                return ("schur_sparse", e_fams), given
             return ("schur_dense", e_fams), used
         # No e-blocks: LinearSolverForZeroEBlocks fallback policy
         # (trust_region_preprocessor.cc:79).
@@ -218,6 +216,12 @@ def solve(options: Options, problem: Problem, summary: Optional[Summary] = None)
 
         kernels = BlockTrustRegionKernels(
             program, options, step_solver="DENSE_SCHUR", e_families=kernel
+        )
+    elif tier == "schur_sparse":
+        from .solvers.bsr_kernels import BlockTrustRegionKernels
+
+        kernels = BlockTrustRegionKernels(
+            program, options, step_solver="SPARSE_SCHUR", e_families=kernel
         )
     elif tier == "schur_iterative":
         from .solvers.bsr_kernels import BlockTrustRegionKernels

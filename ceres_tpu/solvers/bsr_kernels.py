@@ -32,7 +32,7 @@ class BlockTrustRegionKernels:
         self.meta = meta
         prog = program
         pm = None
-        if step_solver in ("DENSE_SCHUR", "ITERATIVE_SCHUR"):
+        if step_solver in ("DENSE_SCHUR", "ITERATIVE_SCHUR", "SPARSE_SCHUR"):
             from ..ops import partition as pt_mod
 
             pm = pt_mod.build_partition(meta, e_families)
@@ -113,6 +113,29 @@ class BlockTrustRegionKernels:
                     model_residuals, residuals + model_residuals / 2.0
                 )
                 return step, step * scale, model_cost_change, res.num_iterations
+
+        elif step_solver == "SPARSE_SCHUR":
+            from .linear.sparse_schur import SparseSchurSolver
+
+            sss = SparseSchurSolver(pm)
+            self.sparse_schur = sss
+            scale_fn = jax.jit(lambda values, scale: bsr.scale_columns(meta, values, scale))
+
+            @jax.jit
+            def _mcc2(vs, step, residuals):
+                model_residuals = bsr.right_multiply(meta, vs, step)
+                return -jnp.dot(model_residuals, residuals + model_residuals / 2.0)
+
+            def compute_step(values, residuals, scale, diagonal, radius):
+                vs = scale_fn(values, scale)
+                D = jnp.sqrt(diagonal / radius)
+                y, term = sss.solve(vs, residuals, D)
+                if y is None:
+                    nan = jnp.full((meta.tangent_size,), jnp.nan)
+                    return nan, nan, jnp.asarray(jnp.nan), jnp.asarray(1, jnp.int32)
+                step = -y
+                mcc = _mcc2(vs, step, residuals)
+                return step, step * scale, mcc, jnp.asarray(1, jnp.int32)
 
         elif step_solver == "SPARSE_NORMAL_CHOLESKY":
             from .linear.sparse_normal import SparseNormalCholeskySolver

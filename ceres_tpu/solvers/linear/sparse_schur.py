@@ -1,0 +1,211 @@
+"""SPARSE_SCHUR: explicit block-sparse Schur complement + native Cholesky.
+
+TPU-native re-design of the reference's SPARSE_SCHUR path
+(/root/reference/internal/ceres/schur_complement_solver.cc:292 — eliminator
+writing into a BlockRandomAccessSparseMatrix with per-cell locks, then
+SparseCholesky). Here the eliminator's chunk loop becomes:
+
+  symbolic (host, once): group observations by e-block; enumerate camera
+  pairs per point (the chunk outer products); compute unique CSR positions
+  for every contribution — the analog of the eliminator's Init
+  (schur_eliminator_impl.h:87) plus the random-access matrix layout;
+
+  numeric (device, per iteration): batched einsums over observation pairs
+  gathered per bucket + ONE deterministic scatter-add into the flat CSR
+  values of S — no locks, fully on the MXU;
+
+  factorization: native simplicial Cholesky (ceres_tpu/native) on the
+  reduced camera system, symbolic cached across iterations.
+
+    S = F'F + D_f^2 - W' (E'E + D_e^2)^{-1} W,  W = E'F.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops import bsr, partition as pt
+from ...types import LinearSolverTerminationType
+
+
+class SparseSchurSolver:
+    def __init__(self, pm: pt.PartitionedMeta):
+        self.pm = pm
+        meta = pm.base
+        self._build_symbolic()
+        from ...native import SparseCholesky
+
+        self.chol = SparseCholesky(pm.f_size, self.indptr, self.indices)
+        self._numeric = jax.jit(self._numeric_impl)
+
+    # ------------------------------------------------------------- symbolic
+
+    def _build_symbolic(self):
+        pm = self.pm
+        meta = pm.base
+        # Collect observations: (kind, f_slot, obs_index, e_block_id,
+        # e_slot) for kinds with an e-slot; f-only kinds contribute only to
+        # the F'F part.
+        obs_per_point = {}
+        self._ftf_pairs = []  # (k, s1, s2) same-residual f-slot pairs
+        self._corr_buckets = []  # (k1,s1,e1,k2,s2,e2, idx_a, idx_b, eb)
+        per_kind_e = {}
+        for k, kind in enumerate(meta.kinds):
+            e_slot = None
+            for s, slot in enumerate(kind.slots):
+                if pm.e_bid_keys[k][s] >= 0 and slot.any_variable:
+                    e_slot = s
+            per_kind_e[k] = e_slot
+            f_slots = [
+                s
+                for s, slot in enumerate(kind.slots)
+                if pm.f_idx_keys[k][s] >= 0 and slot.any_variable
+            ]
+            for s1 in f_slots:
+                for s2 in f_slots:
+                    self._ftf_pairs.append((k, s1, s2))
+            if e_slot is None:
+                continue
+            ebids = meta.arrays[pm.e_bid_keys[k][e_slot]]
+            for b in range(kind.B):
+                eb = int(ebids[b])
+                if eb >= self._num_e_blocks():
+                    continue  # constant e-block
+                for s in f_slots:
+                    obs_per_point.setdefault(eb, []).append((k, s, b))
+
+        # Pair enumeration per point -> buckets keyed by (k1,s1,k2,s2).
+        buckets = {}
+        for eb, obs in obs_per_point.items():
+            for (k1, s1, b1) in obs:
+                for (k2, s2, b2) in obs:
+                    key = (k1, s1, k2, s2)
+                    buckets.setdefault(key, ([], [], []))
+                    buckets[key][0].append(b1)
+                    buckets[key][1].append(b2)
+                    buckets[key][2].append(eb)
+        self._pair_buckets = {
+            key: (
+                np.asarray(a, np.int32),
+                np.asarray(b, np.int32),
+                np.asarray(e, np.int32),
+            )
+            for key, (a, b, e) in buckets.items()
+        }
+        self._e_slot_of_kind = per_kind_e
+
+        # CSR pattern of S from all contributions.
+        F = pm.f_size
+        entry_rows, entry_cols, chunk_meta = [], [], []
+        for (k, s1, s2) in self._ftf_pairs:
+            i1 = meta.arrays[pm.f_idx_keys[k][s1]]
+            i2 = meta.arrays[pm.f_idx_keys[k][s2]]
+            B, t1 = i1.shape
+            t2 = i2.shape[1]
+            entry_rows.append(np.broadcast_to(i1[:, :, None], (B, t1, t2)).reshape(-1))
+            entry_cols.append(np.broadcast_to(i2[:, None, :], (B, t1, t2)).reshape(-1))
+        for (k1, s1, k2, s2), (ia, ib, eb) in self._pair_buckets.items():
+            i1 = meta.arrays[pm.f_idx_keys[k1][s1]][ia]
+            i2 = meta.arrays[pm.f_idx_keys[k2][s2]][ib]
+            P, t1 = i1.shape
+            t2 = i2.shape[1]
+            entry_rows.append(np.broadcast_to(i1[:, :, None], (P, t1, t2)).reshape(-1))
+            entry_cols.append(np.broadcast_to(i2[:, None, :], (P, t1, t2)).reshape(-1))
+        rows = np.concatenate(entry_rows).astype(np.int64)
+        cols = np.concatenate(entry_cols).astype(np.int64)
+        valid = (rows < F) & (cols < F)
+        key = np.where(valid, rows * F + cols, np.int64(F) * F)
+        uniq, inv = np.unique(key, return_inverse=True)
+        has_pad = uniq.size > 0 and uniq[-1] == np.int64(F) * F
+        self.nnz = int(uniq.size - (1 if has_pad else 0))
+        self._positions = np.where(inv < self.nnz, inv, self.nnz).astype(np.int32)
+        u = uniq[: self.nnz]
+        csr_rows = (u // F).astype(np.int32)
+        self.indices = (u % F).astype(np.int32)
+        self.indptr = np.zeros(F + 1, np.int64)
+        np.add.at(self.indptr, csr_rows + 1, 1)
+        self.indptr = np.cumsum(self.indptr)
+        self.diag_positions = np.searchsorted(
+            u, np.arange(F, dtype=np.int64) * F + np.arange(F)
+        )
+
+    def _num_e_blocks(self):
+        return sum(nv for (_, nv, _, _) in self.pm.e_fams)
+
+    # -------------------------------------------------------------- numeric
+
+    def _minv_blocks(self, values, D_e):
+        """Batched (E'E + D_e^2)^{-1} blocks per e-family, with sentinel."""
+        pm = self.pm
+        blocks = pt.block_diag_ete(pm, values, D_e)
+        out = []
+        for (off, nv, t, _), blk in zip(pm.e_fams, blocks):
+            eye = jnp.broadcast_to(jnp.eye(t), (nv, t, t))
+            L = jnp.linalg.cholesky(blk)
+            minv = jax.vmap(lambda Li, I: jax.scipy.linalg.cho_solve((Li, True), I))(
+                L, eye
+            )
+            out.append(minv)
+        # single global array indexed by global e-block id (assumes uniform
+        # t across e-families or uses per-family lookup)
+        return out
+
+    def _numeric_impl(self, values, D_e, D_f):
+        pm = self.pm
+        meta = pm.base
+        minv_per_fam = self._minv_blocks(values, D_e)
+        # Build one lookup per e-family: (nv+1, t, t) with sentinel zeros.
+        minv_padded = [
+            jnp.concatenate([m, jnp.zeros((1, m.shape[1], m.shape[2]))], axis=0)
+            for m in minv_per_fam
+        ]
+
+        chunks = []
+        for (k, s1, s2) in self._ftf_pairs:
+            V1 = values[k][s1]
+            V2 = values[k][s2]
+            chunks.append(jnp.einsum("brc,brd->bcd", V1, V2).reshape(-1))
+        for (k1, s1, k2, s2), (ia, ib, eb) in self._pair_buckets.items():
+            e1 = self._e_slot_of_kind[k1]
+            e2 = self._e_slot_of_kind[k2]
+            Je_a = jnp.take(values[k1][e1], jnp.asarray(ia), axis=0)
+            Jf_a = jnp.take(values[k1][s1], jnp.asarray(ia), axis=0)
+            Je_b = jnp.take(values[k2][e2], jnp.asarray(ib), axis=0)
+            Jf_b = jnp.take(values[k2][s2], jnp.asarray(ib), axis=0)
+            # locate family + local id of each point
+            efi = pm.e_family_indices.index(meta.kinds[k1].slots[e1].family_index)
+            _, nv, te, bid_off = pm.e_fams[efi]
+            local = jnp.clip(jnp.asarray(eb) - bid_off, 0, nv)
+            Minv = jnp.take(minv_padded[efi], local, axis=0)
+            Wa = jnp.einsum("pre,prf->pef", Je_a, Jf_a)
+            Wb = jnp.einsum("pre,prf->pef", Je_b, Jf_b)
+            corr = jnp.einsum("pef,peh,phg->pfg", Wa, Minv, Wb)
+            chunks.append((-corr).reshape(-1))
+        flat = jnp.concatenate(chunks)
+        out = jnp.zeros((self.nnz + 1,), flat.dtype)
+        out = out.at[jnp.asarray(self._positions)].add(flat)
+        out = out[: self.nnz]
+        out = out.at[jnp.asarray(self.diag_positions)].add(D_f * D_f)
+        return out
+
+    def solve(self, values, b, D):
+        """Full SPARSE_SCHUR step. Returns (y_global, termination)."""
+        from .implicit_schur import build_schur_system, back_substitute
+
+        pm = self.pm
+        D_e = pt.extract_e(pm, D)
+        D_f = pt.extract_f(pm, D)
+        svals = np.asarray(self._numeric(values, D_e, D_f))
+        sys = build_schur_system(pm, values, b, D_e)
+        rhs = np.asarray(sys.rhs)
+        if not self.chol.factorize(svals):
+            return None, LinearSolverTerminationType.FAILURE
+        z = self.chol.solve(rhs)
+        if not np.all(np.isfinite(z)):
+            return None, LinearSolverTerminationType.FAILURE
+        z = jnp.asarray(z)
+        y = back_substitute(pm, values, sys, z)
+        return pt.combine(pm, y, z), LinearSolverTerminationType.SUCCESS
