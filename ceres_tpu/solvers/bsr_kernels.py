@@ -17,6 +17,48 @@ from ..options import Options
 from .linear.cgnr import cgnr_solve
 
 
+def _build_cluster(pm, options: Options, tridiagonal: bool):
+    """Visibility clustering of the f-blocks (cameras) + the batched block
+    assembler (visibility_based_preconditioner.cc:127-322)."""
+    import numpy as np
+
+    from ..utils import clustering
+    from .linear.preconditioners import ClusterBlockAssembler, ClusterStructure
+
+    meta = pm.base
+    pts, cams = [], []
+    num_f = sum(nv for (_, nv, _, _) in pm.f_fams)
+    num_e = sum(nv for (_, nv, _, _) in pm.e_fams)
+    for k, kind in enumerate(meta.kinds):
+        e_slot = None
+        for s, slot in enumerate(kind.slots):
+            if pm.e_bid_keys[k][s] >= 0 and slot.any_variable:
+                e_slot = s
+        if e_slot is None:
+            continue
+        eb = meta.arrays[pm.e_bid_keys[k][e_slot]]
+        for s, slot in enumerate(kind.slots):
+            if pm.f_bid_keys[k][s] < 0 or not slot.any_variable:
+                continue
+            fb = meta.arrays[pm.f_bid_keys[k][s]]
+            ok = (eb < num_e) & (fb < num_f)
+            pts.append(eb[ok])
+            cams.append(fb[ok])
+    point_ids = np.concatenate(pts) if pts else np.zeros(0, np.int32)
+    camera_ids = np.concatenate(cams) if cams else np.zeros(0, np.int32)
+    edges = clustering.compute_visibility_graph(point_ids, camera_ids, num_f)
+    if options.visibility_clustering_type.name == "SINGLE_LINKAGE":
+        membership = clustering.single_linkage_clustering(num_f, edges)
+    else:
+        membership = clustering.canonical_views_clustering(num_f, edges)
+    forest = None
+    if tridiagonal:
+        forest = clustering.maximum_spanning_forest_degree2(num_f, edges, membership)
+    cs = ClusterStructure(pm, membership, forest)
+    assembler = ClusterBlockAssembler(pm, cs)
+    return cs, assembler
+
+
 class BlockTrustRegionKernels:
     """Same interface as DenseTrustRegionKernels; `jacobian` is the values
     pytree (list per kind of list per slot of (B, r, t)).
@@ -86,12 +128,15 @@ class BlockTrustRegionKernels:
         elif step_solver == "ITERATIVE_SCHUR":
             from .linear.implicit_schur import iterative_schur_solve
 
-            isc_precond = (
-                "SCHUR_JACOBI"
-                if options.preconditioner_type.name
-                in ("JACOBI", "SCHUR_JACOBI", "CLUSTER_JACOBI", "CLUSTER_TRIDIAGONAL")
-                else "IDENTITY"
-            )
+            pname = options.preconditioner_type.name
+            if pname == "JACOBI":
+                pname = "SCHUR_JACOBI"  # ISC's JACOBI acts as block-diag(S)
+            cluster_structure = None
+            cluster_assembler = None
+            if pname in ("CLUSTER_JACOBI", "CLUSTER_TRIDIAGONAL"):
+                cluster_structure, cluster_assembler = _build_cluster(
+                    pm, options, tridiagonal=(pname == "CLUSTER_TRIDIAGONAL")
+                )
 
             @jax.jit
             def compute_step(values, residuals, scale, diagonal, radius):
@@ -105,7 +150,12 @@ class BlockTrustRegionKernels:
                     q_tolerance=eta,
                     max_num_iterations=max_li,
                     min_num_iterations=min_li,
-                    preconditioner=isc_precond,
+                    preconditioner=pname,
+                    spse_terms=options.max_num_spse_iterations,
+                    cluster_assembler=cluster_assembler,
+                    cluster_structure=cluster_structure,
+                    use_spse_initialization=options.use_spse_initialization,
+                    spse_init_terms=options.max_num_spse_iterations,
                 )
                 step = -y
                 model_residuals = bsr.right_multiply(meta, vs, step)
@@ -159,6 +209,69 @@ class BlockTrustRegionKernels:
                 step = -y
                 mcc = _mcc(vs, step, residuals)
                 return step, step * scale, mcc, jnp.asarray(1, jnp.int32)
+
+        elif (
+            step_solver == "CGNR"
+            and options.preconditioner_type.name == "SUBSET"
+            and options.residual_blocks_for_subset_preconditioner
+        ):
+            # SUBSET preconditioner (subset_preconditioner.h:70): host CG
+            # with device SpMV and native-Cholesky preconditioner applies.
+            from .linear.cg import conjugate_gradients_host
+            from .linear.preconditioners import SubsetPreconditioner
+
+            subset_ids = set(options.residual_blocks_for_subset_preconditioner)
+            masks = []
+            for kind in prog.kinds:
+                masks.append(
+                    jnp.asarray(
+                        [1.0 if rb.rb_id in subset_ids else 0.0 for rb in kind.rbs]
+                    )
+                )
+            subset = SubsetPreconditioner(meta, [True] * len(meta.kinds))
+            self.subset_preconditioner = subset
+            scale_fn = jax.jit(lambda values, scale: bsr.scale_columns(meta, values, scale))
+
+            @jax.jit
+            def _masked(vs):
+                return [
+                    [V * masks[k][:, None, None] for V in slots]
+                    for k, slots in enumerate(vs)
+                ]
+
+            @jax.jit
+            def _rhs(vs, residuals):
+                return bsr.left_multiply(meta, vs, residuals)
+
+            @jax.jit
+            def _mcc3(vs, step, residuals):
+                mr = bsr.right_multiply(meta, vs, step)
+                return -jnp.dot(mr, residuals + mr / 2.0)
+
+            def compute_step(values, residuals, scale, diagonal, radius):
+                vs = scale_fn(values, scale)
+                D = jnp.sqrt(diagonal / radius)
+                subset.update(_masked(vs), D)
+
+                @jax.jit
+                def lhs(x):
+                    jx = bsr.right_multiply(meta, vs, x)
+                    return bsr.left_multiply(meta, vs, jx) + (D * D) * x
+
+                rhs = _rhs(vs, residuals)
+                res = conjugate_gradients_host(
+                    lhs,
+                    rhs,
+                    jnp.zeros_like(rhs),
+                    subset.apply,
+                    max_num_iterations=max_li,
+                    min_num_iterations=min_li,
+                    q_tolerance=eta,
+                    r_tolerance=-1.0,
+                )
+                step = -res.x
+                mcc = _mcc3(vs, step, residuals)
+                return step, step * scale, mcc, res.num_iterations
 
         else:
 

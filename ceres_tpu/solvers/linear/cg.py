@@ -34,6 +34,86 @@ class CGResult(NamedTuple):
     final_norm_r: jax.Array
 
 
+def conjugate_gradients_host(
+    lhs: Callable,
+    rhs,
+    x0,
+    preconditioner: Optional[Callable] = None,
+    *,
+    min_num_iterations: int = 0,
+    max_num_iterations: int = 100,
+    residual_reset_period: int = 10,
+    r_tolerance: float = -1.0,
+    q_tolerance: float = -1.0,
+):
+    """Host-driven variant of `conjugate_gradients` (same semantics) for
+    preconditioners applied outside jit (e.g. the SUBSET preconditioner's
+    native sparse triangular solves). lhs may still be a jitted device fn.
+    """
+    import numpy as np
+
+    if preconditioner is None:
+        preconditioner = lambda v: v
+    rhs = np.asarray(rhs)
+    x = np.asarray(x0, dtype=np.float64).copy()
+    norm_rhs = float(np.linalg.norm(rhs))
+    if norm_rhs == 0.0:
+        return CGResult(jnp.asarray(x * 0.0), jnp.asarray(0), jnp.asarray(CG_SUCCESS), jnp.asarray(0.0))
+    tol_r = r_tolerance * norm_rhs
+    r = rhs - np.asarray(lhs(jnp.asarray(x)))
+    norm_r = float(np.linalg.norm(r))
+    if min_num_iterations == 0 and norm_r <= tol_r:
+        return CGResult(jnp.asarray(x), jnp.asarray(0), jnp.asarray(CG_SUCCESS), jnp.asarray(norm_r))
+    rho = 1.0
+    Q0 = -float(x @ (rhs + r))
+    p = np.zeros_like(x)
+    term = CG_NO_CONVERGENCE
+    it = 0
+    while True:
+        it += 1
+        z = np.asarray(preconditioner(r))
+        last_rho = rho
+        rho = float(r @ z)
+        if rho == 0.0 or np.isinf(rho):
+            term = CG_FAILURE
+            break
+        if it == 1:
+            p = z.copy()
+        else:
+            beta = rho / last_rho
+            if beta == 0.0 or np.isinf(beta):
+                term = CG_FAILURE
+                break
+            p = z + beta * p
+        q = np.asarray(lhs(jnp.asarray(p)))
+        pq = float(p @ q)
+        if pq <= 0 or np.isinf(pq):
+            term = CG_NO_CONVERGENCE
+            break
+        alpha = rho / pq
+        if np.isinf(alpha):
+            term = CG_FAILURE
+            break
+        x = x + alpha * p
+        if it % residual_reset_period == 0:
+            r = rhs - np.asarray(lhs(jnp.asarray(x)))
+        else:
+            r = r - alpha * q
+        Q1 = -float(x @ (rhs + r))
+        zeta = it * (Q1 - Q0) / Q1 if Q1 != 0 else 0.0
+        if zeta < q_tolerance and it >= min_num_iterations:
+            term = CG_SUCCESS
+            break
+        Q0 = Q1
+        norm_r = float(np.linalg.norm(r))
+        if norm_r <= tol_r and it >= min_num_iterations:
+            term = CG_SUCCESS
+            break
+        if it >= max_num_iterations:
+            break
+    return CGResult(jnp.asarray(x), jnp.asarray(it), jnp.asarray(term), jnp.asarray(norm_r))
+
+
 def conjugate_gradients(
     lhs: Callable,
     rhs: jax.Array,

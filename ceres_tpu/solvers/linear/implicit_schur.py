@@ -143,8 +143,15 @@ def iterative_schur_solve(
     max_num_iterations: int = 500,
     min_num_iterations: int = 0,
     preconditioner: str = "SCHUR_JACOBI",
+    spse_terms: int = 5,
+    cluster_assembler=None,
+    cluster_structure=None,
+    use_spse_initialization: bool = False,
+    spse_init_terms: int = 5,
 ):
-    """Full ITERATIVE_SCHUR step: eliminate -> PCG on S -> back substitute.
+    """Full ITERATIVE_SCHUR step: eliminate -> PCG on S -> back substitute
+    (iterative_schur_complement_solver.cc:64 incl. CreatePreconditioner and
+    the optional SPSE initial guess, linear_solver.h:174-183).
 
     Returns (x_global_tangent, CGResult)."""
     D_e = pt.extract_e(pm, D)
@@ -157,10 +164,28 @@ def iterative_schur_solve(
     precond = None
     if preconditioner == "SCHUR_JACOBI":
         precond = make_schur_jacobi_preconditioner(pm, values, sys, D_f)
+    elif preconditioner == "SCHUR_POWER_SERIES_EXPANSION":
+        from .preconditioners import make_spse_preconditioner
+
+        precond = make_spse_preconditioner(pm, values, sys, D_f, spse_terms)
+    elif preconditioner in ("CLUSTER_JACOBI", "CLUSTER_TRIDIAGONAL"):
+        from .preconditioners import make_cluster_preconditioner
+
+        precond = make_cluster_preconditioner(
+            cluster_structure, lambda: cluster_assembler(values, D_e, D_f)
+        )
+
+    x0 = jnp.zeros_like(sys.rhs)
+    if use_spse_initialization:
+        from .preconditioners import make_spse_preconditioner
+
+        spse = make_spse_preconditioner(pm, values, sys, D_f, spse_init_terms)
+        x0 = spse(sys.rhs)
+
     res = conjugate_gradients(
         lhs,
         sys.rhs,
-        jnp.zeros_like(sys.rhs),
+        x0,
         precond,
         min_num_iterations=min_num_iterations,
         max_num_iterations=max_num_iterations,

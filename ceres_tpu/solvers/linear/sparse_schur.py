@@ -31,10 +31,68 @@ from ...ops import bsr, partition as pt
 from ...types import LinearSolverTerminationType
 
 
+def num_e_blocks(pm: pt.PartitionedMeta) -> int:
+    return sum(nv for (_, nv, _, _) in pm.e_fams)
+
+
+def enumerate_schur_pairs(pm: pt.PartitionedMeta):
+    """Host-side chunk enumeration shared by SPARSE_SCHUR and the cluster
+    preconditioners: same-residual f-slot pairs (the F'F part) and
+    observation pairs per e-block (the W' M^{-1} W correction).
+
+    Returns (ftf_pairs, pair_buckets, e_slot_of_kind) where pair_buckets
+    maps (k1,s1,k2,s2) -> (idx_a, idx_b, e_block_id) int32 arrays."""
+    meta = pm.base
+    obs_per_point = {}
+    ftf_pairs = []
+    per_kind_e = {}
+    ne = num_e_blocks(pm)
+    for k, kind in enumerate(meta.kinds):
+        e_slot = None
+        for s, slot in enumerate(kind.slots):
+            if pm.e_bid_keys[k][s] >= 0 and slot.any_variable:
+                e_slot = s
+        per_kind_e[k] = e_slot
+        f_slots = [
+            s
+            for s, slot in enumerate(kind.slots)
+            if pm.f_idx_keys[k][s] >= 0 and slot.any_variable
+        ]
+        for s1 in f_slots:
+            for s2 in f_slots:
+                ftf_pairs.append((k, s1, s2))
+        if e_slot is None:
+            continue
+        ebids = meta.arrays[pm.e_bid_keys[k][e_slot]]
+        for b in range(kind.B):
+            eb = int(ebids[b])
+            if eb >= ne:
+                continue  # constant e-block
+            for s in f_slots:
+                obs_per_point.setdefault(eb, []).append((k, s, b))
+    buckets = {}
+    for eb, obs in obs_per_point.items():
+        for (k1, s1, b1) in obs:
+            for (k2, s2, b2) in obs:
+                key = (k1, s1, k2, s2)
+                buckets.setdefault(key, ([], [], []))
+                buckets[key][0].append(b1)
+                buckets[key][1].append(b2)
+                buckets[key][2].append(eb)
+    pair_buckets = {
+        key: (
+            np.asarray(a, np.int32),
+            np.asarray(b, np.int32),
+            np.asarray(e, np.int32),
+        )
+        for key, (a, b, e) in buckets.items()
+    }
+    return ftf_pairs, pair_buckets, per_kind_e
+
+
 class SparseSchurSolver:
     def __init__(self, pm: pt.PartitionedMeta):
         self.pm = pm
-        meta = pm.base
         self._build_symbolic()
         from ...native import SparseCholesky
 
@@ -46,56 +104,9 @@ class SparseSchurSolver:
     def _build_symbolic(self):
         pm = self.pm
         meta = pm.base
-        # Collect observations: (kind, f_slot, obs_index, e_block_id,
-        # e_slot) for kinds with an e-slot; f-only kinds contribute only to
-        # the F'F part.
-        obs_per_point = {}
-        self._ftf_pairs = []  # (k, s1, s2) same-residual f-slot pairs
-        self._corr_buckets = []  # (k1,s1,e1,k2,s2,e2, idx_a, idx_b, eb)
-        per_kind_e = {}
-        for k, kind in enumerate(meta.kinds):
-            e_slot = None
-            for s, slot in enumerate(kind.slots):
-                if pm.e_bid_keys[k][s] >= 0 and slot.any_variable:
-                    e_slot = s
-            per_kind_e[k] = e_slot
-            f_slots = [
-                s
-                for s, slot in enumerate(kind.slots)
-                if pm.f_idx_keys[k][s] >= 0 and slot.any_variable
-            ]
-            for s1 in f_slots:
-                for s2 in f_slots:
-                    self._ftf_pairs.append((k, s1, s2))
-            if e_slot is None:
-                continue
-            ebids = meta.arrays[pm.e_bid_keys[k][e_slot]]
-            for b in range(kind.B):
-                eb = int(ebids[b])
-                if eb >= self._num_e_blocks():
-                    continue  # constant e-block
-                for s in f_slots:
-                    obs_per_point.setdefault(eb, []).append((k, s, b))
-
-        # Pair enumeration per point -> buckets keyed by (k1,s1,k2,s2).
-        buckets = {}
-        for eb, obs in obs_per_point.items():
-            for (k1, s1, b1) in obs:
-                for (k2, s2, b2) in obs:
-                    key = (k1, s1, k2, s2)
-                    buckets.setdefault(key, ([], [], []))
-                    buckets[key][0].append(b1)
-                    buckets[key][1].append(b2)
-                    buckets[key][2].append(eb)
-        self._pair_buckets = {
-            key: (
-                np.asarray(a, np.int32),
-                np.asarray(b, np.int32),
-                np.asarray(e, np.int32),
-            )
-            for key, (a, b, e) in buckets.items()
-        }
-        self._e_slot_of_kind = per_kind_e
+        self._ftf_pairs, self._pair_buckets, self._e_slot_of_kind = (
+            enumerate_schur_pairs(pm)
+        )
 
         # CSR pattern of S from all contributions.
         F = pm.f_size
@@ -131,9 +142,6 @@ class SparseSchurSolver:
         self.diag_positions = np.searchsorted(
             u, np.arange(F, dtype=np.int64) * F + np.arange(F)
         )
-
-    def _num_e_blocks(self):
-        return sum(nv for (_, nv, _, _) in self.pm.e_fams)
 
     # -------------------------------------------------------------- numeric
 
