@@ -356,6 +356,8 @@ class TrustRegionMinimizer:
                 summary.termination_type = TerminationType.FAILURE
                 break
             it.linear_solver_iterations = step_result.num_iterations
+            if it.iteration in opts.trust_region_minimizer_iterations_to_dump:
+                self._dump_iteration(it.iteration, strategy, step_result)
             if step_result.termination != LinearSolverTerminationType.FAILURE:
                 model_cost_change = float(step_result.model_cost_change)
                 it.step_is_valid = model_cost_change > 0.0
@@ -474,6 +476,31 @@ class TrustRegionMinimizer:
         return self.x
 
     # ------------------------------------------------------------------
+
+    def _dump_iteration(self, iteration, strategy, step_result):
+        """trust_region_minimizer_iterations_to_dump support
+        (trust_region_minimizer.cc:387-395)."""
+        import os
+
+        from ..utils.dump import dump_linear_least_squares_problem
+
+        base = os.path.join(
+            self.options.trust_region_problem_dump_directory,
+            f"ceres_tpu_iteration_{iteration:03d}",
+        )
+        if hasattr(self.k, "meta"):
+            from ..ops import bsr
+
+            J = np.asarray(bsr.to_dense(self.k.meta, self.jacobian))
+        else:
+            J = np.asarray(self.jacobian)
+        D = None
+        if getattr(strategy, "_diagonal", None) is not None:
+            D = np.sqrt(np.asarray(strategy._diagonal) / strategy.radius)
+        x = None if step_result.delta is None else np.asarray(step_result.delta)
+        dump_linear_least_squares_problem(
+            base, J, D=D, b=np.asarray(self.residuals), x=x
+        )
 
     def _evaluate_gradient_and_jacobian(self, first: bool):
         opts = self.options
