@@ -313,8 +313,48 @@ class CompiledProgram:
             out[id(fam)] = jax.vmap(fam.manifold.plus_jacobian)(xf)
         return out
 
-    def _eval_core(self, x, with_jac: bool, dense_jac: bool):
-        """Shared evaluation body; returns dict of outputs."""
+    def make_args(self, pad_to: int = 1):
+        """Bundle the per-kind observation arrays (gather indices + stacked
+        data + a validity weight) into a pytree so they can be jit ARGUMENTS
+        — the hook for sharding them over a device mesh (parallel/mesh.py).
+        Padding rows replicate the last observation with weight 0 so every
+        kind's batch divides the mesh size."""
+        args = []
+        for kind in self.kinds:
+            B = kind.B
+            pad = (-B) % pad_to
+            idx = np.concatenate([np.arange(B), np.full(pad, B - 1)]).astype(np.int64)
+            w = np.concatenate([np.ones(B), np.zeros(pad)])
+            slots = []
+            for s in kind.slots:
+                state_idx = s.state_idx[idx]
+                tangent_idx = np.where(
+                    w[:, None] > 0, s.tangent_idx[idx], self.tangent_size
+                ).astype(np.int32)
+                pos = s.pos_in_family[idx]
+                slots.append(
+                    {
+                        "state_idx": jnp.asarray(state_idx),
+                        "tangent_idx": jnp.asarray(tangent_idx),
+                        "pos_in_family": jnp.asarray(pos),
+                    }
+                )
+            data = None
+            if kind.data is not None:
+                data = jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(np.asarray(a)[idx]), kind.data
+                )
+            args.append({"slots": slots, "data": data, "w": jnp.asarray(w)})
+        return args
+
+    def _eval_core(self, x, with_jac: bool, dense_jac: bool, args=None):
+        """Shared evaluation body; returns dict of outputs.
+
+        With `args` (from make_args), the observation arrays are traced
+        inputs (shardable); without, they are baked constants. args-mode
+        supports cost/gradient/block_jacs (batch sizes may be padded) but
+        not the dense Jacobian layout."""
+        assert args is None or not dense_jac
         total_cost = jnp.asarray(self.fixed_cost, dtype=jnp.float64)
         res_chunks = []
         T = self.tangent_size
@@ -327,46 +367,62 @@ class CompiledProgram:
         block_jacs = []  # list over kinds of list over slots of (B, r, t)
         plus_jacs = self._plus_jacobians(x) if with_jac else {}
 
-        for kind in self.kinds:
-            params = tuple(jnp.take(x, jnp.asarray(s.state_idx)) for s in kind.slots)
+        for ki, kind in enumerate(self.kinds):
+            if args is not None:
+                a = args[ki]
+                state_idx = [sl["state_idx"] for sl in a["slots"]]
+                tangent_idx = [sl["tangent_idx"] for sl in a["slots"]]
+                pos_in_family = [sl["pos_in_family"] for sl in a["slots"]]
+                kdata = a["data"]
+                w = a["w"]
+            else:
+                state_idx = [jnp.asarray(s.state_idx) for s in kind.slots]
+                tangent_idx = [jnp.asarray(s.tangent_idx) for s in kind.slots]
+                pos_in_family = [jnp.asarray(s.pos_in_family) for s in kind.slots]
+                kdata = kind.data
+                w = None
+            params = tuple(jnp.take(x, si) for si in state_idx)
             fn = self._vmapped_eval(kind, with_jac)
             if with_jac:
-                res, jacs = fn(params, kind.data)
+                res, jacs = fn(params, kdata)
+                if w is not None:
+                    res = res * w[:, None]
+                    jacs = [J * w[:, None, None] for J in jacs]
                 tjacs = []
-                for s, J in zip(kind.slots, jacs):
+                for s, pos, J in zip(kind.slots, pos_in_family, jacs):
                     fam = s.family
                     pj = plus_jacs.get(id(fam))
                     if pj is None:
                         tj = J  # Euclidean: tangent == ambient
                     else:
-                        pj_b = jnp.take(pj, jnp.asarray(s.pos_in_family), axis=0)
+                        pj_b = jnp.take(pj, pos, axis=0)
                         tj = jnp.einsum("bra,bat->brt", J, pj_b)
                     tjacs.append(tj)
                 cost_b, res_c, tjacs = correct_residuals_and_jacobians(
                     kind.loss, res, tjacs
                 )
             else:
-                res = fn(params, kind.data)
+                res = fn(params, kdata)
+                if w is not None:
+                    res = res * w[:, None]
                 cost_b, res_c, _ = correct_residuals_and_jacobians(kind.loss, res, [])
                 tjacs = None
             total_cost = total_cost + jnp.sum(cost_b)
             res_chunks.append(res_c.reshape(-1))
             if with_jac:
                 block_jacs.append(tjacs)
-                for s, tj in zip(kind.slots, tjacs):
+                for s, ti, tj in zip(kind.slots, tangent_idx, tjacs):
                     if not s.any_variable:
                         continue
                     contrib = jnp.einsum("brt,br->bt", tj, res_c)
-                    grad = grad.at[jnp.asarray(s.tangent_idx).reshape(-1)].add(
-                        contrib.reshape(-1)
-                    )
+                    grad = grad.at[ti.reshape(-1)].add(contrib.reshape(-1))
                     if dense_jac:
                         rows = kind.row_offset + np.arange(kind.B * kind.r).reshape(
                             kind.B, kind.r
                         )
                         J_dense = J_dense.at[
                             jnp.asarray(rows)[:, :, None],
-                            jnp.asarray(s.tangent_idx)[:, None, :],
+                            ti[:, None, :],
                         ].add(tj)
 
         residuals = (
