@@ -111,16 +111,13 @@ def synthetic_bal(
     cameras[:, 8] = rng.uniform(-1e-13, 1e-13, num_cameras)
     points = rng.standard_normal((num_points, 3)) * 2.0
 
-    cam_idx, pt_idx = [], []
-    for j in range(num_points):
-        seen = rng.random(num_cameras) < visibility
-        if not seen.any():
-            seen[rng.integers(num_cameras)] = True
-        for i in np.nonzero(seen)[0]:
-            cam_idx.append(i)
-            pt_idx.append(j)
-    cam_idx = np.asarray(cam_idx, np.int32)
-    pt_idx = np.asarray(pt_idx, np.int32)
+    seen = rng.random((num_points, num_cameras)) < visibility
+    empty = ~seen.any(axis=1)
+    if empty.any():
+        seen[empty, rng.integers(0, num_cameras, int(empty.sum()))] = True
+    pt_idx, cam_idx = np.nonzero(seen)
+    cam_idx = cam_idx.astype(np.int32)
+    pt_idx = pt_idx.astype(np.int32)
 
     import jax
 

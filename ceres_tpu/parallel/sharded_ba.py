@@ -58,6 +58,37 @@ class BAState(NamedTuple):
     cost: jax.Array
 
 
+class SortedSegments(NamedTuple):
+    """Precomputed orderings so every J^T-side reduction is a sorted
+    segment-sum instead of a random scatter-add — the TPU-native analog of
+    the reference's cumulative-nnz row partitioning for threaded SpMV
+    (block_sparse_matrix.cc). Built once per problem structure."""
+
+    cam_perm: jax.Array  # (N,) observation order sorted by camera
+    cam_sorted: jax.Array  # (N,) camera ids under cam_perm
+    pt_perm: jax.Array  # (N,)
+    pt_sorted: jax.Array  # (N,)
+
+
+def build_sorted_segments(camera_index, point_index) -> SortedSegments:
+    oc = np.argsort(np.asarray(camera_index), kind="stable")
+    op = np.argsort(np.asarray(point_index), kind="stable")
+    return SortedSegments(
+        cam_perm=jnp.asarray(oc),
+        cam_sorted=jnp.asarray(np.asarray(camera_index)[oc]),
+        pt_perm=jnp.asarray(op),
+        pt_sorted=jnp.asarray(np.asarray(point_index)[op]),
+    )
+
+
+def _segment_reduce(contrib, perm, sorted_ids, num_segments):
+    """Deterministic sorted segment-sum reduction."""
+    c = jnp.take(contrib, perm, axis=0)
+    return jax.ops.segment_sum(
+        c, sorted_ids, num_segments=num_segments, indices_are_sorted=True
+    )
+
+
 def ba_cost(cams, pts, cam_idx, pt_idx, obs, w=None):
     r = jax.vmap(snavely_reprojection_residual)(cams[cam_idx], pts[pt_idx], obs)
     if w is not None:
@@ -76,47 +107,62 @@ def _evaluate(cams, pts, cam_idx, pt_idx, obs, w=None):
     return r, Jc, Jp
 
 
-def _jtj_matvec(Jc, Jp, cam_idx, pt_idx, vc, vp, D2c, D2p):
+def _jtj_matvec(Jc, Jp, cam_idx, pt_idx, vc, vp, D2c, D2p, segs=None):
     """(J'J + D^2) [vc; vp] without materializing J (two SpMV passes)."""
     jv = jnp.einsum("bri,bi->br", Jc, vc[cam_idx]) + jnp.einsum(
         "bri,bi->br", Jp, vp[pt_idx]
     )
-    gc = jnp.zeros_like(vc).at[cam_idx].add(jnp.einsum("bri,br->bi", Jc, jv))
-    gp = jnp.zeros_like(vp).at[pt_idx].add(jnp.einsum("bri,br->bi", Jp, jv))
+    rc, rp = _make_reducers(cam_idx, pt_idx, vc.shape[0], vp.shape[0], segs)
+    gc = rc(jnp.einsum("bri,br->bi", Jc, jv))
+    gp = rp(jnp.einsum("bri,br->bi", Jp, jv))
     return gc + D2c * vc, gp + D2p * vp
 
 
-def lm_step(cams, pts, cam_idx, pt_idx, obs, radius, w=None, cg_iters: int = 10):
+def _make_reducers(cam_idx, pt_idx, C, P, segs):
+    if segs is None:
+        def rc(contrib):
+            return jnp.zeros((C, contrib.shape[1]), contrib.dtype).at[cam_idx].add(contrib)
+
+        def rp(contrib):
+            return jnp.zeros((P, contrib.shape[1]), contrib.dtype).at[pt_idx].add(contrib)
+
+    else:
+        def rc(contrib):
+            return _segment_reduce(contrib, segs.cam_perm, segs.cam_sorted, C)
+
+        def rp(contrib):
+            return _segment_reduce(contrib, segs.pt_perm, segs.pt_sorted, P)
+
+    return rc, rp
+
+
+def lm_step(cams, pts, cam_idx, pt_idx, obs, radius, w=None, cg_iters: int = 10,
+            segs=None):
     """One complete LM iteration: evaluate -> CG on the scaled normal
     equations -> candidate -> accept/reject + radius update. Pure function
     of arrays; jit/shard it whole."""
     r, Jc, Jp = _evaluate(cams, pts, cam_idx, pt_idx, obs, w)
     cost = 0.5 * jnp.sum(r * r)
+    reduce_c, reduce_p = _make_reducers(
+        cam_idx, pt_idx, cams.shape[0], pts.shape[0], segs
+    )
 
     # gradient and jacobi scaling
-    gc = jnp.zeros_like(cams).at[cam_idx].add(jnp.einsum("bri,br->bi", Jc, r))
-    gp = jnp.zeros_like(pts).at[pt_idx].add(jnp.einsum("bri,br->bi", Jp, r))
-    d2c = jnp.zeros_like(cams).at[cam_idx].add(jnp.einsum("bri,bri->bi", Jc, Jc))
-    d2p = jnp.zeros_like(pts).at[pt_idx].add(jnp.einsum("bri,bri->bi", Jp, Jp))
+    gc = reduce_c(jnp.einsum("bri,br->bi", Jc, r))
+    gp = reduce_p(jnp.einsum("bri,br->bi", Jp, r))
+    d2c = reduce_c(jnp.einsum("bri,bri->bi", Jc, Jc))
+    d2p = reduce_p(jnp.einsum("bri,bri->bi", Jp, Jp))
     sc = 1.0 / (1.0 + jnp.sqrt(d2c))
     sp = 1.0 / (1.0 + jnp.sqrt(d2p))
     Jc_s = Jc * sc[cam_idx][:, None, :]
     Jp_s = Jp * sp[pt_idx][:, None, :]
-    diag_c = jnp.clip(
-        jnp.zeros_like(cams).at[cam_idx].add(jnp.einsum("bri,bri->bi", Jc_s, Jc_s)),
-        1e-6,
-        1e32,
-    )
-    diag_p = jnp.clip(
-        jnp.zeros_like(pts).at[pt_idx].add(jnp.einsum("bri,bri->bi", Jp_s, Jp_s)),
-        1e-6,
-        1e32,
-    )
+    diag_c = jnp.clip(reduce_c(jnp.einsum("bri,bri->bi", Jc_s, Jc_s)), 1e-6, 1e32)
+    diag_p = jnp.clip(reduce_p(jnp.einsum("bri,bri->bi", Jp_s, Jp_s)), 1e-6, 1e32)
     D2c = diag_c / radius
     D2p = diag_p / radius
 
-    rhs_c = jnp.zeros_like(cams).at[cam_idx].add(jnp.einsum("bri,br->bi", Jc_s, r))
-    rhs_p = jnp.zeros_like(pts).at[pt_idx].add(jnp.einsum("bri,br->bi", Jp_s, r))
+    rhs_c = reduce_c(jnp.einsum("bri,br->bi", Jc_s, r))
+    rhs_p = reduce_p(jnp.einsum("bri,br->bi", Jp_s, r))
 
     # Jacobi-preconditioned CG on the scaled normal equations.
     Minv_c = 1.0 / (diag_c + D2c)
@@ -124,7 +170,7 @@ def lm_step(cams, pts, cam_idx, pt_idx, obs, radius, w=None, cg_iters: int = 10)
 
     def cg_body(_, state):
         xc, xp, rc, rp, pc, pp, rz = state
-        qc, qp = _jtj_matvec(Jc_s, Jp_s, cam_idx, pt_idx, pc, pp, D2c, D2p)
+        qc, qp = _jtj_matvec(Jc_s, Jp_s, cam_idx, pt_idx, pc, pp, D2c, D2p, segs)
         pq = jnp.sum(pc * qc) + jnp.sum(pp * qp)
         alpha = rz / jnp.maximum(pq, 1e-300)
         xc = xc + alpha * pc
@@ -230,7 +276,9 @@ def solve_ba(bal_problem, num_iterations=10, mesh=None, cg_iters=10,
         pt_idx = jnp.asarray(bal_problem.point_index)
         obs = jnp.asarray(bal_problem.observations, dtype)
         w = None
-        step_fn = jax.jit(functools.partial(lm_step, cg_iters=cg_iters))
+        # Single-device: sorted segment reductions beat random scatter-adds.
+        segs = build_sorted_segments(bal_problem.camera_index, bal_problem.point_index)
+        step_fn = jax.jit(functools.partial(lm_step, cg_iters=cg_iters, segs=segs))
     radius = jnp.asarray(1e4, dtype)
     state = BAState(cams, pts, radius, jnp.asarray(0.0, dtype))
     for _ in range(num_iterations):
