@@ -19,6 +19,16 @@ class IterationCallback:
         raise NotImplementedError
 
 
+class EvaluationCallback:
+    """User hook run before each residual/Jacobian evaluation
+    (evaluation_callback.h:63; wired as in program_evaluator.h:155-160).
+    Attach via Options.evaluation_callback."""
+
+    def prepare_for_evaluation(self, evaluate_jacobians: bool,
+                               new_evaluation_point: bool) -> None:
+        raise NotImplementedError
+
+
 def trust_region_log_line(s: IterationSummary) -> str:
     """LoggingCallback's trust-region format (callbacks.cc)."""
     return (
