@@ -125,6 +125,48 @@ class BlockTrustRegionKernels:
                 )
                 return step, step * scale, model_cost_change, jnp.asarray(1, jnp.int32)
 
+        elif step_solver == "ITERATIVE_SCHUR" and options.use_explicit_schur_complement:
+            # CG on the explicitly assembled block-sparse S
+            # (schur_complement_solver.cc:338) — profitable when CG needs
+            # many iterations: one assembly vs 4 implicit products/iter.
+            from .linear.cg import conjugate_gradients
+            from .linear.implicit_schur import (
+                back_substitute,
+                build_schur_system,
+                make_schur_jacobi_preconditioner,
+            )
+            from .linear.sparse_schur import SparseSchurSolver
+            from ..ops import partition as pt_mod
+
+            sss = SparseSchurSolver(pm)
+            matvec = sss.csr_matvec_fn()
+            self.sparse_schur = sss
+
+            @jax.jit
+            def compute_step(values, residuals, scale, diagonal, radius):
+                vs = bsr.scale_columns(meta, values, scale)
+                D = jnp.sqrt(diagonal / radius)
+                D_e = pt_mod.extract_e(pm, D)
+                D_f = pt_mod.extract_f(pm, D)
+                svals = sss._numeric_impl(vs, D_e, D_f)
+                sys = build_schur_system(pm, vs, residuals, D_e)
+                precond = make_schur_jacobi_preconditioner(pm, vs, sys, D_f)
+                res = conjugate_gradients(
+                    lambda z: matvec(svals, z),
+                    sys.rhs,
+                    jnp.zeros_like(sys.rhs),
+                    precond,
+                    max_num_iterations=max_li,
+                    min_num_iterations=min_li,
+                    q_tolerance=eta,
+                    r_tolerance=-1.0,
+                )
+                y_e = back_substitute(pm, vs, sys, res.x)
+                step = -pt_mod.combine(pm, y_e, res.x)
+                model_residuals = bsr.right_multiply(meta, vs, step)
+                mcc = -jnp.dot(model_residuals, residuals + model_residuals / 2.0)
+                return step, step * scale, mcc, res.num_iterations
+
         elif step_solver == "ITERATIVE_SCHUR":
             from .linear.implicit_schur import iterative_schur_solve
 

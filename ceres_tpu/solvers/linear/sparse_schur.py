@@ -199,6 +199,25 @@ class SparseSchurSolver:
         out = out.at[jnp.asarray(self.diag_positions)].add(D_f * D_f)
         return out
 
+    def csr_matvec_fn(self):
+        """Jit-friendly CSR matvec over the assembled S values — the
+        use_explicit_schur_complement path (schur_complement_solver.cc:338:
+        CG on the explicit S when it is cheaper than four implicit
+        products per iteration). Rows are sorted, so the reduction is a
+        sorted segment-sum."""
+        F = self.pm.f_size
+        row_ids = np.repeat(np.arange(F), np.diff(self.indptr)).astype(np.int32)
+        cols = jnp.asarray(self.indices)
+        rows = jnp.asarray(row_ids)
+
+        def matvec(svals, z):
+            prod = svals * jnp.take(z, cols)
+            return jax.ops.segment_sum(
+                prod, rows, num_segments=F, indices_are_sorted=True
+            )
+
+        return matvec
+
     def solve(self, values, b, D):
         """Full SPARSE_SCHUR step. Returns (y_global, termination)."""
         from .implicit_schur import build_schur_system, back_substitute
