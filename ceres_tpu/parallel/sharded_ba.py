@@ -276,9 +276,10 @@ def solve_ba(bal_problem, num_iterations=10, mesh=None, cg_iters=10,
         pt_idx = jnp.asarray(bal_problem.point_index)
         obs = jnp.asarray(bal_problem.observations, dtype)
         w = None
-        # Single-device: sorted segment reductions beat random scatter-adds.
-        segs = build_sorted_segments(bal_problem.camera_index, bal_problem.point_index)
-        step_fn = jax.jit(functools.partial(lm_step, cg_iters=cg_iters, segs=segs))
+        # Measured on TPU v5e: XLA's scatter-add beats sorted segment-sums
+        # here (the permutation gathers cost more than the scatter saves);
+        # SortedSegments remains available via lm_step(segs=...).
+        step_fn = jax.jit(functools.partial(lm_step, cg_iters=cg_iters))
     radius = jnp.asarray(1e4, dtype)
     state = BAState(cams, pts, radius, jnp.asarray(0.0, dtype))
     for _ in range(num_iterations):
