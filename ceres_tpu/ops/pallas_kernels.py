@@ -4,19 +4,27 @@ The reference's CUDA tier hand-writes SpMV and BSM->CRS kernels
 (/root/reference/internal/ceres/cuda_kernels_bsm_to_crs.cu.cc,
 cuda_sparse_matrix.cc). The TPU equivalent here targets the transpose
 product J^T u — the one op in the CG pipeline that XLA lowers to a serial
-scatter. The kernel exploits the sorted-by-block observation order:
+per-row scatter. The kernel exploits the sorted-by-block observation order:
 
-  grid = tiles of target blocks; each program DMAs its tile's contiguous
-  observation range (scalar-prefetched offsets), computes the per-row
-  contributions on the VPU, and reduces rows -> blocks with a one-hot
-  matmul on the MXU (a 128-wide segment-sum with zero scatter traffic).
+  grid = tiles of 128 target blocks; each program DMAs its tile's
+  observation range (scalar-prefetched, lane-aligned offsets) from HBM
+  into VMEM in TRANSPOSED layout (component-major, observations on the
+  128-lane axis), builds the one-hot row->block mask by comparing block
+  ids against the sublane index, and reduces observations -> blocks with
+  ONE dot_general on the MXU — a 128-wide segment-sum with zero scatter
+  traffic. Deterministic by construction.
 
-Rows are padded per tile to a static budget; the one-hot mask handles
-ragged tile boundaries. Deterministic by construction.
+Mosaic layout constraints honored (each one found empirically):
+ - all DMA slices are along the lane axis and 128-aligned: tile row
+   offsets are floored to 128 (rows outside the tile's block range produce
+   all-zero one-hot rows, so the alignment padding needs no masking);
+ - no (N, 1) or (N, 3) lane-narrow memrefs — data is transposed host-side;
+ - the kernel traces under `jax.enable_x64(False)`: the global fp64-parity
+   mode leaks i64 scalars into grid index maps otherwise;
+ - bool->float conversions avoided (jnp.where with typed scalars).
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -25,87 +33,120 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+BLOCKS_PER_TILE = 128
+_LANE = 128
+
 
 def plan_block_tiles(sorted_ids: np.ndarray, num_blocks: int,
-                     blocks_per_tile: int = 128) -> Tuple[np.ndarray, int]:
-    """Host-side: per-tile observation start offsets + static row budget.
-
-    sorted_ids must be non-decreasing. Returns (tile_row_start (T+1,),
-    max_rows_per_tile rounded to a multiple of 8)."""
+                     blocks_per_tile: int = BLOCKS_PER_TILE) -> Tuple[np.ndarray, int]:
+    """Host-side: per-tile observation start offsets (floored to the lane
+    width for aligned DMA) + a static row budget (multiple of 128).
+    sorted_ids must be non-decreasing. Returns (tile_row_start (T+1,) int32,
+    max_rows)."""
     sorted_ids = np.asarray(sorted_ids)
-    n = sorted_ids.shape[0]
     counts = np.bincount(sorted_ids, minlength=num_blocks)
     offsets = np.concatenate([[0], np.cumsum(counts)])
     num_tiles = -(-num_blocks // blocks_per_tile)
-    tile_starts = np.asarray(
+    raw = np.asarray(
         [offsets[min(t * blocks_per_tile, num_blocks)] for t in range(num_tiles + 1)],
-        np.int32,
+        np.int64,
     )
-    max_rows = int(np.max(np.diff(tile_starts))) if num_tiles else 0
-    max_rows = max(8, -(-max_rows // 8) * 8)
-    return tile_starts, max_rows
+    starts = (raw // _LANE) * _LANE  # align down; extra rows are inert
+    spans = raw[1:] - starts[:-1]
+    max_rows = int(spans.max()) if num_tiles else _LANE
+    max_rows = max(_LANE, -(-max_rows // _LANE) * _LANE)
+    return starts.astype(np.int32), max_rows
 
 
 def segment_block_sum(
     contrib,  # (N, t) per-observation contributions, sorted by target block
     sorted_ids,  # (N,) int32 non-decreasing target block ids
-    tile_starts,  # (T+1,) int32 per-tile row offsets (host-planned)
+    tile_starts,  # (T+1,) int32 lane-aligned per-tile row offsets
     num_blocks: int,
-    blocks_per_tile: int = 128,
+    blocks_per_tile: int = BLOCKS_PER_TILE,
     max_rows: int = 512,
     interpret: bool = False,
 ):
-    """out[b] = sum_{i: sorted_ids[i]==b} contrib[i] via the tiled one-hot
-    MXU reduction. Output (num_blocks_padded, t)."""
+    """out[b] = sum_{i: sorted_ids[i]==b} contrib[i]. Output padded to a
+    multiple of BLOCKS_PER_TILE rows."""
+    assert blocks_per_tile == BLOCKS_PER_TILE, "tile width is fixed at 128"
     n, t = contrib.shape
     num_tiles = -(-num_blocks // blocks_per_tile)
     nb_pad = num_tiles * blocks_per_tile
-    # pad row dimension so dynamic slices of size max_rows stay in bounds
-    contrib_p = jnp.concatenate(
-        [contrib, jnp.zeros((max_rows, t), contrib.dtype)], axis=0
+    n_pad = n + max_rows
+    t_pad = max(8, -(-t // 8) * 8)  # sublane-aligned component rows
+    # Transposed, lane-major layouts (observations on the lane axis).
+    contrib_T = jnp.concatenate(
+        [contrib.T, jnp.zeros((t_pad - t, n), contrib.dtype)], axis=0
     )
-    ids_p = jnp.concatenate(
+    contrib_T = jnp.concatenate(
+        [contrib_T, jnp.zeros((t_pad, max_rows), contrib.dtype)], axis=1
+    )  # (t_pad, n_pad)
+    ids_row = jnp.concatenate(
         [sorted_ids.astype(jnp.int32), jnp.full((max_rows,), -1, jnp.int32)]
     )
+    ids_T = jnp.broadcast_to(ids_row[None, :], (8, n_pad))  # sublane-replicated
 
-    def kernel(starts_ref, ids_ref, contrib_ref, out_ref):
+    def kernel(starts_ref, ids_hbm, contrib_hbm, out_ref):
         tile = pl.program_id(0)
-        row0 = starts_ref[tile]
-        rows_in_tile = starts_ref[tile + 1] - row0
-        block0 = tile * blocks_per_tile
-        rows = contrib_ref[pl.ds(row0, max_rows), :]  # (max_rows, t)
-        ids = ids_ref[pl.ds(row0, max_rows)]  # (max_rows,)
-        valid = (
-            jax.lax.broadcasted_iota(jnp.int32, (max_rows, 1), 0)[:, 0]
-            < rows_in_tile
-        )
-        local = jnp.where(valid, ids - block0, -1)
-        onehot = (
-            local[:, None]
-            == jax.lax.broadcasted_iota(jnp.int32, (max_rows, blocks_per_tile), 1)
-        ).astype(contrib_ref.dtype)
-        out_ref[:, :] = jax.lax.dot_general(
-            onehot,
-            rows,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=out_ref.dtype,
+        row0 = pl.multiple_of(starts_ref[tile], _LANE)
+        block0 = jnp.int32(tile * BLOCKS_PER_TILE)
+
+        def body(ids_vmem, rows_vmem, sem_i, sem_r):
+            cp_i = pltpu.make_async_copy(
+                ids_hbm.at[:, pl.ds(row0, max_rows)], ids_vmem, sem_i
+            )
+            cp_r = pltpu.make_async_copy(
+                contrib_hbm.at[:, pl.ds(row0, max_rows)], rows_vmem, sem_r
+            )
+            cp_i.start()
+            cp_r.start()
+            cp_i.wait()
+            cp_r.wait()
+            ids = ids_vmem[:, :]  # (8, max_rows), sublane-replicated
+            # one-hot^T: (BLOCKS_PER_TILE, max_rows); sublane b matches rows
+            # whose id == block0 + b.
+            sub = jax.lax.broadcasted_iota(
+                jnp.int32, (BLOCKS_PER_TILE, max_rows), 0
+            )
+            idsb = jnp.broadcast_to(ids[:1, :], (BLOCKS_PER_TILE, max_rows))
+            onehot_T = jnp.where(
+                idsb - block0 == sub,
+                jnp.ones((), rows_vmem.dtype),
+                jnp.zeros((), rows_vmem.dtype),
+            )
+            # (BT, max_rows) x (t, max_rows) -> (BT, t), contracting rows.
+            out_ref[:, :] = jax.lax.dot_general(
+                onehot_T,
+                rows_vmem[:, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=out_ref.dtype,
+            )
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((8, max_rows), jnp.int32),
+            pltpu.VMEM((t_pad, max_rows), contrib.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
         )
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (blocks_per_tile, t), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((nb_pad, t), contrib.dtype),
-        interpret=interpret,
-    )(tile_starts, ids_p, contrib_p)
-    return out
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # ids stay in HBM
+                pl.BlockSpec(memory_space=pltpu.ANY),  # contrib stays in HBM
+            ],
+            out_specs=pl.BlockSpec(
+                (BLOCKS_PER_TILE, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((nb_pad, t_pad), contrib.dtype),
+            interpret=interpret,
+        )(tile_starts, ids_T, contrib_T)
+    return out[:, :t]
 
 
 def jt_u_sorted(
@@ -114,7 +155,6 @@ def jt_u_sorted(
     sorted_ids,
     tile_starts,
     num_blocks: int,
-    blocks_per_tile: int = 128,
     max_rows: int = 512,
     interpret: bool = False,
 ):
@@ -122,6 +162,6 @@ def jt_u_sorted(
     contrib = jnp.einsum("nrt,nr->nt", J_blocks, u)
     out = segment_block_sum(
         contrib, sorted_ids, tile_starts, num_blocks,
-        blocks_per_tile=blocks_per_tile, max_rows=max_rows, interpret=interpret,
+        max_rows=max_rows, interpret=interpret,
     )
     return out[:num_blocks]

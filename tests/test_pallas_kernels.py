@@ -28,12 +28,11 @@ def test_empty_blocks_get_zero():
     ids = np.asarray([0, 0, 5, 5, 5], np.int32)
     J = np.ones((5, 1, 2), np.float32)
     u = np.ones((5, 1), np.float32)
-    tile_starts, max_rows = pk.plan_block_tiles(ids, 8, 8)
+    tile_starts, max_rows = pk.plan_block_tiles(ids, 8)
     out = np.asarray(
         pk.jt_u_sorted(
             jnp.asarray(J), jnp.asarray(u), jnp.asarray(ids),
-            jnp.asarray(tile_starts), 8, blocks_per_tile=8,
-            max_rows=max_rows, interpret=True,
+            jnp.asarray(tile_starts), 8, max_rows=max_rows, interpret=True,
         )
     )
     np.testing.assert_allclose(out[0], [2, 2])
