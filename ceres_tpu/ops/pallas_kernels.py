@@ -149,6 +149,108 @@ def segment_block_sum(
     return out[:, :t]
 
 
+def segment_block_expand(
+    block_vals,  # (num_blocks, t) per-block values
+    sorted_ids,  # (N,) int32 non-decreasing target block ids
+    tile_starts,  # (T+1,) int32 lane-aligned per-tile row offsets
+    n: int,
+    max_rows: int = 512,
+    interpret: bool = False,
+):
+    """out[i] = block_vals[sorted_ids[i]] — the gather direction of the
+    same tiled one-hot trick (expand = vals^T @ onehot on the MXU; no
+    per-row gather). Output (n, t).
+
+    Tile k's aligned write window can overlap tile k+1's; every tile
+    therefore matches against a TWO-tile block range [block0-128, block0+128)
+    so each written row is correct, and the sequential grid makes the last
+    writer win with correct values."""
+    num_blocks, t = block_vals.shape
+    num_tiles = -(-num_blocks // BLOCKS_PER_TILE)
+    nb_pad = num_tiles * BLOCKS_PER_TILE
+    t_pad = max(8, -(-t // 8) * 8)
+    n_pad = n + max_rows
+    # block b lives at padded lane b + BLOCKS_PER_TILE (zero guard tile in
+    # front); transposed so block rows sit on the 128-lane axis.
+    vals_p = jnp.zeros((t_pad, nb_pad + BLOCKS_PER_TILE), block_vals.dtype)
+    vals_p = vals_p.at[:t, BLOCKS_PER_TILE : BLOCKS_PER_TILE + num_blocks].set(
+        block_vals.T
+    )
+    ids_row = jnp.concatenate(
+        [sorted_ids.astype(jnp.int32), jnp.full((max_rows,), -1, jnp.int32)]
+    )
+    ids_T = jnp.broadcast_to(ids_row[None, :], (8, n_pad))
+    W = 2 * BLOCKS_PER_TILE
+
+    def kernel(starts_ref, ids_hbm, vals_hbm, out_hbm):
+        tile = pl.program_id(0)
+        row0 = pl.multiple_of(starts_ref[tile], _LANE)
+        # window base in block space: block0 - 128 (guard tile absorbs t=0)
+        base = jnp.int32(tile * BLOCKS_PER_TILE) - BLOCKS_PER_TILE
+
+        def body(ids_vmem, vals_vmem, out_vmem, sem_i, sem_v, sem_o):
+            cp_i = pltpu.make_async_copy(
+                ids_hbm.at[:, pl.ds(row0, max_rows)], ids_vmem, sem_i
+            )
+            # padded block rows [tile*BT, tile*BT + 2*BT)
+            vrow0 = pl.multiple_of(
+                jnp.int32(tile * BLOCKS_PER_TILE), BLOCKS_PER_TILE
+            )
+            cp_v = pltpu.make_async_copy(
+                vals_hbm.at[:, pl.ds(vrow0, W)], vals_vmem, sem_v
+            )
+            cp_i.start()
+            cp_v.start()
+            cp_i.wait()
+            cp_v.wait()
+            ids = ids_vmem[:, :]
+            sub = jax.lax.broadcasted_iota(jnp.int32, (W, max_rows), 0)
+            idsb = jnp.broadcast_to(ids[:1, :], (W, max_rows))
+            onehot_T = jnp.where(
+                idsb - base == sub,
+                jnp.ones((), vals_vmem.dtype),
+                jnp.zeros((), vals_vmem.dtype),
+            )
+            # (t_pad, W) x (W, max_rows) -> (t_pad, max_rows)
+            out_vmem[:, :] = jax.lax.dot_general(
+                vals_vmem[:, :],
+                onehot_T,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=out_vmem.dtype,
+            )
+            cp_o = pltpu.make_async_copy(
+                out_vmem, out_hbm.at[:, pl.ds(row0, max_rows)], sem_o
+            )
+            cp_o.start()
+            cp_o.wait()
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((8, max_rows), jnp.int32),
+            pltpu.VMEM((t_pad, W), block_vals.dtype),
+            pltpu.VMEM((t_pad, max_rows), block_vals.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        )
+
+    with jax.enable_x64(False):
+        out_T = pl.pallas_call(
+            kernel,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((t_pad, n_pad), block_vals.dtype),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(tile_starts, ids_T, vals_p)
+    return out_T[:t, :n].T
+
+
 def jt_u_sorted(
     J_blocks,  # (N, r, t) sorted by target block
     u,  # (N, r)

@@ -23,6 +23,19 @@ def test_jt_u_sorted_matches_scatter(num_blocks, N, t):
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
 
 
+@pytest.mark.parametrize("num_blocks,N,t", [(300, 1200, 3), (129, 600, 9)])
+def test_expand_matches_take(num_blocks, N, t):
+    rng = np.random.default_rng(num_blocks)
+    ids = np.sort(rng.integers(0, num_blocks, N)).astype(np.int32)
+    vals = rng.standard_normal((num_blocks, t)).astype(np.float32)
+    tile_starts, max_rows = pk.plan_block_tiles(ids, num_blocks)
+    out = pk.segment_block_expand(
+        jnp.asarray(vals), jnp.asarray(ids), jnp.asarray(tile_starts), N,
+        max_rows=max_rows, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), vals[ids], atol=1e-6)
+
+
 def test_empty_blocks_get_zero():
     # blocks with no observations must come out exactly zero
     ids = np.asarray([0, 0, 5, 5, 5], np.int32)
