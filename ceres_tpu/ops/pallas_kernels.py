@@ -121,6 +121,7 @@ def segment_block_sum(
                 rows_vmem[:, :],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=out_ref.dtype,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
         pl.run_scoped(
@@ -217,6 +218,7 @@ def segment_block_expand(
                 onehot_T,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=out_vmem.dtype,
+                precision=jax.lax.Precision.HIGHEST,
             )
             cp_o = pltpu.make_async_copy(
                 out_vmem, out_hbm.at[:, pl.ds(row0, max_rows)], sem_o
