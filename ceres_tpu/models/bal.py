@@ -141,8 +141,10 @@ def perturb(bal: BALProblem, rotation_sigma=0.0, translation_sigma=0.0,
 
 
 def build_problem(bal: BALProblem, loss=None, use_huber=False) -> "tuple[Problem, list, list]":
-    """Build a ceres_tpu Problem; returns (problem, camera_arrays,
-    point_arrays) — the arrays are the live parameter blocks."""
+    """Build a ceres_tpu Problem with per-block adds (Ceres-style API);
+    returns (problem, camera_arrays, point_arrays) — the arrays are the
+    live parameter blocks. For large problems prefer
+    build_problem_batched."""
     cams = [np.ascontiguousarray(bal.cameras[i]) for i in range(bal.num_cameras)]
     pts = [np.ascontiguousarray(bal.points[j]) for j in range(bal.num_points)]
     if use_huber and loss is None:
@@ -156,3 +158,24 @@ def build_problem(bal: BALProblem, loss=None, use_huber=False) -> "tuple[Problem
             data=bal.observations[k],
         )
     return p, cams, pts
+
+
+def build_problem_batched(bal: BALProblem, loss=None, use_huber=False):
+    """Scale path: parameter block arrays + one batched residual add —
+    O(1) Python objects regardless of problem size. Returns
+    (problem, camera_array, point_array); results are written back into
+    the (num_cameras, 9) / (num_points, 3) arrays."""
+    if use_huber and loss is None:
+        loss = HuberLoss(1.0)
+    cam_values = np.ascontiguousarray(bal.cameras)
+    pt_values = np.ascontiguousarray(bal.points)
+    p = Problem()
+    cams = p.add_parameter_block_array(cam_values)
+    pts = p.add_parameter_block_array(pt_values)
+    p.add_residual_block_batch(
+        SNAVELY_COST,
+        loss,
+        [(cams, bal.camera_index), (pts, bal.point_index)],
+        data=bal.observations,
+    )
+    return p, cam_values, pt_values

@@ -87,20 +87,136 @@ class ResidualBlock:
         return self.cost.num_residuals
 
 
+class ParameterBlockArray:
+    """B same-sized parameter blocks stored as one (B, size) array — the
+    scale-native block container (no per-block Python objects). The whole
+    array shares one manifold and becomes one evaluation family."""
+
+    __slots__ = ("values", "B", "size", "manifold", "constant", "lower_bounds",
+                 "upper_bounds")
+
+    def __init__(self, values: np.ndarray, manifold: Optional[Manifold] = None):
+        if values.ndim != 2:
+            raise ValueError("parameter block array must be 2-D (B, size)")
+        if values.dtype != np.float64:
+            raise TypeError("parameter blocks must be float64")
+        if manifold is not None and manifold.ambient_size != values.shape[1]:
+            raise ValueError("manifold ambient size mismatch")
+        self.values = values
+        self.B = int(values.shape[0])
+        self.size = int(values.shape[1])
+        self.manifold = manifold
+        self.constant = False
+        self.lower_bounds = None  # (B, size) or None
+        self.upper_bounds = None
+
+
+@dataclasses.dataclass
+class BatchedResidualBlocks:
+    """B residual blocks of one kind added in one call: slot i references
+    rows `indices[i]` of a ParameterBlockArray."""
+
+    cost: CostFunction
+    loss: Optional[LossFunction]
+    slots: Tuple  # tuple of (ParameterBlockArray, np.ndarray indices (B,))
+    data: object  # stacked pytree with leading dim B, or None
+    rb_id: int
+    B: int
+
+
 class Problem:
     """Nonlinear least squares problem (problem.h:120 analog).
 
-    add_residual_block accepts either single blocks (Ceres style) or — the
-    TPU-batched fast path — `add_residual_blocks` with index arrays adding
-    thousands of same-kind blocks at once.
+    add_residual_block accepts single blocks (Ceres style); the TPU-scale
+    fast path is add_parameter_block_array + add_residual_block_batch,
+    which add thousands of same-kind blocks with zero per-block Python.
     """
 
     def __init__(self):
         self._ptr_to_block: Dict[int, ParameterBlock] = {}
         self._blocks: List[ParameterBlock] = []
+        self._block_arrays: List[ParameterBlockArray] = []
         self._residual_blocks: Dict[int, ResidualBlock] = {}
+        self._batched_residuals: Dict[int, BatchedResidualBlocks] = {}
         self._next_rb_id = 0
         self.structure_version = 0  # bump on any structural mutation
+
+    # -- batched fast path --------------------------------------------------
+
+    def add_parameter_block_array(
+        self, values: np.ndarray, manifold: Optional[Manifold] = None
+    ) -> ParameterBlockArray:
+        arr = ParameterBlockArray(np.asanyarray(values), manifold)
+        self._block_arrays.append(arr)
+        self._bump()
+        return arr
+
+    def set_parameter_block_array_constant(self, arr: ParameterBlockArray):
+        arr.constant = True
+        self._bump()
+
+    def set_parameter_block_array_bounds(self, arr: ParameterBlockArray,
+                                         lower=None, upper=None):
+        if lower is not None:
+            arr.lower_bounds = np.broadcast_to(lower, (arr.B, arr.size)).copy()
+        if upper is not None:
+            arr.upper_bounds = np.broadcast_to(upper, (arr.B, arr.size)).copy()
+        self._bump()
+
+    def add_residual_block_batch(
+        self,
+        cost: CostFunction,
+        loss: Optional[LossFunction],
+        slots,
+        data=None,
+    ) -> int:
+        """Add B same-kind residual blocks at once. `slots[i]` is
+        (ParameterBlockArray, indices (B,)); `data` leaves must have
+        leading dim B."""
+        sizes = cost.parameter_block_sizes
+        if len(slots) != len(sizes):
+            raise ValueError("slot count != cost function parameter blocks")
+        norm_slots = []
+        B = None
+        for (arr, idx), expected in zip(slots, sizes):
+            if not isinstance(arr, ParameterBlockArray):
+                raise TypeError("batched slots must reference ParameterBlockArray")
+            if arr.size != expected:
+                raise ValueError(
+                    f"array block size {arr.size} != cost function size {expected}"
+                )
+            idx = np.ascontiguousarray(idx, dtype=np.int64)
+            if B is None:
+                B = idx.shape[0]
+            elif idx.shape[0] != B:
+                raise ValueError("slot index arrays disagree on batch size")
+            if idx.size and (idx.min() < 0 or idx.max() >= arr.B):
+                raise ValueError("slot indices out of range")
+            norm_slots.append((arr, idx))
+        if data is not None:
+            import jax
+
+            for leaf in jax.tree_util.tree_leaves(data):
+                if np.shape(leaf)[0] != B:
+                    raise ValueError("data leading dimension != batch size")
+        rec = BatchedResidualBlocks(
+            cost=cost, loss=loss, slots=tuple(norm_slots), data=data,
+            rb_id=self._next_rb_id, B=B,
+        )
+        self._next_rb_id += 1
+        self._batched_residuals[rec.rb_id] = rec
+        self._bump()
+        return rec.rb_id
+
+    def remove_residual_block_batch(self, rb_id: int):
+        del self._batched_residuals[rb_id]
+        self._bump()
+
+    def batched_residual_blocks(self) -> List[BatchedResidualBlocks]:
+        return list(self._batched_residuals.values())
+
+    def parameter_block_arrays(self) -> List[ParameterBlockArray]:
+        return list(self._block_arrays)
 
     # -- parameter blocks ---------------------------------------------------
 
@@ -259,16 +375,22 @@ class Problem:
     # -- introspection ------------------------------------------------------
 
     def num_parameter_blocks(self) -> int:
-        return len(self._blocks)
+        return len(self._blocks) + sum(a.B for a in self._block_arrays)
 
     def num_parameters(self) -> int:
-        return sum(b.size for b in self._blocks)
+        return sum(b.size for b in self._blocks) + sum(
+            a.B * a.size for a in self._block_arrays
+        )
 
     def num_residual_blocks(self) -> int:
-        return len(self._residual_blocks)
+        return len(self._residual_blocks) + sum(
+            r.B for r in self._batched_residuals.values()
+        )
 
     def num_residuals(self) -> int:
-        return sum(rb.num_residuals() for rb in self._residual_blocks.values())
+        return sum(rb.num_residuals() for rb in self._residual_blocks.values()) + sum(
+            r.B * r.cost.num_residuals for r in self._batched_residuals.values()
+        )
 
     def parameter_blocks(self) -> List[ParameterBlock]:
         return list(self._blocks)

@@ -38,7 +38,11 @@ from .problem import ParameterBlock, Problem, ResidualBlock
 
 @dataclasses.dataclass
 class Family:
-    """Blocks sharing (ambient size, manifold); vmapped together."""
+    """Blocks sharing (ambient size, manifold); vmapped together.
+
+    Either a group of individual ParameterBlocks, or one
+    ParameterBlockArray (`array` set, `blocks` empty) — the zero-overhead
+    scale path."""
 
     manifold: Optional[Manifold]  # None => Euclidean fast path
     blocks: List[ParameterBlock]
@@ -48,6 +52,7 @@ class Family:
     tangent_offset: int = 0
     lower: Optional[np.ndarray] = None  # (num_var, asize) or None
     upper: Optional[np.ndarray] = None
+    array: object = None  # ParameterBlockArray or None
 
     @property
     def tsize(self) -> int:
@@ -57,6 +62,8 @@ class Family:
 
     @property
     def count(self) -> int:
+        if self.array is not None:
+            return self.array.B
         return len(self.blocks)
 
 
@@ -178,6 +185,43 @@ class CompiledProgram:
                     if b.upper_bounds is not None:
                         hi[i] = b.upper_bounds
                 fam.lower, fam.upper = lo, hi
+        # Array families (the batched fast path): appended after the
+        # individual-block families; referenced arrays only.
+        used_arrays = {}
+        for rec in problem.batched_residual_blocks():
+            for arr, _ in rec.slots:
+                used_arrays.setdefault(id(arr), arr)
+        self._array_family: Dict[int, Family] = {}
+        for arr in problem.parameter_block_arrays():
+            if id(arr) not in used_arrays:
+                continue
+            fam = Family(
+                manifold=arr.manifold,
+                blocks=[],
+                asize=arr.size,
+                num_var=0 if arr.constant else arr.B,
+                state_offset=state_off,
+                tangent_offset=tangent_off,
+                array=arr,
+            )
+            if not arr.constant and (
+                arr.lower_bounds is not None or arr.upper_bounds is not None
+            ):
+                fam.lower = (
+                    arr.lower_bounds
+                    if arr.lower_bounds is not None
+                    else np.full((arr.B, arr.size), -np.inf)
+                )
+                fam.upper = (
+                    arr.upper_bounds
+                    if arr.upper_bounds is not None
+                    else np.full((arr.B, arr.size), np.inf)
+                )
+            self.families.append(fam)
+            self._array_family[id(arr)] = fam
+            state_off += arr.B * arr.size
+            tangent_off += fam.num_var * fam.tsize
+
         self.state_size = state_off
         self.tangent_size = tangent_off
 
@@ -243,11 +287,62 @@ class CompiledProgram:
                 )
             )
             row_off += B * r
+
+        # Batched records: each is one Kind directly (zero per-block work).
+        self.batched_fixed = []  # all-constant batched records -> fixed cost
+        for rec in problem.batched_residual_blocks():
+            if all(arr.constant for arr, _ in rec.slots):
+                self.batched_fixed.append(rec)
+                continue
+            slots = []
+            for si, (arr, idx) in enumerate(rec.slots):
+                fam = self._array_family[id(arr)]
+                a = fam.asize
+                state_idx = (
+                    fam.state_offset + idx[:, None] * a + np.arange(a)[None, :]
+                ).astype(np.int32)
+                t = fam.tsize
+                if arr.constant:
+                    tangent_idx = np.full((rec.B, t), self.tangent_size, np.int32)
+                    any_var = False
+                else:
+                    tangent_idx = (
+                        fam.tangent_offset + idx[:, None] * t + np.arange(t)[None, :]
+                    ).astype(np.int32)
+                    any_var = True
+                slots.append(
+                    SlotPlan(
+                        family=fam,
+                        state_idx=state_idx,
+                        tangent_idx=tangent_idx,
+                        pos_in_family=idx.astype(np.int32),
+                        any_variable=any_var,
+                    )
+                )
+            data = None
+            if rec.data is not None:
+                data = jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(np.asarray(a)), rec.data
+                )
+            self.kinds.append(
+                Kind(
+                    cost=rec.cost,
+                    loss=rec.loss if self.apply_loss else None,
+                    rbs=[],
+                    slots=slots,
+                    data=data,
+                    row_offset=row_off,
+                    B=rec.B,
+                    r=rec.cost.num_residuals,
+                )
+            )
+            row_off += rec.B * rec.cost.num_residuals
+
         self.num_residuals = row_off
 
         # Fixed cost from all-constant residual blocks (program.cc:309).
         self.fixed_cost = 0.0
-        if fixed_rbs:
+        if fixed_rbs or self.batched_fixed:
             total = 0.0
             for rb in fixed_rbs:
                 params = [jnp.asarray(b.values) for b in rb.blocks]
@@ -258,6 +353,26 @@ class CompiledProgram:
                     total += 0.5 * float(rho0)
                 else:
                     total += 0.5 * s
+            for rec in self.batched_fixed:
+                params = tuple(
+                    jnp.asarray(arr.values[idx]) for arr, idx in rec.slots
+                )
+                data = (
+                    jax.tree_util.tree_map(jnp.asarray, rec.data)
+                    if rec.data is not None
+                    else None
+                )
+                fn = jax.vmap(
+                    lambda ps, d: rec.cost.residuals(list(ps), d),
+                    in_axes=((0,) * len(rec.slots), None if data is None else 0),
+                )
+                res = fn(params, data)
+                s = jnp.sum(res * res, axis=-1)
+                if self.apply_loss and rec.loss is not None:
+                    rho0, _, _ = rec.loss.evaluate(s)
+                    total += 0.5 * float(jnp.sum(rho0))
+                else:
+                    total += 0.5 * float(jnp.sum(s))
             self.fixed_cost = total
 
     # ---------------------------------------------------------------- state IO
@@ -265,8 +380,11 @@ class CompiledProgram:
     def initial_state(self) -> jax.Array:
         parts = []
         for fam in self.families:
-            for b in fam.blocks:
-                parts.append(b.values)
+            if fam.array is not None:
+                parts.append(fam.array.values.reshape(-1))
+            else:
+                for b in fam.blocks:
+                    parts.append(b.values)
         if not parts:
             return jnp.zeros((0,), dtype=jnp.float64)
         return jnp.asarray(np.concatenate(parts))
@@ -276,6 +394,12 @@ class CompiledProgram:
         xv = np.asarray(x)
         for fam in self.families:
             off = fam.state_offset
+            if fam.array is not None:
+                n = fam.array.B * fam.asize
+                fam.array.values[...] = xv[off : off + n].reshape(
+                    fam.array.B, fam.asize
+                )
+                continue
             for b in fam.blocks:
                 b.values[:] = xv[off : off + fam.asize]
                 off += fam.asize

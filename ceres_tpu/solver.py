@@ -152,7 +152,7 @@ def solve(options: Options, problem: Problem, summary: Optional[Summary] = None)
     summary.num_parameter_blocks_reduced = sum(f.count for f in program.families)
     summary.num_parameters_reduced = program.state_size
     summary.num_effective_parameters_reduced = program.tangent_size
-    summary.num_residual_blocks_reduced = len(program.active_rbs)
+    summary.num_residual_blocks_reduced = sum(k.B for k in program.kinds)
     summary.num_residuals_reduced = program.num_residuals
     summary.is_constrained = program.has_bounds()
 
