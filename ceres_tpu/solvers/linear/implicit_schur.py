@@ -101,24 +101,49 @@ def schur_jacobi_blocks(pm: pt.PartitionedMeta, values, sys: SchurSystem, D_f):
         _, e_nv, te, e_bid_off = pm.e_fams[efi]
         ebid = pm.idx(pm.e_bid_keys[k][e_slot])
         local_e = jnp.clip(ebid - e_bid_off, 0, e_nv)
-        minv = jnp.take(minv_blocks[efi], local_e, axis=0)  # (B, te, te)
         Je = values[k][e_slot]
         for s, slot in enumerate(kind.slots):
             key = pm.f_bid_keys[k][s]
             if key < 0 or not slot.any_variable:
                 continue
             Jf = values[k][s]
-            W = jnp.einsum("bre,brf->bef", Je, Jf)  # (B, te, tf)
-            corr = jnp.einsum("bef,beh,bhg->bfg", W, minv, W)
             ffi = part_f.index(slot.family_index)
             _, f_nv, tf, f_bid_off = pm.f_fams[ffi]
             fbid = pm.idx(key)
             local_f = fbid - f_bid_off
             tgt = jnp.where((local_f >= 0) & (local_f < f_nv), local_f, f_nv)
+            # Chunked accumulation: the per-observation (tf, tf) correction
+            # blocks would otherwise materialize as a (B, tf, tf) temp whose
+            # TPU tile padding explodes at scale (observed 25x -> HBM OOM on
+            # Venice-class problems).
+            B = Je.shape[0]
+            CH = 16384
+            nch = -(-B // CH)
+            pad = nch * CH - B
+
+            def pad0(a):
+                widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+                return jnp.pad(a, widths)
+
+            Je_c = pad0(Je).reshape(nch, CH, *Je.shape[1:])
+            Jf_c = pad0(Jf).reshape(nch, CH, *Jf.shape[1:])
+            le_c = pad0(local_e).reshape(nch, CH)
+            tgt_c = jnp.concatenate(
+                [tgt, jnp.full((pad,), f_nv, tgt.dtype)]
+            ).reshape(nch, CH)
+            minv_tab = minv_blocks[efi]
+
+            def chunk(acc, args):
+                je, jf, le, tg = args
+                minv = jnp.take(minv_tab, le, axis=0)
+                W = jnp.einsum("bre,brf->bef", je, jf)
+                corr = jnp.einsum("bef,beh,bhg->bfg", W, minv, W)
+                return acc.at[tg].add(-corr), None
+
             padded = jnp.concatenate(
-                [out_blocks[ffi], jnp.zeros((1, tf, tf), corr.dtype)], axis=0
+                [out_blocks[ffi], jnp.zeros((1, tf, tf), Je.dtype)], axis=0
             )
-            padded = padded.at[tgt].add(-corr)
+            padded, _ = jax.lax.scan(chunk, padded, (Je_c, Jf_c, le_c, tgt_c))
             out_blocks[ffi] = padded[:f_nv]
     return out_blocks
 
