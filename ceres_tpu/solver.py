@@ -250,7 +250,8 @@ def solve(options: Options, problem: Problem, summary: Optional[Summary] = None)
     # ---- Postprocess ------------------------------------------------------
     t_post = time.monotonic()
     program.write_state(np.asarray(x_final))
-    summary.final_cost = minimizer.x_cost
+    if np.isfinite(minimizer.x_cost):
+        summary.final_cost = minimizer.x_cost
     summary.postprocessor_time_in_seconds = time.monotonic() - t_post
     summary.total_time_in_seconds = time.monotonic() - t_start
     return summary

@@ -246,6 +246,7 @@ class TrustRegionMinimizer:
         summary = self.summary
         start = time.monotonic()
         self.x = x0
+        self.x_cost = float("nan")  # defined even if iteration zero fails
         strategy = LevenbergMarquardtStrategy(opts)
         if opts.trust_region_strategy_type.name == "DOGLEG":
             from .dogleg import DoglegStrategy
