@@ -203,6 +203,31 @@ def scale_columns(meta: BlockJacobianMeta, values, scale):
     return out
 
 
+
+
+def chunked_block_outer_accumulate(acc, V, tgt, chunk: int = 16384):
+    """acc.at[tgt].add(einsum('brc,brd->bcd', V, V)) without materializing
+    the full (B, t, t) outer-product temp (its TPU tile padding explodes
+    for small t; observed HBM OOM at Venice scale)."""
+    B = V.shape[0]
+    if B <= chunk:
+        return acc.at[tgt].add(jnp.einsum("brc,brd->bcd", V, V))
+    nch = -(-B // chunk)
+    pad = nch * chunk - B
+    Vp = jnp.pad(V, ((0, pad), (0, 0), (0, 0))).reshape(nch, chunk, *V.shape[1:])
+    sentinel = acc.shape[0] - 1
+    tp = jnp.concatenate([tgt, jnp.full((pad,), sentinel, tgt.dtype)]).reshape(
+        nch, chunk
+    )
+
+    def body(a, args):
+        v, tg = args
+        return a.at[tg].add(jnp.einsum("brc,brd->bcd", v, v)), None
+
+    acc, _ = jax.lax.scan(body, acc, (Vp, tp))
+    return acc
+
+
 def block_diag_jtj(meta: BlockJacobianMeta, values, D: Optional[jnp.ndarray] = None):
     """Per-variable-block (t, t) diagonal blocks of J'J (+ diag(D)^2).
 
@@ -218,7 +243,6 @@ def block_diag_jtj(meta: BlockJacobianMeta, values, D: Optional[jnp.ndarray] = N
             if not slot.any_variable:
                 continue
             V = values[k][s]
-            contrib = jnp.einsum("brc,brd->bcd", V, V)
             bid = meta.idx(slot.block_id_key)
             fi = slot.family_index
             f = meta.families[fi]
@@ -227,7 +251,7 @@ def block_diag_jtj(meta: BlockJacobianMeta, values, D: Optional[jnp.ndarray] = N
             # family's own sentinel row (num_var) so the add is branch-free.
             in_fam = (local >= 0) & (local < f.num_var)
             tgt = jnp.where(in_fam, local, f.num_var)
-            accs[fi] = accs[fi].at[tgt].add(contrib)
+            accs[fi] = chunked_block_outer_accumulate(accs[fi], V, tgt)
     out = []
     for fi, f in enumerate(meta.families):
         blk = accs[fi][: f.num_var]

@@ -208,13 +208,12 @@ def _block_diag(pm, values, D, idx_keys, bid_keys, fams, size):
             if key < 0 or not slot.any_variable:
                 continue
             V = values[k][s]
-            contrib = jnp.einsum("brc,brd->bcd", V, V)
             bid = pm.idx(key)
             fi = part_fams.index(slot.family_index)
             off, nv, t, bid_off = fams[fi]
             local = bid - bid_off
             tgt = jnp.where((local >= 0) & (local < nv), local, nv)
-            accs[fi] = accs[fi].at[tgt].add(contrib)
+            accs[fi] = bsr.chunked_block_outer_accumulate(accs[fi], V, tgt)
     out = []
     for i, (off, nv, t, _) in enumerate(fams):
         blk = accs[i][:nv]
