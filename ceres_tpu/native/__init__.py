@@ -52,6 +52,15 @@ def get_lib():
     lib.ct_chol_solve_multi.argtypes = [
         ctypes.c_int32, ctypes.c_int32, i64p, i32p, f64p, f64p,
     ]
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.ct_chol_numeric_f32.restype = ctypes.c_int32
+    lib.ct_chol_numeric_f32.argtypes = [
+        ctypes.c_int32, i64p, i32p, f64p, i64p, i32p, i32p, f32p,
+    ]
+    lib.ct_chol_solve_f32.restype = ctypes.c_int32
+    lib.ct_chol_solve_f32.argtypes = [ctypes.c_int32, i64p, i32p, f32p, f64p]
+    lib.ct_csr_matvec.restype = ctypes.c_int32
+    lib.ct_csr_matvec.argtypes = [ctypes.c_int32, i64p, i32p, f64p, f64p, f64p]
     _lib = lib
     return lib
 
@@ -127,3 +136,41 @@ class SparseCholesky:
         )
         out = flat.reshape(B.shape[1], self.n).T
         return out[self.iperm, :]
+
+
+class RefinedSparseCholesky:
+    """Mixed-precision sparse direct solve: fp32 factorization + fp64
+    iterative refinement — the reference's RefinedSparseCholesky +
+    SparseIterativeRefiner (sparse_cholesky.cc factory float variants,
+    iterative_refiner.h:61-94)."""
+
+    def __init__(self, n, indptr, indices, max_num_refinement_iterations: int = 3,
+                 use_ordering: bool = True):
+        self.base = SparseCholesky(n, indptr, indices, use_ordering)
+        self.max_iters = max_num_refinement_iterations
+        self.Lx32 = np.zeros(self.base.nnzL, np.float32)
+        # keep the (permuted) fp64 matrix values for residual computation
+        self._pvals = None
+
+    def factorize(self, values) -> bool:
+        b = self.base
+        pv = np.ascontiguousarray(np.asarray(values, np.float64)[b.value_perm])
+        self._pvals = pv
+        ret = b._lib.ct_chol_numeric_f32(
+            b.n, b.pindptr, b.pindices, pv, b.Lp, b.parent, b.Li, self.Lx32
+        )
+        return ret == 0
+
+    def solve(self, rhs) -> np.ndarray:
+        b = self.base
+        bp = np.ascontiguousarray(np.asarray(rhs, np.float64)[b.perm])
+        x = bp.copy()
+        b._lib.ct_chol_solve_f32(b.n, b.Lp, b.Li, self.Lx32, x)
+        tmp = np.zeros_like(x)
+        for _ in range(self.max_iters):
+            b._lib.ct_csr_matvec(b.n, b.pindptr, b.pindices, self._pvals, x, tmp)
+            resid = bp - tmp
+            corr = resid.copy()
+            b._lib.ct_chol_solve_f32(b.n, b.Lp, b.Li, self.Lx32, corr)
+            x = x + corr
+        return x[b.iperm]

@@ -135,44 +135,94 @@ int64_t ct_chol_symbolic(int32_t n, const int64_t* Ap, const int32_t* Ai,
 }
 
 // --------------------------------------------------------------------------
-// Numeric up-looking LL^T. Fills Li (int32, nnz) and Lx (double, nnz).
+// Numeric up-looking LL^T. Fills Li (int32, nnz) and Lx (Scalar, nnz).
 // Column j's entries are ordered: diagonal first, then rows in increasing
 // order of completion (rows k > j as they are processed).
 // Returns 0 on success, -(k+1) if the matrix is not positive definite at
-// row k.
+// row k. The float instantiation is the mixed-precision factorization
+// (the reference's Float* sparse cholesky variants, sparse_cholesky.cc
+// factory + iterative_refiner.h) — factor in fp32, refine in fp64.
 // --------------------------------------------------------------------------
-int32_t ct_chol_numeric(int32_t n, const int64_t* Ap, const int32_t* Ai,
-                        const double* Ax, const int64_t* Lp,
-                        const int32_t* parent, int32_t* Li, double* Lx) {
+}  // extern "C" (template below has C++ linkage)
+
+template <typename Scalar>
+static int32_t chol_numeric_impl(int32_t n, const int64_t* Ap,
+                                 const int32_t* Ai, const double* Ax,
+                                 const int64_t* Lp, const int32_t* parent,
+                                 int32_t* Li, Scalar* Lx) {
   std::vector<int32_t> w(n, -1), s(n);
   std::vector<int64_t> cursor(n);  // next free slot in column j (after diag)
-  std::vector<double> x(n, 0.0);
+  std::vector<Scalar> x(n, Scalar(0));
   for (int32_t j = 0; j < n; ++j) cursor[j] = Lp[j] + 1;
   for (int32_t k = 0; k < n; ++k) {
     // scatter A(0:k, k) into x; diagonal into d
-    double d = 0.0;
+    Scalar d = Scalar(0);
     int32_t top = ereach(n, Ap, Ai, k, parent, s.data(), w.data());
     for (int64_t p = Ap[k]; p < Ap[k + 1]; ++p) {
       int32_t i = Ai[p];
       if (i < k)
-        x[i] = Ax[p];
+        x[i] = Scalar(Ax[p]);
       else if (i == k)
-        d = Ax[p];
+        d = Scalar(Ax[p]);
     }
     // eliminate along the topological pattern
     for (int32_t t = top; t < n; ++t) {
       int32_t j = s[t];
-      double lkj = x[j] / Lx[Lp[j]];  // divide by L(j,j)
-      x[j] = 0.0;
+      Scalar lkj = x[j] / Lx[Lp[j]];  // divide by L(j,j)
+      x[j] = Scalar(0);
       for (int64_t p = Lp[j] + 1; p < cursor[j]; ++p) x[Li[p]] -= Lx[p] * lkj;
       d -= lkj * lkj;
       int64_t c = cursor[j]++;
       Li[c] = k;
       Lx[c] = lkj;
     }
-    if (d <= 0.0 || !std::isfinite(d)) return -(k + 1);
+    if (!(d > Scalar(0)) || !std::isfinite(double(d))) return -(k + 1);
     Li[Lp[k]] = k;
-    Lx[Lp[k]] = std::sqrt(d);
+    Lx[Lp[k]] = Scalar(std::sqrt(double(d)));
+  }
+  return 0;
+}
+
+extern "C" {
+
+int32_t ct_chol_numeric(int32_t n, const int64_t* Ap, const int32_t* Ai,
+                        const double* Ax, const int64_t* Lp,
+                        const int32_t* parent, int32_t* Li, double* Lx) {
+  return chol_numeric_impl<double>(n, Ap, Ai, Ax, Lp, parent, Li, Lx);
+}
+
+int32_t ct_chol_numeric_f32(int32_t n, const int64_t* Ap, const int32_t* Ai,
+                            const double* Ax, const int64_t* Lp,
+                            const int32_t* parent, int32_t* Li, float* Lx) {
+  return chol_numeric_impl<float>(n, Ap, Ai, Ax, Lp, parent, Li, Lx);
+}
+
+// fp32 factor solve used inside fp64 iterative refinement.
+int32_t ct_chol_solve_f32(int32_t n, const int64_t* Lp, const int32_t* Li,
+                          const float* Lx, double* b) {
+  std::vector<float> y(n);
+  for (int32_t i = 0; i < n; ++i) y[i] = float(b[i]);
+  for (int32_t j = 0; j < n; ++j) {
+    y[j] /= Lx[Lp[j]];
+    float yj = y[j];
+    for (int64_t p = Lp[j] + 1; p < Lp[j + 1]; ++p) y[Li[p]] -= Lx[p] * yj;
+  }
+  for (int32_t j = n - 1; j >= 0; --j) {
+    float sum = y[j];
+    for (int64_t p = Lp[j] + 1; p < Lp[j + 1]; ++p) sum -= Lx[p] * y[Li[p]];
+    y[j] = sum / Lx[Lp[j]];
+  }
+  for (int32_t i = 0; i < n; ++i) b[i] = double(y[i]);
+  return 0;
+}
+
+// Sparse symmetric matvec y = A x (CSR), for refinement residuals.
+int32_t ct_csr_matvec(int32_t n, const int64_t* Ap, const int32_t* Ai,
+                      const double* Ax, const double* x, double* y) {
+  for (int32_t i = 0; i < n; ++i) {
+    double acc = 0.0;
+    for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) acc += Ax[p] * x[Ai[p]];
+    y[i] = acc;
   }
   return 0;
 }

@@ -232,7 +232,11 @@ class BlockTrustRegionKernels:
         elif step_solver == "SPARSE_NORMAL_CHOLESKY":
             from .linear.sparse_normal import SparseNormalCholeskySolver
 
-            snc = SparseNormalCholeskySolver(meta)
+            snc = SparseNormalCholeskySolver(
+                meta,
+                use_mixed_precision=options.use_mixed_precision_solves,
+                max_num_refinement_iterations=options.max_num_refinement_iterations,
+            )
             self.sparse_solver = snc
             scale_fn = jax.jit(lambda values, scale: bsr.scale_columns(meta, values, scale))
 

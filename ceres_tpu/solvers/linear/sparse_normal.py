@@ -21,12 +21,22 @@ from ...types import LinearSolverTerminationType
 
 
 class SparseNormalCholeskySolver:
-    def __init__(self, meta: bsr.BlockJacobianMeta):
+    def __init__(self, meta: bsr.BlockJacobianMeta,
+                 use_mixed_precision: bool = False,
+                 max_num_refinement_iterations: int = 3):
         self.meta = meta
         self.ipc = InnerProductComputer(meta)
-        from ...native import SparseCholesky
+        if use_mixed_precision:
+            from ...native import RefinedSparseCholesky
 
-        self.chol = SparseCholesky(self.ipc.n, self.ipc.indptr, self.ipc.indices)
+            self.chol = RefinedSparseCholesky(
+                self.ipc.n, self.ipc.indptr, self.ipc.indices,
+                max_num_refinement_iterations=max(1, max_num_refinement_iterations),
+            )
+        else:
+            from ...native import SparseCholesky
+
+            self.chol = SparseCholesky(self.ipc.n, self.ipc.indptr, self.ipc.indices)
 
     def solve(self, values, residuals, D):
         """min ||J y - r||^2 + ||D y||^2; returns (y, termination)."""
