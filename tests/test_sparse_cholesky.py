@@ -116,3 +116,45 @@ def test_sparse_normal_cholesky_end_to_end():
     assert abs(s_sparse.final_cost - s_dense.final_cost) < 1e-10 * max(
         1.0, s_dense.final_cost
     )
+
+
+def test_refined_sparse_cholesky_matches_f64():
+    from ceres_tpu.native import RefinedSparseCholesky
+
+    n = 150
+    A = random_spd(n, seed=7)
+    r = RefinedSparseCholesky(n, A.indptr, A.indices, max_num_refinement_iterations=3)
+    assert r.factorize(A.data)
+    rng = np.random.default_rng(8)
+    b = rng.standard_normal(n)
+    x = r.solve(b)
+    np.testing.assert_allclose(A @ x, b, atol=1e-10)
+
+
+def test_refined_detects_indefinite():
+    from ceres_tpu.native import RefinedSparseCholesky
+
+    n = 30
+    A = random_spd(n, seed=9).tolil()
+    A[0, 0] = -1.0
+    A = A.tocsr()
+    A.sort_indices()
+    r = RefinedSparseCholesky(n, A.indptr, A.indices)
+    assert not r.factorize(A.data)
+
+
+def test_mixed_precision_sparse_end_to_end():
+    from ceres_tpu.models import pose_graph as pg
+
+    poses, cons, _ = pg.synthetic_2d(num_poses=40, loop_closures=6, noise=0.02, seed=2)
+    p, _ = pg.build_problem_2d(poses, cons)
+    s = ct.solve(
+        ct.Options(
+            linear_solver_type=ct.LinearSolverType.SPARSE_NORMAL_CHOLESKY,
+            use_mixed_precision_solves=True,
+            max_num_refinement_iterations=3,
+            max_num_iterations=100,
+        ),
+        p,
+    )
+    assert s.termination_type == ct.TerminationType.CONVERGENCE
