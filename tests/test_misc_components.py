@@ -148,3 +148,28 @@ def test_loss_function_wrapper_swap():
     wrapper.reset(None)  # trivial
     v2 = float(wrapper.evaluate(s)[0])
     assert v1 != v2 and v2 == 4.0
+
+
+def test_libmv_reader_and_solve():
+    import pathlib
+
+    from ceres_tpu.models import libmv
+
+    path = pathlib.Path("/root/reference/data/libmv-ba-problems/problem_01.bin")
+    if not path.exists():
+        import pytest
+
+        pytest.skip("libmv data not available")
+    lp = libmv.read_libmv_file(path)
+    assert lp.is_image_space
+    assert len(lp.cameras) == 333 and len(lp.points) == 26
+    assert len(lp.markers) == 5421
+    np.testing.assert_allclose(lp.intrinsics[0], 6313.19, rtol=1e-4)
+    p, cams, pts, intr = libmv.build_problem(lp)
+    s = ct.solve(
+        ct.Options(linear_solver_type=ct.LinearSolverType.SPARSE_SCHUR,
+                   max_num_iterations=12),
+        p,
+    )
+    assert s.is_solution_usable()
+    assert s.final_cost < s.initial_cost  # real refinement progress
