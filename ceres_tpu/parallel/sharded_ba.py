@@ -147,7 +147,10 @@ def lm_step(cams, pts, cam_idx, pt_idx, obs, radius, w=None, cg_iters: int = 10,
         cam_idx, pt_idx, cams.shape[0], pts.shape[0], segs
     )
 
-    # gradient and jacobi scaling
+    # gradient and jacobi scaling. Scaled column norms and the scaled RHS
+    # are elementwise functions of the unscaled reductions (col(Js)^2 =
+    # s^2 col(J)^2, Js^T r = s * J^T r), so only 4 reduction passes are
+    # needed, not 8.
     gc = reduce_c(jnp.einsum("bri,br->bi", Jc, r))
     gp = reduce_p(jnp.einsum("bri,br->bi", Jp, r))
     d2c = reduce_c(jnp.einsum("bri,bri->bi", Jc, Jc))
@@ -156,13 +159,13 @@ def lm_step(cams, pts, cam_idx, pt_idx, obs, radius, w=None, cg_iters: int = 10,
     sp = 1.0 / (1.0 + jnp.sqrt(d2p))
     Jc_s = Jc * sc[cam_idx][:, None, :]
     Jp_s = Jp * sp[pt_idx][:, None, :]
-    diag_c = jnp.clip(reduce_c(jnp.einsum("bri,bri->bi", Jc_s, Jc_s)), 1e-6, 1e32)
-    diag_p = jnp.clip(reduce_p(jnp.einsum("bri,bri->bi", Jp_s, Jp_s)), 1e-6, 1e32)
+    diag_c = jnp.clip(sc * sc * d2c, 1e-6, 1e32)
+    diag_p = jnp.clip(sp * sp * d2p, 1e-6, 1e32)
     D2c = diag_c / radius
     D2p = diag_p / radius
 
-    rhs_c = reduce_c(jnp.einsum("bri,br->bi", Jc_s, r))
-    rhs_p = reduce_p(jnp.einsum("bri,br->bi", Jp_s, r))
+    rhs_c = sc * gc
+    rhs_p = sp * gp
 
     # Jacobi-preconditioned CG on the scaled normal equations.
     Minv_c = 1.0 / (diag_c + D2c)
