@@ -283,6 +283,68 @@ def apply_block_diag_inverse(meta: BlockJacobianMeta, factors, v):
     return jnp.concatenate(outs) if outs else v
 
 
+# --------------------------------------------------------------------------
+# Args-mode operators: index arrays arrive as traced inputs (the sharded
+# path — CompiledProgram.make_args slots), so the same math runs under
+# GSPMD with the observation axis sharded; scatter targets are replicated
+# outputs, for which XLA inserts the psum (SURVEY.md §5.8).
+# --------------------------------------------------------------------------
+
+
+def right_multiply_args(kind_shapes, args, values, v):
+    """y = J v with traced per-kind indices. kind_shapes: list of (B, r)
+    AFTER padding (values leading dims). Rows are kind-major concat."""
+    vp = jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
+    outs = []
+    for k, (B, r) in enumerate(kind_shapes):
+        acc = None
+        for s, slot_args in enumerate(args[k]["slots"]):
+            seg = jnp.take(vp, slot_args["tangent_idx"])  # (B, t)
+            part = jnp.einsum("brt,bt->br", values[k][s], seg)
+            acc = part if acc is None else acc + part
+        if acc is None:
+            acc = jnp.zeros((B, r), vp.dtype)
+        outs.append(acc.reshape(-1))
+    return jnp.concatenate(outs)
+
+
+def left_multiply_args(kind_shapes, args, values, u, tangent_size):
+    """g = J^T u with traced indices; deterministic scatter-add."""
+    g = jnp.zeros((tangent_size + 1,), u.dtype)
+    off = 0
+    for k, (B, r) in enumerate(kind_shapes):
+        rows = u[off : off + B * r].reshape(B, r)
+        off += B * r
+        for s, slot_args in enumerate(args[k]["slots"]):
+            contrib = jnp.einsum("brt,br->bt", values[k][s], rows)
+            g = g.at[slot_args["tangent_idx"].reshape(-1)].add(contrib.reshape(-1))
+    return g[:tangent_size]
+
+
+def squared_column_norm_args(kind_shapes, args, values, tangent_size):
+    out = jnp.zeros((tangent_size + 1,), values[0][0].dtype)
+    for k, (B, r) in enumerate(kind_shapes):
+        for s, slot_args in enumerate(args[k]["slots"]):
+            V = values[k][s]
+            contrib = jnp.einsum("brt,brt->bt", V, V)
+            out = out.at[slot_args["tangent_idx"].reshape(-1)].add(
+                contrib.reshape(-1)
+            )
+    return out[:tangent_size]
+
+
+def scale_columns_args(args, values, scale):
+    sp = jnp.concatenate([scale, jnp.zeros((1,), scale.dtype)])
+    out = []
+    for k, slots in enumerate(values):
+        row = []
+        for s, V in enumerate(slots):
+            seg = jnp.take(sp, args[k]["slots"][s]["tangent_idx"])
+            row.append(V * seg[:, None, :])
+        out.append(row)
+    return out
+
+
 def to_dense(meta: BlockJacobianMeta, values):
     """Densify for testing (the reference test pattern: compare block ops
     against a dense Eigen computation, SURVEY.md §4.1)."""

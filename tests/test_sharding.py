@@ -76,3 +76,30 @@ def test_sharded_ba_reduces_cost():
     )
     st = sharded_ba.solve_ba(bp, num_iterations=8, mesh=sharded_ba.make_mesh(8))
     assert float(st.cost) < float(c0) / 10
+
+
+def test_fully_sharded_lm_matches_single_device():
+    """The whole trust-region inner math (eval + CGNR Krylov loop) sharded
+    over the mesh reaches the single-device final cost."""
+    from ceres_tpu.parallel.mesh import solve_sharded
+
+    def make():
+        b = bal.synthetic_bal(num_cameras=6, num_points=60, visibility=0.5,
+                              noise=0.2, seed=7)
+        bp = bal.perturb(b, 0.02, 0.1, 0.1)
+        return bal.build_problem_batched(bp)[0]
+
+    s_ref = ct.solve(
+        ct.Options(linear_solver_type=ct.LinearSolverType.CGNR,
+                   max_num_iterations=40),
+        make(),
+    )
+    s = solve_sharded(
+        ct.Options(linear_solver_type=ct.LinearSolverType.CGNR,
+                   max_num_iterations=40),
+        make(),
+        make_mesh(8),
+    )
+    assert s.termination_type == ct.TerminationType.CONVERGENCE
+    assert abs(s.final_cost - s_ref.final_cost) < 1e-4 * max(1.0, s_ref.final_cost)
+    assert s.num_devices == 8
