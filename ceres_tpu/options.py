@@ -74,6 +74,11 @@ class Options:
     parameter_tolerance: float = 1e-8
     jacobi_scaling: bool = True
 
+    # Residual/Jacobian evaluation precision: "float64" (reference parity,
+    # emulated on TPU) or "float32" (TPU-native; solver state and control
+    # flow stay fp64). BA-class problems tolerate fp32; NIST needs fp64.
+    evaluation_dtype: str = "float64"
+
     # Linear solver
     linear_solver_type: LinearSolverType = LinearSolverType.SPARSE_NORMAL_CHOLESKY
     preconditioner_type: PreconditionerType = PreconditionerType.JACOBI

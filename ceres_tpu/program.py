@@ -115,12 +115,32 @@ def _stack_data(rbs: List[ResidualBlock]):
 class CompiledProgram:
     """Static evaluation plan + jitted evaluators for a Problem snapshot."""
 
-    def __init__(self, problem: Problem, apply_loss: bool = True):
+    def __init__(self, problem: Problem, apply_loss: bool = True,
+                 compute_dtype: str = "float64"):
         self.problem = problem
         self.apply_loss = apply_loss
+        # "float32" evaluates residuals/Jacobians in fp32 (the TPU-native
+        # precision; fp64 is emulated) while the solver state and all
+        # host-side control flow stay fp64 — Options.evaluation_dtype.
+        self.compute_dtype = jnp.dtype(compute_dtype)
         self.structure_version = problem.structure_version
         self._fn_cache: Dict[str, object] = {}
         self._build()
+
+    def _cast_in(self, x):
+        if self.compute_dtype == jnp.float64:
+            return x
+        return x.astype(self.compute_dtype)
+
+    def _cast_data(self, data):
+        if data is None or self.compute_dtype == jnp.float64:
+            return data
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(self.compute_dtype)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+            else a,
+            data,
+        )
 
     # ------------------------------------------------------------------ build
 
@@ -479,6 +499,7 @@ class CompiledProgram:
         supports cost/gradient/block_jacs (batch sizes may be padded) but
         not the dense Jacobian layout."""
         assert args is None or not dense_jac
+        x = self._cast_in(x)
         total_cost = jnp.asarray(self.fixed_cost, dtype=jnp.float64)
         res_chunks = []
         T = self.tangent_size
@@ -497,13 +518,13 @@ class CompiledProgram:
                 state_idx = [sl["state_idx"] for sl in a["slots"]]
                 tangent_idx = [sl["tangent_idx"] for sl in a["slots"]]
                 pos_in_family = [sl["pos_in_family"] for sl in a["slots"]]
-                kdata = a["data"]
-                w = a["w"]
+                kdata = self._cast_data(a["data"])
+                w = self._cast_in(a["w"])
             else:
                 state_idx = [jnp.asarray(s.state_idx) for s in kind.slots]
                 tangent_idx = [jnp.asarray(s.tangent_idx) for s in kind.slots]
                 pos_in_family = [jnp.asarray(s.pos_in_family) for s in kind.slots]
-                kdata = kind.data
+                kdata = self._cast_data(kind.data)
                 w = None
             params = tuple(jnp.take(x, si) for si in state_idx)
             fn = self._vmapped_eval(kind, with_jac)

@@ -146,7 +146,7 @@ def solve(options: Options, problem: Problem, summary: Optional[Summary] = None)
             return summary
 
     # ---- Preprocess -------------------------------------------------------
-    program = CompiledProgram(problem)
+    program = CompiledProgram(problem, compute_dtype=options.evaluation_dtype)
     options._program = program  # for update_state_every_iteration
     summary.fixed_cost = program.fixed_cost
     summary.num_parameter_blocks_reduced = sum(f.count for f in program.families)

@@ -198,3 +198,23 @@ def test_rosenbrock_trust_region():
     s = ct.solve(ct.Options(max_num_iterations=200), p)
     assert s.final_cost < 1e-12
     np.testing.assert_allclose(xy, [1.0, 1.0], atol=1e-5)
+
+
+def test_evaluation_dtype_float32():
+    """f32 evaluation (TPU-native) reaches the f64 final cost within f32
+    tolerance on a BA problem; state stays f64."""
+    from ceres_tpu.models import bal
+
+    def make():
+        b = bal.synthetic_bal(num_cameras=6, num_points=50, visibility=0.5,
+                              noise=0.1, seed=3)
+        bp = bal.perturb(b, 0.01, 0.05, 0.05)
+        return bal.build_problem_batched(bp)[0]
+
+    s64 = ct.solve(ct.Options(linear_solver_type=ct.LinearSolverType.CGNR,
+                              max_num_iterations=40), make())
+    s32 = ct.solve(ct.Options(linear_solver_type=ct.LinearSolverType.CGNR,
+                              max_num_iterations=40,
+                              evaluation_dtype="float32"), make())
+    assert s32.is_solution_usable()
+    assert abs(s32.final_cost - s64.final_cost) < 1e-3 * max(1.0, s64.final_cost)
