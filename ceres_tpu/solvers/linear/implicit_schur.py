@@ -194,11 +194,19 @@ def iterative_schur_solve(
 
         precond = make_spse_preconditioner(pm, values, sys, D_f, spse_terms)
     elif preconditioner in ("CLUSTER_JACOBI", "CLUSTER_TRIDIAGONAL"):
-        from .preconditioners import make_cluster_preconditioner
-
-        precond = make_cluster_preconditioner(
-            cluster_structure, lambda: cluster_assembler(values, D_e, D_f)
+        from .preconditioners import (
+            make_cluster_preconditioner,
+            make_cluster_tridiagonal_preconditioner,
         )
+
+        if cluster_structure.chains is not None:
+            precond = make_cluster_tridiagonal_preconditioner(
+                cluster_structure, lambda: cluster_assembler(values, D_e, D_f)
+            )
+        else:
+            precond = make_cluster_preconditioner(
+                cluster_structure, lambda: cluster_assembler(values, D_e, D_f)
+            )
 
     x0 = jnp.zeros_like(sys.rhs)
     if use_spse_initialization:

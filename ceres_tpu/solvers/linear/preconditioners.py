@@ -56,34 +56,53 @@ def make_spse_preconditioner(pm, values, sys, D_f, num_terms: int):
 class ClusterStructure:
     """Host-side: camera->cluster membership + padded gather indices so the
     apply is one batched cho_solve. Supports CLUSTER_JACOBI (block diagonal
-    over clusters). CLUSTER_TRIDIAGONAL augments membership by merging
-    forest-edge cluster pairs into 'super clusters' before padding — the
-    padded-batch machinery then covers both."""
+    over clusters). For CLUSTER_TRIDIAGONAL pass the degree-2 forest edges:
+    the forest components are simple paths of clusters, recorded here as
+    `chains` so the preconditioner can run an exact batched
+    block-tridiagonal Cholesky along each path (the
+    visibility_based_preconditioner.cc:127-322 structure, factorized as a
+    lax.scan over chain position instead of a sparse factorization)."""
 
     def __init__(self, pm: pt.PartitionedMeta, membership: np.ndarray,
                  forest_edges: Optional[list] = None):
         self.pm = pm
-        if forest_edges:
-            # merge clusters connected by forest edges (tridiagonal support)
-            num_c = int(membership.max()) + 1
-            parent = np.arange(num_c)
-
-            def find(x):
-                while parent[x] != x:
-                    parent[x] = parent[parent[x]]
-                    x = parent[x]
-                return x
-
-            for (i, j) in forest_edges:
-                ri, rj = find(i), find(j)
-                if ri != rj:
-                    parent[ri] = rj
-            roots = {find(c) for c in range(num_c)}
-            remap = {r: k for k, r in enumerate(sorted(roots))}
-            membership = np.asarray(
-                [remap[find(int(c))] for c in membership], np.int32
-            )
+        # canonicalize membership ids to 0..C-1 (positional == id below)
+        membership = np.asarray(membership, np.int64)
+        uniq, membership = np.unique(membership, return_inverse=True)
+        if forest_edges is not None:
+            remap = {int(u): i for i, u in enumerate(uniq)}
+            forest_edges = [
+                (remap[int(i)], remap[int(j)])
+                for (i, j) in forest_edges
+                if int(i) in remap and int(j) in remap
+            ]
         self.membership = membership
+        self.chains = None
+        if forest_edges is not None:
+            # Forest components under the degree<=2 constraint are simple
+            # paths; walk each from an endpoint (lowest degree first).
+            num_c = len(uniq)
+            adj: List[List[int]] = [[] for _ in range(num_c)]
+            for (i, j) in forest_edges:
+                adj[i].append(j)
+                adj[j].append(i)
+            visited = [False] * num_c
+            chains = []
+            for c in sorted(range(num_c), key=lambda c: len(adj[c])):
+                if visited[c]:
+                    continue
+                chain = [c]
+                visited[c] = True
+                cur = c
+                while True:
+                    nxt = [x for x in adj[cur] if not visited[x]]
+                    if not nxt:
+                        break
+                    cur = nxt[0]
+                    visited[cur] = True
+                    chain.append(cur)
+                chains.append(chain)
+            self.chains = chains
         # Build per-cluster tangent index lists over the f-partition.
         # Assumes a single f-family (cameras); general multi-family support
         # falls back to family-diagonal grouping.
@@ -113,6 +132,18 @@ class ClusterStructure:
             M[ci, : idx.size] = 1.0
         self.gather = G
         self.mask = M
+        if self.chains is not None:
+            # cluster -> predecessor cluster along its chain (-1 for heads),
+            # plus a (num_chains, max_len) cluster-id table (sentinel C).
+            self.parent_of = np.full(C, -1, np.int64)
+            K = max(len(ch) for ch in self.chains) if self.chains else 1
+            cg = np.full((max(len(self.chains), 1), K), C, np.int64)
+            for q, ch in enumerate(self.chains):
+                for k, c in enumerate(ch):
+                    cg[q, k] = c
+                    if k:
+                        self.parent_of[c] = ch[k - 1]
+            self.chain_clusters = cg
 
 
 def make_cluster_preconditioner(cs: ClusterStructure, s_dense_blocks_fn):
@@ -132,6 +163,90 @@ def make_cluster_preconditioner(cs: ClusterStructure, s_dense_blocks_fn):
         sol = sol * M
         out = jnp.zeros((f_size + 1,), v.dtype)
         out = out.at[G.reshape(-1)].add(sol.reshape(-1))
+        return out[:f_size]
+
+    return apply
+
+
+def make_cluster_tridiagonal_preconditioner(cs: ClusterStructure, blocks_fn):
+    """Exact CLUSTER_TRIDIAGONAL apply: batched block-tridiagonal Cholesky
+    along the cluster chains (visibility_based_preconditioner.cc:438-504's
+    sparse factorization of the within-cluster + forest-edge restriction of
+    S), as two lax.scans over chain position — every chain factorizes in
+    lock-step on device.
+
+    blocks_fn() -> (D, O): D (C, m, m) diagonal cluster blocks (already
+    damped + identity-padded), O (C, m, m) with O[c] = S[c, parent(c)]
+    (zero for chain heads). The restriction of an SPD matrix to a
+    tridiagonal block pattern can be indefinite; on factorization failure
+    falls back to the (always-SPD) cluster-Jacobi factors."""
+    D_blocks, O_blocks = blocks_fn()
+    C = len(cs.cluster_indices)
+    m = cs.max_dim
+    Q, K = cs.chain_clusters.shape
+    cg = jnp.asarray(cs.chain_clusters)  # (Q, K), sentinel C
+    dt = D_blocks.dtype
+    Dp = jnp.concatenate([D_blocks, jnp.eye(m, dtype=dt)[None]], axis=0)
+    Op = jnp.concatenate([O_blocks, jnp.zeros((1, m, m), dt)], axis=0)
+    Dc = jnp.swapaxes(jnp.take(Dp, cg, axis=0), 0, 1)  # (K, Q, m, m)
+    Oc = jnp.swapaxes(jnp.take(Op, cg, axis=0), 0, 1)
+
+    def fact(L_prev, DO):
+        Dk, Ok = DO
+        # L_{k,k-1} = O_k L_{k-1}^{-T}; O_k = 0 at heads/padding -> X = 0.
+        Y = jax.scipy.linalg.solve_triangular(
+            L_prev, jnp.swapaxes(Ok, -1, -2), lower=True
+        )
+        Xk = jnp.swapaxes(Y, -1, -2)
+        Lk = jnp.linalg.cholesky(Dk - Xk @ jnp.swapaxes(Xk, -1, -2))
+        return Lk, (Lk, Xk)
+
+    eyeQ = jnp.broadcast_to(jnp.eye(m, dtype=dt), (Q, m, m))
+    _, (L, X) = jax.lax.scan(fact, eyeQ, (Dc, Oc))  # (K, Q, m, m)
+    ok = jnp.isfinite(L).all() & jnp.isfinite(X).all()
+    L_jac = jnp.swapaxes(
+        jnp.take(jnp.linalg.cholesky(Dp), cg, axis=0), 0, 1
+    )
+    L = jnp.where(ok, L, L_jac)
+    X = jnp.where(ok, X, jnp.zeros_like(X))
+    X_next = jnp.concatenate([X[1:], jnp.zeros_like(X[:1])], axis=0)
+
+    gp = np.concatenate(
+        [cs.gather, np.full((1, m), cs.pm.f_size, np.int32)], axis=0
+    )
+    mp = np.concatenate([cs.mask, np.zeros((1, m))], axis=0)
+    G3 = jnp.asarray(gp)[cg]  # (Q, K, m)
+    M3 = jnp.asarray(mp)[cg]
+    f_size = cs.pm.f_size
+
+    def apply(v):
+        vp = jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
+        b = jnp.swapaxes(jnp.take(vp, G3), 0, 1)  # (K, Q, m)
+
+        def fwd(y_prev, inp):
+            Lk, Xk, bk = inp
+            r = bk - jnp.einsum("qij,qj->qi", Xk, y_prev)
+            yk = jax.scipy.linalg.solve_triangular(
+                Lk, r[..., None], lower=True
+            )[..., 0]
+            return yk, yk
+
+        _, y = jax.lax.scan(fwd, jnp.zeros((Q, m), v.dtype), (L, X, b))
+
+        def bwd(x_next, inp):
+            Lk, Xn, yk = inp
+            r = yk - jnp.einsum("qji,qj->qi", Xn, x_next)
+            xk = jax.scipy.linalg.solve_triangular(
+                Lk, r[..., None], trans="T", lower=True
+            )[..., 0]
+            return xk, xk
+
+        _, xs = jax.lax.scan(
+            bwd, jnp.zeros((Q, m), v.dtype), (L, X_next, y), reverse=True
+        )
+        x = jnp.swapaxes(xs, 0, 1) * M3  # (Q, K, m)
+        out = jnp.zeros((f_size + 1,), v.dtype)
+        out = out.at[G3.reshape(-1)].add(x.reshape(-1))
         return out[:f_size]
 
     return apply
@@ -160,6 +275,12 @@ class ClusterBlockAssembler:
             loc_offset[idx] = np.arange(idx.size)
         C = len(cs.cluster_indices)
         m = cs.max_dim
+        self.tridiagonal = cs.chains is not None
+        if self.tridiagonal:
+            # padded parent map; -2 sentinel never matches a cluster id
+            parent_p = np.full(C + 1, -2, np.int64)
+            parent_p[:C] = cs.parent_of
+
         # flat target position in a (C+1, m, m) padded accumulator
         def entry_positions(i1, i2):
             """i1 (B, t1), i2 (B, t2) f-local tangent indices -> flat
@@ -178,20 +299,49 @@ class ClusterBlockAssembler:
             )
             return pos.astype(np.int64)
 
+        def offdiag_positions(i1, i2):
+            """Positions in a second (C+1, m, m) accumulator holding the
+            chain-edge blocks O_c = S[c, parent(c)] (one per non-head
+            cluster): pair contributes when cluster(i1)'s chain parent is
+            cluster(i2). Both orientations of every camera pair are
+            enumerated upstream, so each entry lands exactly once."""
+            if not self.tridiagonal:
+                return None
+            c1 = loc_cluster[i1]
+            c2 = loc_cluster[i2]
+            o1 = loc_offset[i1]
+            o2 = loc_offset[i2]
+            hit = parent_p[c1][:, :, None] == c2[:, None, :]
+            pos = np.where(
+                hit,
+                c1[:, :, None] * m * m + o1[:, :, None] * m + o2[:, None, :],
+                C * m * m,
+            )
+            if np.all(pos == C * m * m):
+                return None
+            return pos.astype(np.int64)
+
+        def maybe(pos):
+            return None if pos is None or np.all(pos == C * m * m) else pos
+
         self._ftf = []
         for (k, s1, s2) in ftf_pairs:
             i1 = meta.arrays[pm.f_idx_keys[k][s1]]
             i2 = meta.arrays[pm.f_idx_keys[k][s2]]
-            self._ftf.append((k, s1, s2, entry_positions(i1, i2)))
+            pos_d = maybe(entry_positions(i1, i2))
+            pos_o = offdiag_positions(i1, i2)
+            if pos_d is None and pos_o is None:
+                continue
+            self._ftf.append((k, s1, s2, pos_d, pos_o))
         self._pairs = []
         for (k1, s1, k2, s2), (ia, ib, eb) in pair_buckets.items():
             i1 = meta.arrays[pm.f_idx_keys[k1][s1]][ia]
             i2 = meta.arrays[pm.f_idx_keys[k2][s2]][ib]
-            pos = entry_positions(i1, i2)
-            # drop all-padding buckets early
-            if np.all(pos == C * m * m):
+            pos_d = maybe(entry_positions(i1, i2))
+            pos_o = offdiag_positions(i1, i2)
+            if pos_d is None and pos_o is None:
                 continue
-            self._pairs.append((k1, s1, k2, s2, ia, ib, eb, pos))
+            self._pairs.append((k1, s1, k2, s2, ia, ib, eb, pos_d, pos_o))
         self.C = C
         self.m = m
         self._jit = jax.jit(self._impl)
@@ -215,12 +365,18 @@ class ClusterBlockAssembler:
             )
 
         acc = jnp.zeros((C * m * m + 1,))
-        for (k, s1, s2, pos) in self._ftf:
+        acc_o = jnp.zeros((C * m * m + 1,)) if self.tridiagonal else None
+        for (k, s1, s2, pos_d, pos_o) in self._ftf:
             V1 = values[k][s1]
             V2 = values[k][s2]
             contrib = jnp.einsum("brc,brd->bcd", V1, V2)
-            acc = acc.at[jnp.asarray(pos).reshape(-1)].add(contrib.reshape(-1))
-        for (k1, s1, k2, s2, ia, ib, eb, pos) in self._pairs:
+            if pos_d is not None:
+                acc = acc.at[jnp.asarray(pos_d).reshape(-1)].add(contrib.reshape(-1))
+            if pos_o is not None:
+                acc_o = acc_o.at[jnp.asarray(pos_o).reshape(-1)].add(
+                    contrib.reshape(-1)
+                )
+        for (k1, s1, k2, s2, ia, ib, eb, pos_d, pos_o) in self._pairs:
             e1 = self._e_slot_of_kind[k1]
             Je_a = jnp.take(values[k1][e1], jnp.asarray(ia), axis=0)
             Jf_a = jnp.take(values[k1][s1], jnp.asarray(ia), axis=0)
@@ -236,7 +392,12 @@ class ClusterBlockAssembler:
             Wa = jnp.einsum("pre,prf->pef", Je_a, Jf_a)
             Wb = jnp.einsum("pre,prf->pef", Je_b, Jf_b)
             corr = jnp.einsum("pef,peh,phg->pfg", Wa, Minv, Wb)
-            acc = acc.at[jnp.asarray(pos).reshape(-1)].add((-corr).reshape(-1))
+            if pos_d is not None:
+                acc = acc.at[jnp.asarray(pos_d).reshape(-1)].add((-corr).reshape(-1))
+            if pos_o is not None:
+                acc_o = acc_o.at[jnp.asarray(pos_o).reshape(-1)].add(
+                    (-corr).reshape(-1)
+                )
         blocks = acc[:-1].reshape(C, m, m)
         # D_f^2 on the diagonal + identity on padding rows/cols
         Dp = jnp.concatenate([D_f, jnp.zeros((1,))])
@@ -245,6 +406,8 @@ class ClusterBlockAssembler:
         diag = dseg * dseg * M + (1.0 - M)
         blocks = blocks + jax.vmap(jnp.diag)(diag)
         blocks = 0.5 * (blocks + jnp.transpose(blocks, (0, 2, 1)))
+        if self.tridiagonal:
+            return blocks, acc_o[:-1].reshape(C, m, m)
         return blocks
 
     def __call__(self, values, D_e, D_f):
