@@ -1,7 +1,7 @@
 """Native (C++) host components, built on demand with g++ and bound via
 ctypes — the role pybind11'd vendor libraries play in the reference.
 
-Currently: simplicial sparse Cholesky with RCM ordering
+Currently: simplicial sparse Cholesky with minimum-degree/RCM ordering
 (sparse_cholesky.cc), replacing the reference's CHOLMOD/Eigen/cuDSS
 backends (sparse_cholesky.cc:46-118 factory).
 """
@@ -40,6 +40,8 @@ def get_lib():
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
     lib.ct_rcm.restype = ctypes.c_int32
     lib.ct_rcm.argtypes = [ctypes.c_int32, i64p, i32p, i32p]
+    lib.ct_mindeg.restype = ctypes.c_int32
+    lib.ct_mindeg.argtypes = [ctypes.c_int32, i64p, i32p, i32p]
     lib.ct_chol_symbolic.restype = ctypes.c_int64
     lib.ct_chol_symbolic.argtypes = [ctypes.c_int32, i64p, i32p, i64p, i32p]
     lib.ct_chol_numeric.restype = ctypes.c_int32
@@ -69,8 +71,9 @@ class SparseCholesky:
     """Cached-symbolic sparse Cholesky (sparse_cholesky.h:73-112 interface:
     Factorize-with-reused-symbolic + Solve).
 
-    Input: full symmetric CSR. A fill-reducing RCM permutation is computed
-    once; numeric refactorization reuses the symbolic analysis.
+    Input: full symmetric CSR. Fill-reducing permutations (quotient-graph
+    minimum degree and RCM) are analyzed once and the lower-fill one kept;
+    numeric refactorization reuses the symbolic analysis.
     """
 
     def __init__(self, n, indptr, indices, use_ordering: bool = True):
@@ -78,16 +81,33 @@ class SparseCholesky:
         self.n = int(n)
         indptr = np.ascontiguousarray(indptr, np.int64)
         indices = np.ascontiguousarray(indices, np.int32)
+        candidates = []
         if use_ordering and self.n > 1:
-            perm = np.zeros(self.n, np.int32)
-            lib.ct_rcm(self.n, indptr, indices, perm)
+            for fn in (lib.ct_mindeg, lib.ct_rcm):
+                perm = np.zeros(self.n, np.int32)
+                fn(self.n, indptr, indices, perm)
+                candidates.append(perm)
         else:
-            perm = np.arange(self.n, dtype=np.int32)
-        self.perm = perm  # perm[new] = old
-        self.iperm = np.argsort(perm).astype(np.int32)
-        # Permute the pattern: A'[iperm[i], iperm[j]] = A[i, j].
+            candidates.append(np.arange(self.n, dtype=np.int32))
+        # Run the symbolic analysis per candidate ordering; keep the lowest
+        # fill (minimum degree usually wins; RCM covers its pathologies).
+        best = None
+        for perm in candidates:
+            sym = self._symbolic(lib, perm, indptr, indices)
+            if best is None or sym[-1] < best[-1]:
+                best = (perm,) + sym
+        (self.perm, self.iperm, self.pindptr, self.pindices, self.value_perm,
+         self.Lp, self.parent, self.nnzL) = best
+        self.Li = np.zeros(self.nnzL, np.int32)
+        self.Lx = np.zeros(self.nnzL, np.float64)
+        self._lib = lib
+
+    def _symbolic(self, lib, perm, indptr, indices):
+        """Permute the pattern (A'[iperm[i], iperm[j]] = A[i, j]) and run
+        the symbolic factorization. Returns the per-ordering state tuple."""
         import scipy.sparse as sp
 
+        iperm = np.argsort(perm).astype(np.int32)
         nnz = indices.shape[0]
         # 1-based positions so scipy cannot prune the entry at position 0.
         A = sp.csr_matrix(
@@ -95,23 +115,18 @@ class SparseCholesky:
             shape=(self.n, self.n),
         )
         P = sp.csr_matrix(
-            (np.ones(self.n), (self.iperm, np.arange(self.n))), shape=(self.n, self.n)
+            (np.ones(self.n), (iperm, np.arange(self.n))), shape=(self.n, self.n)
         )
         Ap_perm = (P @ A @ P.T).tocsr()
         Ap_perm.sort_indices()
-        self.pindptr = np.ascontiguousarray(Ap_perm.indptr, np.int64)
-        self.pindices = np.ascontiguousarray(Ap_perm.indices, np.int32)
+        pindptr = np.ascontiguousarray(Ap_perm.indptr, np.int64)
+        pindices = np.ascontiguousarray(Ap_perm.indices, np.int32)
         # value permutation: position k in permuted values = original position
-        self.value_perm = np.ascontiguousarray(Ap_perm.data, np.int64) - 1
-        # symbolic
-        self.Lp = np.zeros(self.n + 1, np.int64)
-        self.parent = np.zeros(self.n, np.int32)
-        self.nnzL = int(
-            lib.ct_chol_symbolic(self.n, self.pindptr, self.pindices, self.Lp, self.parent)
-        )
-        self.Li = np.zeros(self.nnzL, np.int32)
-        self.Lx = np.zeros(self.nnzL, np.float64)
-        self._lib = lib
+        value_perm = np.ascontiguousarray(Ap_perm.data, np.int64) - 1
+        Lp = np.zeros(self.n + 1, np.int64)
+        parent = np.zeros(self.n, np.int32)
+        nnzL = int(lib.ct_chol_symbolic(self.n, pindptr, pindices, Lp, parent))
+        return (iperm, pindptr, pindices, value_perm, Lp, parent, nnzL)
 
     def factorize(self, values) -> bool:
         """Numeric factorization; returns False if not positive definite."""

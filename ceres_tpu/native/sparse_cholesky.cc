@@ -1,4 +1,6 @@
-// Simplicial sparse Cholesky (LL^T) with RCM fill-reducing ordering.
+// Simplicial sparse Cholesky (LL^T) with fill-reducing ordering
+// (quotient-graph minimum degree + RCM; the caller keeps whichever
+// symbolic analysis shows less fill).
 //
 // Native host-side replacement for the vendor sparse-direct libraries the
 // reference plugs in (/root/reference/internal/ceres/sparse_cholesky.{h,cc}
@@ -70,6 +72,104 @@ int ct_rcm(int32_t n, const int64_t* Ap, const int32_t* Ai, int32_t* perm) {
   }
   // reverse
   for (int32_t i = 0; i < n; ++i) perm[i] = order[n - 1 - i];
+  return 0;
+}
+
+// --------------------------------------------------------------------------
+// Minimum-degree ordering on the quotient graph (Davis ch. 7 /
+// George-Liu MMD family; exact external degrees, element absorption).
+// perm[new] = old. The reference reaches the same class of orderings
+// through CHOLMOD/CCOLAMD (reorder_program.cc); fill on grid-like SLAM
+// Schur complements is far lower than RCM's.
+// --------------------------------------------------------------------------
+int ct_mindeg(int32_t n, const int64_t* Ap, const int32_t* Ai, int32_t* perm) {
+  std::vector<std::vector<int32_t>> adjA(n);   // variable-variable edges
+  std::vector<std::vector<int32_t>> adjE(n);   // elements touching variable
+  std::vector<std::vector<int32_t>> elem(n);   // element vertex lists
+  std::vector<char> elim(n, 0), absorbed(n, 0);
+  // two mark workspaces: `mark` holds the current element's vertex set
+  // (stable across the whole update loop), `mark2` is scratch for the
+  // per-vertex degree computation.
+  std::vector<int32_t> mark(n, -1), mark2(n, -1), degree(n);
+  for (int32_t i = 0; i < n; ++i) {
+    adjA[i].reserve(Ap[i + 1] - Ap[i]);
+    for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) {
+      int32_t j = Ai[p];
+      if (j != i && j >= 0 && j < n) adjA[i].push_back(j);
+    }
+    std::sort(adjA[i].begin(), adjA[i].end());
+    adjA[i].erase(std::unique(adjA[i].begin(), adjA[i].end()), adjA[i].end());
+    degree[i] = int32_t(adjA[i].size());
+  }
+  // min-heap with lazy invalidation by degree stamp
+  using Entry = std::pair<int32_t, int32_t>;  // (degree, node)
+  std::priority_queue<Entry, std::vector<Entry>, std::greater<Entry>> heap;
+  for (int32_t i = 0; i < n; ++i) heap.push({degree[i], i});
+  int32_t ver = 0, ver2 = 0;
+  std::vector<int32_t> Lv;
+  for (int32_t step = 0; step < n; ++step) {
+    int32_t k = -1;
+    while (!heap.empty()) {
+      Entry e = heap.top();
+      heap.pop();
+      if (!elim[e.second] && degree[e.second] == e.first) {
+        k = e.second;
+        break;
+      }
+    }
+    if (k < 0) {  // defensive: pick any remaining
+      for (int32_t i = 0; i < n; ++i)
+        if (!elim[i]) { k = i; break; }
+    }
+    perm[step] = k;
+    elim[k] = 1;
+    // L_k = (A_k  U  union of adjacent elements) \ eliminated
+    ++ver;
+    mark[k] = ver;
+    Lv.clear();
+    for (int32_t v : adjA[k])
+      if (!elim[v] && mark[v] != ver) { mark[v] = ver; Lv.push_back(v); }
+    for (int32_t e : adjE[k]) {
+      if (absorbed[e]) continue;
+      for (int32_t v : elem[e])
+        if (!elim[v] && mark[v] != ver) { mark[v] = ver; Lv.push_back(v); }
+      absorbed[e] = 1;           // element absorption
+      elem[e].clear();
+      elem[e].shrink_to_fit();
+    }
+    adjA[k].clear();
+    adjA[k].shrink_to_fit();
+    adjE[k].clear();
+    adjE[k].shrink_to_fit();
+    elem[k] = Lv;                // reuse the variable id as the element id
+    // update each vertex of the new element
+    for (int32_t v : Lv) {
+      // prune variable edges now covered by element k (members of Lv are
+      // marked with the current version) and stale element references
+      auto& av = adjA[v];
+      size_t w = 0;
+      for (int32_t u : av)
+        if (!elim[u] && mark[u] != ver) av[w++] = u;
+      av.resize(w);
+      auto& ev = adjE[v];
+      w = 0;
+      for (int32_t e : ev)
+        if (!absorbed[e]) ev[w++] = e;
+      ev.resize(w);
+      ev.push_back(k);
+      // exact external degree: |A_v  U  union of elements| \ {v}
+      ++ver2;
+      mark2[v] = ver2;
+      int32_t d = 0;
+      for (int32_t u : av)
+        if (mark2[u] != ver2) { mark2[u] = ver2; ++d; }
+      for (int32_t e : ev)
+        for (int32_t u : elem[e])
+          if (!elim[u] && mark2[u] != ver2) { mark2[u] = ver2; ++d; }
+      degree[v] = d;
+      heap.push({d, v});
+    }
+  }
   return 0;
 }
 
