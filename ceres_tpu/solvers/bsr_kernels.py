@@ -179,6 +179,9 @@ class BlockTrustRegionKernels:
                 cluster_structure, cluster_assembler = _build_cluster(
                     pm, options, tridiagonal=(pname == "CLUSTER_TRIDIAGONAL")
                 )
+            from ..ops.flatops import FlatSchurOps
+
+            flat_ops = FlatSchurOps(pm)
 
             @jax.jit
             def compute_step(values, residuals, scale, diagonal, radius):
@@ -198,6 +201,7 @@ class BlockTrustRegionKernels:
                     cluster_structure=cluster_structure,
                     use_spse_initialization=options.use_spse_initialization,
                     spse_init_terms=options.max_num_spse_iterations,
+                    flat_ops=flat_ops,
                 )
                 step = -y
                 model_residuals = bsr.right_multiply(meta, vs, step)

@@ -173,18 +173,30 @@ def iterative_schur_solve(
     cluster_structure=None,
     use_spse_initialization: bool = False,
     spse_init_terms: int = 5,
+    flat_ops=None,
 ):
     """Full ITERATIVE_SCHUR step: eliminate -> PCG on S -> back substitute
     (iterative_schur_complement_solver.cc:64 incl. CreatePreconditioner and
     the optional SPSE initial guess, linear_solver.h:174-183).
+
+    When `flat_ops` (ops/flatops.FlatSchurOps) is given, the CG-resident
+    S product runs on flattened 2-D layouts with block-row gathers — ~8x
+    faster per iteration on TPU than the per-element rank-3 path.
 
     Returns (x_global_tangent, CGResult)."""
     D_e = pt.extract_e(pm, D)
     D_f = pt.extract_f(pm, D)
     sys = build_schur_system(pm, values, b, D_e)
 
-    def lhs(z):
-        return schur_multiply(pm, values, sys, D_f, z)
+    if flat_ops is not None and flat_ops.supported:
+        vflat = flat_ops.flatten(values)
+        minv_flats = flat_ops.minv_flatten(sys.ete_factors)
+
+        def lhs(z):
+            return flat_ops.schur_multiply(vflat, minv_flats, D_f, z)
+    else:
+        def lhs(z):
+            return schur_multiply(pm, values, sys, D_f, z)
 
     precond = None
     if preconditioner == "SCHUR_JACOBI":
@@ -192,7 +204,9 @@ def iterative_schur_solve(
     elif preconditioner == "SCHUR_POWER_SERIES_EXPANSION":
         from .preconditioners import make_spse_preconditioner
 
-        precond = make_spse_preconditioner(pm, values, sys, D_f, spse_terms)
+        precond = make_spse_preconditioner(
+            pm, values, sys, D_f, spse_terms, multiply_fn=lhs
+        )
     elif preconditioner in ("CLUSTER_JACOBI", "CLUSTER_TRIDIAGONAL"):
         from .preconditioners import (
             make_cluster_preconditioner,
@@ -212,7 +226,9 @@ def iterative_schur_solve(
     if use_spse_initialization:
         from .preconditioners import make_spse_preconditioner
 
-        spse = make_spse_preconditioner(pm, values, sys, D_f, spse_init_terms)
+        spse = make_spse_preconditioner(
+            pm, values, sys, D_f, spse_init_terms, multiply_fn=lhs
+        )
         x0 = spse(sys.rhs)
 
     res = conjugate_gradients(

@@ -30,18 +30,23 @@ from ...ops import bsr, partition as pt
 # --------------------------------------------------------------------------
 
 
-def make_spse_preconditioner(pm, values, sys, D_f, num_terms: int):
+def make_spse_preconditioner(pm, values, sys, D_f, num_terms: int,
+                             multiply_fn=None):
     """S^{-1} ~= sum_{i<=k} (I - P^{-1} S)^i P^{-1} with P = block-diag
-    Schur-Jacobi. Fully traceable (used inside the CG jit)."""
+    Schur-Jacobi. Fully traceable (used inside the CG jit). `multiply_fn`
+    overrides the S product (e.g. the flattened-layout one)."""
     from .implicit_schur import make_schur_jacobi_preconditioner, schur_multiply
 
     p_inv = make_schur_jacobi_preconditioner(pm, values, sys, D_f)
+    if multiply_fn is None:
+        def multiply_fn(t):
+            return schur_multiply(pm, values, sys, D_f, t)
 
     def apply(v):
         t = p_inv(v)
         acc = t
         for _ in range(num_terms):
-            t = t - p_inv(schur_multiply(pm, values, sys, D_f, t))
+            t = t - p_inv(multiply_fn(t))
             acc = acc + t
         return acc
 
