@@ -86,53 +86,42 @@ class _Selectors:
         return jnp.asarray(m, dtype)
 
 
-class FlatSchurOps:
-    """Host-precomputed plans + device products on flattened values.
+class _FlatOpsBase:
+    """Shared machinery: plan building, flatten, and the two products.
 
-    Falls back detectably: `supported` is False when any slot's tangent
-    indices are not block-contiguous (then callers keep the per-element
-    path)."""
+    A plan entry is (slot, fam_pos, off, nv, t, local_block_ids) against a
+    `fams` layout list [(off, nv, t, bid_off)]. `supported` goes False when
+    any slot's tangent indices are not block-contiguous (callers keep the
+    per-element path)."""
 
-    def __init__(self, pm: pt.PartitionedMeta):
-        self.pm = pm
+    def __init__(self, kinds, arrays):
+        self.kinds = kinds
+        self.arrays = arrays
         self.sel = _Selectors()
         self.supported = True
-        self.plans_e = self._build(pm.e_idx_keys, pm.e_bid_keys, pm.e_fams,
-                                   pm.e_family_indices)
-        self.plans_f = self._build(pm.f_idx_keys, pm.f_bid_keys, pm.f_fams,
-                                   pm.f_family_indices)
 
-    def _build(self, idx_keys, bid_keys, fams, part_list):
-        pm = self.pm
-        plans: List[List[Tuple]] = []
-        for k, kind in enumerate(pm.base.kinds):
-            kp = []
-            for s, slot in enumerate(kind.slots):
-                key = bid_keys[k][s]
-                if key < 0 or not slot.any_variable:
-                    continue
-                fi = list(part_list).index(slot.family_index)
-                off, nv, t, bid_off = fams[fi]
-                bid = pm.base.arrays[key]
-                local = np.minimum(
-                    np.maximum(bid.astype(np.int64) - bid_off, 0), nv
-                ).astype(np.int32)
-                # contiguity check: element indices must be
-                # off + local*t + j (sentinel rows excepted)
-                idx = pm.base.arrays[idx_keys[k][s]]
-                want = off + local[:, None] * t + np.arange(t)[None, :]
-                var = local < nv
-                if not np.array_equal(idx[var], want[var]):
-                    self.supported = False
-                kp.append((s, fi, off, nv, t, jnp.asarray(local)))
-            plans.append(kp)
+    def _build(self, slot_info):
+        """slot_info: iterable of (k, s, fam_pos, off, nv, t, bid_off,
+        bid_key, idx_key) for every participating slot."""
+        plans: List[List[Tuple]] = [[] for _ in self.kinds]
+        for (k, s, fi, off, nv, t, bid_off, bid_key, idx_key) in slot_info:
+            bid = self.arrays[bid_key]
+            local = np.minimum(
+                np.maximum(bid.astype(np.int64) - bid_off, 0), nv
+            ).astype(np.int32)
+            # contiguity check: element indices must be off + local*t + j
+            # (sentinel rows excepted)
+            idx = self.arrays[idx_key]
+            want = off + local[:, None] * t + np.arange(t)[None, :]
+            var = local < nv
+            if not np.array_equal(idx[var], want[var]):
+                self.supported = False
+            plans[k].append((s, fi, off, nv, t, jnp.asarray(local)))
         return plans
-
-    # -- flatten ----------------------------------------------------------
 
     def flatten(self, values):
         out = []
-        for k, kind in enumerate(self.pm.base.kinds):
+        for k, kind in enumerate(self.kinds):
             row = []
             for s, slot in enumerate(kind.slots):
                 V = values[k][s]
@@ -140,17 +129,14 @@ class FlatSchurOps:
             out.append(row)
         return out
 
-    # -- products ---------------------------------------------------------
-
     def _gather(self, v, off, nv, t, local):
         table = jax.lax.dynamic_slice(v, (off,), (nv * t,)).reshape(nv, t)
         table = jnp.concatenate([table, jnp.zeros((1, t), v.dtype)], axis=0)
         return jnp.take(table, local, axis=0)
 
     def _right(self, plans, vflat, v):
-        pm = self.pm
         outs = []
-        for k, kind in enumerate(pm.base.kinds):
+        for k, kind in enumerate(self.kinds):
             acc = None
             for (s, fi, off, nv, t, local) in plans[k]:
                 J = vflat[k][s]  # (B, r*t)
@@ -164,13 +150,12 @@ class FlatSchurOps:
         return jnp.concatenate(outs)
 
     def _left(self, plans, fams, size, vflat, u):
-        pm = self.pm
         dtype = u.dtype
         tables = {
             fi: jnp.zeros((nv + 1, t), dtype)
             for fi, (off, nv, t, _) in enumerate(fams)
         }
-        for k, kind in enumerate(pm.base.kinds):
+        for k, kind in enumerate(self.kinds):
             if not plans[k]:
                 continue
             rows = u[kind.row_offset: kind.row_offset + kind.B * kind.r]
@@ -187,6 +172,48 @@ class FlatSchurOps:
             )
         return out
 
+    def _inv_flatten(self, fams, factors):
+        """Per-family (nv, t*t) dense inverses from Cholesky factors."""
+        out = []
+        for (off, nv, t, _), L in zip(fams, factors):
+            eye = jnp.broadcast_to(jnp.eye(t, dtype=L.dtype), (nv, t, t))
+            minv = jax.vmap(
+                lambda Li, I: jax.scipy.linalg.cho_solve((Li, True), I)
+            )(L, eye)
+            out.append(minv.reshape(nv, t * t))
+        return out
+
+    def _inv_apply(self, fams, inv_flats, v):
+        outs = []
+        for (off, nv, t, _), M in zip(fams, inv_flats):
+            seg = jax.lax.dynamic_slice(v, (off,), (nv * t,)).reshape(nv, t)
+            rep = _mm(seg, self.sel.get("rep_t", t, t, M.dtype))
+            sol = _mm(M * rep, self.sel.get("sum_r", t, t, M.dtype))
+            outs.append(sol.reshape(-1))
+        return jnp.concatenate(outs) if outs else v
+
+
+class FlatSchurOps(_FlatOpsBase):
+    """Flattened products over the e/f partition (ITERATIVE_SCHUR)."""
+
+    def __init__(self, pm: pt.PartitionedMeta):
+        super().__init__(pm.base.kinds, pm.base.arrays)
+        self.pm = pm
+        self.plans_e = self._build(self._slots(pm.e_idx_keys, pm.e_bid_keys,
+                                               pm.e_fams, pm.e_family_indices))
+        self.plans_f = self._build(self._slots(pm.f_idx_keys, pm.f_bid_keys,
+                                               pm.f_fams, pm.f_family_indices))
+
+    def _slots(self, idx_keys, bid_keys, fams, part_list):
+        for k, kind in enumerate(self.pm.base.kinds):
+            for s, slot in enumerate(kind.slots):
+                key = bid_keys[k][s]
+                if key < 0 or not slot.any_variable:
+                    continue
+                fi = list(part_list).index(slot.family_index)
+                off, nv, t, bid_off = fams[fi]
+                yield (k, s, fi, off, nv, t, bid_off, key, idx_keys[k][s])
+
     def right_f(self, vflat, z):
         return self._right(self.plans_f, vflat, z)
 
@@ -199,29 +226,11 @@ class FlatSchurOps:
     def left_e(self, vflat, u):
         return self._left(self.plans_e, self.pm.e_fams, self.pm.e_size, vflat, u)
 
-    # -- block-diagonal inverse (flattened) --------------------------------
-
     def minv_flatten(self, factors):
-        """Per-e-family (nv, t*t) dense inverses from Cholesky factors."""
-        out = []
-        for (off, nv, t, _), L in zip(self.pm.e_fams, factors):
-            eye = jnp.broadcast_to(jnp.eye(t, dtype=L.dtype), (nv, t, t))
-            minv = jax.vmap(
-                lambda Li, I: jax.scipy.linalg.cho_solve((Li, True), I)
-            )(L, eye)
-            out.append(minv.reshape(nv, t * t))
-        return out
+        return self._inv_flatten(self.pm.e_fams, factors)
 
     def minv_apply(self, minv_flats, v):
-        outs = []
-        for (off, nv, t, _), M in zip(self.pm.e_fams, minv_flats):
-            seg = jax.lax.dynamic_slice(v, (off,), (nv * t,)).reshape(nv, t)
-            rep = _mm(seg, self.sel.get("rep_t", t, t, M.dtype))
-            sol = _mm(M * rep, self.sel.get("sum_r", t, t, M.dtype))
-            outs.append(sol.reshape(-1))
-        return jnp.concatenate(outs) if outs else v
-
-    # -- the implicit Schur product ---------------------------------------
+        return self._inv_apply(self.pm.e_fams, minv_flats, v)
 
     def schur_multiply(self, vflat, minv_flats, D_f, z):
         """S z == partition.schur_multiply, loop-resident tensors all 2-D."""
@@ -230,3 +239,46 @@ class FlatSchurOps:
         e_part = self.right_e(vflat, self.minv_apply(minv_flats, etfz))
         out = self.left_f(vflat, fz - e_part)
         return out + (D_f * D_f) * z
+
+
+class FlatJacobianOps(_FlatOpsBase):
+    """Flattened J / J' products over the full tangent (CGNR path:
+    bsr.right_multiply / bsr.left_multiply equivalents)."""
+
+    def __init__(self, meta):
+        super().__init__(meta.kinds, meta.arrays)
+        self.meta = meta
+        self.fams = tuple(
+            (f.tangent_offset, f.num_var, f.t, f.block_id_offset)
+            for f in meta.families
+        )
+        self.plans = self._build(self._slots())
+
+    def _slots(self):
+        for k, kind in enumerate(self.meta.kinds):
+            for s, slot in enumerate(kind.slots):
+                if not slot.any_variable:
+                    continue
+                fi = slot.family_index
+                off, nv, t, bid_off = self.fams[fi]
+                yield (k, s, fi, off, nv, t, bid_off,
+                       slot.block_id_key, slot.tangent_idx_key)
+
+    def right(self, vflat, x):
+        """J x."""
+        return self._right(self.plans, vflat, x)
+
+    def left(self, vflat, u):
+        """J' u."""
+        return self._left(self.plans, self.fams, self.meta.tangent_size,
+                          vflat, u)
+
+    def inv_flatten(self, factors):
+        return self._inv_flatten(self.fams, factors)
+
+    def inv_apply(self, inv_flats, v):
+        return self._inv_apply(self.fams, inv_flats, v)
+
+    def normal_multiply(self, vflat, D, x):
+        """(J'J + D^2) x, loop-resident tensors all 2-D."""
+        return self.left(vflat, self.right(vflat, x)) + (D * D) * x

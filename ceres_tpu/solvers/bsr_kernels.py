@@ -324,6 +324,9 @@ class BlockTrustRegionKernels:
                 return step, step * scale, mcc, res.num_iterations
 
         else:
+            from ..ops.flatops import FlatJacobianOps
+
+            flat_jops = FlatJacobianOps(meta)
 
             @jax.jit
             def compute_step(values, residuals, scale, diagonal, radius):
@@ -339,6 +342,7 @@ class BlockTrustRegionKernels:
                     max_num_iterations=max_li,
                     min_num_iterations=min_li,
                     preconditioner=precond,
+                    flat_ops=flat_jops,
                 )
                 step = -res.x
                 model_residuals = bsr.right_multiply(meta, vs, step)

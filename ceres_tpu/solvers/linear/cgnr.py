@@ -39,8 +39,39 @@ def cgnr_solve(
     max_num_iterations: int = 500,
     min_num_iterations: int = 0,
     preconditioner: str = "JACOBI",
+    flat_ops=None,
 ) -> CGResult:
-    """min ||J y - b||^2 + ||D y||^2 via CG on the normal equations."""
+    """min ||J y - b||^2 + ||D y||^2 via CG on the normal equations.
+
+    With `flat_ops` (ops/flatops.FlatJacobianOps) the loop-resident J
+    products and preconditioner apply run on flattened 2-D layouts."""
+
+    if flat_ops is not None and flat_ops.supported:
+        vflat = flat_ops.flatten(values)
+
+        def lhs(x):
+            return flat_ops.normal_multiply(vflat, D, x)
+
+        rhs = flat_ops.left(vflat, b)
+        precond = None
+        if preconditioner == "JACOBI":
+            blocks = bsr.block_diag_jtj(meta, values, D)
+            inv_flats = flat_ops.inv_flatten(bsr.factorize_block_diag(blocks))
+
+            def precond(v):
+                return flat_ops.inv_apply(inv_flats, v)
+
+        return conjugate_gradients(
+            lhs,
+            rhs,
+            jnp.zeros_like(rhs),
+            precond,
+            min_num_iterations=min_num_iterations,
+            max_num_iterations=max_num_iterations,
+            residual_reset_period=10,
+            r_tolerance=r_tolerance,
+            q_tolerance=q_tolerance,
+        )
 
     def lhs(x):
         jx = bsr.right_multiply(meta, values, x)
