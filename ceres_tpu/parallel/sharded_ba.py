@@ -89,17 +89,31 @@ def _segment_reduce(contrib, perm, sorted_ids, num_segments):
     )
 
 
-def ba_cost(cams, pts, cam_idx, pt_idx, obs, w=None):
-    r = jax.vmap(snavely_reprojection_residual)(cams[cam_idx], pts[pt_idx], obs)
+def _gather_cams(cams, cam_idx, onehot=None):
+    """cams[cam_idx], as a one-hot MXU matmul when the one-hot is provided:
+    a (B,) row gather costs ~20 ns/row on TPU regardless of width, while
+    (B, C) @ (C, 9) is sub-0.1 ms for small camera counts."""
+    if onehot is not None:
+        return jnp.einsum("bc,ck->bk", onehot, cams,
+                          precision=jax.lax.Precision.HIGHEST)
+    return cams[cam_idx]
+
+
+def ba_cost(cams, pts, cam_idx, pt_idx, obs, w=None, onehot=None):
+    r = jax.vmap(snavely_reprojection_residual)(
+        _gather_cams(cams, cam_idx, onehot), pts[pt_idx], obs
+    )
     if w is not None:
         r = r * w[:, None]
     return 0.5 * jnp.sum(r * r)
 
 
-def _evaluate(cams, pts, cam_idx, pt_idx, obs, w=None):
+def _evaluate(cams, pts, cam_idx, pt_idx, obs, w=None, onehot=None):
     """residuals + per-obs Jacobian blocks, batched. `w` is a 0/1 mask for
     shard-padding rows (mesh divisibility) — zero rows contribute nothing."""
-    r, Jc, Jp = jax.vmap(_residual_and_blocks)(cams[cam_idx], pts[pt_idx], obs)
+    r, Jc, Jp = jax.vmap(_residual_and_blocks)(
+        _gather_cams(cams, cam_idx, onehot), pts[pt_idx], obs
+    )
     if w is not None:
         r = r * w[:, None]
         Jc = Jc * w[:, None, None]
@@ -116,6 +130,111 @@ def _jtj_matvec(Jc, Jp, cam_idx, pt_idx, vc, vp, D2c, D2p, segs=None):
     gc = rc(jnp.einsum("bri,br->bi", Jc, jv))
     gp = rp(jnp.einsum("bri,br->bi", Jp, jv))
     return gc + D2c * vc, gp + D2p * vp
+
+
+# --------------------------------------------------------------------------
+# Flattened-lane J algebra. The (B, r, t) block tensors are tile-padded to
+# (8, 128) in HBM — 57x inflation for (B, 2, 9) f32 — and as CG
+# loop-invariants they are re-read every iteration, which bounds the CG at
+# HBM bandwidth on the padding (measured: 1.75 ms/iteration at 83k obs,
+# ~= the 686 MB padded read at ~383 GB/s). Packing both blocks into ONE
+# (B, r*(tc+tp)) 2-D array (128-lane padding only, ~16x less traffic) and
+# doing the r/t-group contractions as matmuls against tiny constant 0/1
+# selector matrices (MXU) removes that bound. Same trick as ops/flatops.py.
+# --------------------------------------------------------------------------
+
+
+def _flat_selectors(r, tc, tp, dtype):
+    """R: (tc+tp, L) replicates a per-obs [cam|pt] tangent row across the r
+    row-groups of lanes; S: (L, r) sums each row-group. U = S.T broadcasts
+    per-row values; P = R.T sums over rows per tangent position."""
+    L = r * (tc + tp)
+    R = np.zeros((tc + tp, L))
+    S = np.zeros((L, r))
+    for i in range(r):
+        R[:tc, i * tc:(i + 1) * tc] = np.eye(tc)
+        R[tc:, r * tc + i * tp: r * tc + (i + 1) * tp] = np.eye(tp)
+        S[i * tc:(i + 1) * tc, i] = 1.0
+        S[r * tc + i * tp: r * tc + (i + 1) * tp, i] = 1.0
+    return jnp.asarray(R, dtype), jnp.asarray(S, dtype)
+
+
+_HI = jax.lax.Precision.HIGHEST
+
+# Promote the small exact solves inside lm_step_schur to f64 (emulated on
+# TPU). Read at trace time. Measured on v5e at the BAL-16 shape: the f64
+# per-point 3x3 lanes cost ~1 ms and are REQUIRED for step quality (f32
+# loses ~6% cost after 15 iterations to cancellation); the f64 9C x 9C
+# solve costs ~11 ms of emulation and adds nothing -> off by default.
+PRECISE_POINT_SOLVES = True
+PRECISE_SCHUR_SOLVE = False
+
+
+def _mmf(a, b):
+    return jnp.einsum("bl,lo->bo", a, b, precision=_HI)
+
+
+def _outer_selectors(r, ta, tb, dtype):
+    """Constants for sum_r outer(A_r, B_r) on flat lanes: A (B, r*ta),
+    B (B, r*tb) -> (B, ta*tb) with out[i*tb+j] = sum_r A[r*ta+i] B[r*tb+j],
+    computed as (A@EA * B@EB) @ E3 — three MXU matmuls, no rank-3."""
+    EA = np.kron(np.eye(r * ta), np.ones((1, tb)))
+    EB = np.kron(np.eye(r), np.kron(np.ones((1, ta)), np.eye(tb)))
+    E3 = np.kron(np.ones((r, 1)), np.eye(ta * tb))
+    return (jnp.asarray(EA, dtype), jnp.asarray(EB, dtype),
+            jnp.asarray(E3, dtype))
+
+
+def _outer_flat(A, B, sel):
+    EA, EB, E3 = sel
+    return _mmf(_mmf(A, EA) * _mmf(B, EB), E3)
+
+
+def _chol3_flat(m):
+    """Closed-form Cholesky of symmetric 3x3 blocks stored as (N, 9) flat
+    rows [a b c; b d e; c e f] -> L lanes (L11,L21,L31,L22,L32,L33)."""
+    a, b, c = m[:, 0], m[:, 1], m[:, 2]
+    d, e, f = m[:, 4], m[:, 5], m[:, 8]
+    L11 = jnp.sqrt(a)
+    L21 = b / L11
+    L31 = c / L11
+    L22 = jnp.sqrt(d - L21 * L21)
+    L32 = (e - L21 * L31) / L22
+    L33 = jnp.sqrt(f - L31 * L31 - L32 * L32)
+    return L11, L21, L31, L22, L32, L33
+
+
+def _inv_lower3(L):
+    """K = L^{-1} for lower-triangular 3x3 lanes -> (N, 9) flat dense
+    (upper entries zero)."""
+    L11, L21, L31, L22, L32, L33 = L
+    K11 = 1.0 / L11
+    K22 = 1.0 / L22
+    K33 = 1.0 / L33
+    K21 = -L21 * K11 * K22
+    K31 = (L21 * L32 - L31 * L22) * K11 * K22 * K33
+    K32 = -L32 * K22 * K33
+    z = jnp.zeros_like(K11)
+    return jnp.stack([K11, z, z, K21, K22, z, K31, K32, K33], axis=1)
+
+
+def _solve_lower3_t(L, v):
+    """x = L^{-T} v for lower-triangular 3x3 lanes, v (N, 3)."""
+    L11, L21, L31, L22, L32, L33 = L
+    x3 = v[:, 2] / L33
+    x2 = (v[:, 1] - L32 * x3) / L22
+    x1 = (v[:, 0] - L21 * x2 - L31 * x3) / L11
+    return jnp.stack([x1, x2, x3], axis=1)
+
+
+def _matmul_selectors(ti, tk, tj, dtype):
+    """Constants for flat-lane matmul C[i*tj+j] = sum_k A[i*tk+k] B[k*tj+j]
+    (A (N, ti*tk) i-major, B (N, tk*tj) k-major)."""
+    EA = np.kron(np.eye(ti * tk), np.ones((1, tj)))
+    EB = np.kron(np.ones((1, ti)), np.eye(tk * tj))
+    E3 = np.kron(np.eye(ti), np.kron(np.ones((tk, 1)), np.eye(tj)))
+    return (jnp.asarray(EA, dtype), jnp.asarray(EB, dtype),
+            jnp.asarray(E3, dtype))
 
 
 def _make_reducers(cam_idx, pt_idx, C, P, segs):
@@ -147,18 +266,31 @@ def lm_step(cams, pts, cam_idx, pt_idx, obs, radius, w=None, cg_iters: int = 10,
         cam_idx, pt_idx, cams.shape[0], pts.shape[0], segs
     )
 
+    # One flat (B, r*(tc+tp)) Jacobian array for the whole step: lane-group
+    # algebra via the selector matmuls (see _flat_selectors).
+    B, rr, tc = Jc.shape
+    tp = Jp.shape[2]
+    R, S = _flat_selectors(rr, tc, tp, Jc.dtype)
+    J = jnp.concatenate([Jc.reshape(B, rr * tc), Jp.reshape(B, rr * tp)], axis=1)
+
+    def split(ct_pt):  # (B, tc+tp) -> (B, tc), (B, tp)
+        return ct_pt[:, :tc], ct_pt[:, tc:]
+
     # gradient and jacobi scaling. Scaled column norms and the scaled RHS
     # are elementwise functions of the unscaled reductions (col(Js)^2 =
     # s^2 col(J)^2, Js^T r = s * J^T r), so only 4 reduction passes are
     # needed, not 8.
-    gc = reduce_c(jnp.einsum("bri,br->bi", Jc, r))
-    gp = reduce_p(jnp.einsum("bri,br->bi", Jp, r))
-    d2c = reduce_c(jnp.einsum("bri,bri->bi", Jc, Jc))
-    d2p = reduce_p(jnp.einsum("bri,bri->bi", Jp, Jp))
+    jtr = _mmf(J * _mmf(r, S.T), R.T)        # (B, tc+tp): J' r per obs
+    jsq = _mmf(J * J, R.T)                   # per-obs column norms
+    gcb, gpb = split(jtr)
+    d2cb, d2pb = split(jsq)
+    gc = reduce_c(gcb)
+    gp = reduce_p(gpb)
+    d2c = reduce_c(d2cb)
+    d2p = reduce_p(d2pb)
     sc = 1.0 / (1.0 + jnp.sqrt(d2c))
     sp = 1.0 / (1.0 + jnp.sqrt(d2p))
-    Jc_s = Jc * sc[cam_idx][:, None, :]
-    Jp_s = Jp * sp[pt_idx][:, None, :]
+    Js = J * _mmf(jnp.concatenate([sc[cam_idx], sp[pt_idx]], axis=1), R)
     diag_c = jnp.clip(sc * sc * d2c, 1e-6, 1e32)
     diag_p = jnp.clip(sp * sp * d2p, 1e-6, 1e32)
     D2c = diag_c / radius
@@ -171,9 +303,16 @@ def lm_step(cams, pts, cam_idx, pt_idx, obs, radius, w=None, cg_iters: int = 10,
     Minv_c = 1.0 / (diag_c + D2c)
     Minv_p = 1.0 / (diag_p + D2p)
 
+    def matvec(vc, vp):
+        seg = jnp.concatenate([vc[cam_idx], vp[pt_idx]], axis=1)
+        jv = _mmf(Js * _mmf(seg, R), S)      # (B, r)
+        back = _mmf(Js * _mmf(jv, S.T), R.T)
+        cb, pb = split(back)
+        return reduce_c(cb) + D2c * vc, reduce_p(pb) + D2p * vp
+
     def cg_body(_, state):
         xc, xp, rc, rp, pc, pp, rz = state
-        qc, qp = _jtj_matvec(Jc_s, Jp_s, cam_idx, pt_idx, pc, pp, D2c, D2p, segs)
+        qc, qp = matvec(pc, pp)
         pq = jnp.sum(pc * qc) + jnp.sum(pp * qp)
         alpha = rz / jnp.maximum(pq, 1e-300)
         xc = xc + alpha * pc
@@ -204,9 +343,8 @@ def lm_step(cams, pts, cam_idx, pt_idx, obs, radius, w=None, cg_iters: int = 10,
     step_c, step_p = -yc, -yp
 
     # model cost change in scaled coordinates
-    jstep = jnp.einsum("bri,bi->br", Jc_s, step_c[cam_idx]) + jnp.einsum(
-        "bri,bi->br", Jp_s, step_p[pt_idx]
-    )
+    segs_step = jnp.concatenate([step_c[cam_idx], step_p[pt_idx]], axis=1)
+    jstep = _mmf(Js * _mmf(segs_step, R), S)
     model_cost_change = -jnp.sum(jstep * (r + jstep / 2.0))
 
     new_cams = cams + step_c * sc
@@ -214,6 +352,144 @@ def lm_step(cams, pts, cam_idx, pt_idx, obs, radius, w=None, cg_iters: int = 10,
     new_cost = ba_cost(new_cams, new_pts, cam_idx, pt_idx, obs, w)
     rel_decrease = (cost - new_cost) / jnp.maximum(model_cost_change, 1e-300)
     accept = (model_cost_change > 0) & (rel_decrease > 1e-3)
+
+    cams_out = jnp.where(accept, new_cams, cams)
+    pts_out = jnp.where(accept, new_pts, pts)
+    radius_out = jnp.where(
+        accept,
+        jnp.minimum(
+            radius / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rel_decrease - 1.0) ** 3),
+            1e16,
+        ),
+        radius / 2.0,
+    )
+    cost_out = jnp.where(accept, new_cost, cost)
+    return BAState(cams_out, pts_out, radius_out, cost_out)
+
+
+def lm_step_schur(cams, pts, cam_idx, pt_idx, obs, radius, w=None):
+    """One LM iteration with an EXACT dense-Schur step: eliminate the
+    points (E'E+D² is 3x3 block diagonal), assemble the reduced camera
+    system S explicitly and Cholesky-solve it — no CG loop at all. The
+    TPU shape of schur_complement_solver.cc:338 (DENSE_SCHUR): the only
+    per-point scatters are three segment reductions; every camera-side
+    aggregation is a one-hot matmul on the MXU (C is small, 9C x 9C dense
+    S). Preferable to lm_step whenever 9*num_cameras is dense-solvable
+    (the reference's guidance for BAL-sized camera counts)."""
+    C = cams.shape[0]
+    P = pts.shape[0]
+    oh_gather = jax.nn.one_hot(cam_idx, C, dtype=cams.dtype)  # (B, C)
+    # reductions use a masked one-hot (padding rows vanish); gathers use the
+    # unmasked one so padded rows still see real camera values (zeros could
+    # produce NaN residuals that survive the w mask as NaN * 0).
+    onehot = oh_gather if w is None else oh_gather * w[:, None]
+    r, Jc, Jp = _evaluate(cams, pts, cam_idx, pt_idx, obs, w, onehot=oh_gather)
+    cost = 0.5 * jnp.sum(r * r)
+    B, rr, tc = Jc.shape
+    tp = Jp.shape[2]
+    R, S_sel = _flat_selectors(rr, tc, tp, Jc.dtype)
+    J = jnp.concatenate([Jc.reshape(B, rr * tc), Jp.reshape(B, rr * tp)], axis=1)
+
+    def reduce_p(contrib):  # (B, k) -> (P, k) segment sum
+        return jnp.zeros((P, contrib.shape[1]), contrib.dtype).at[pt_idx].add(contrib)
+
+    def reduce_c(contrib):  # (B, k) -> (C, k) via MXU
+        return jnp.einsum("bk,bc->ck", contrib, onehot, precision=_HI)
+
+    # scaling (jacobi) from unscaled reductions; ONE fused point scatter
+    jtr = _mmf(J * _mmf(r, S_sel.T), R.T)
+    jsq = _mmf(J * J, R.T)
+    gc = reduce_c(jtr[:, :tc])
+    d2c = reduce_c(jsq[:, :tc])
+    gp_d2p = reduce_p(jnp.concatenate([jtr[:, tc:], jsq[:, tc:]], axis=1))
+    gp, d2p = gp_d2p[:, :tp], gp_d2p[:, tp:]
+    sc = 1.0 / (1.0 + jnp.sqrt(d2c))
+    sp = 1.0 / (1.0 + jnp.sqrt(d2p))
+    Js = J * _mmf(
+        jnp.concatenate([_gather_cams(sc, cam_idx, oh_gather), sp[pt_idx]], axis=1), R
+    )
+    diag_c = jnp.clip(sc * sc * d2c, 1e-6, 1e32)
+    diag_p = jnp.clip(sp * sp * d2p, 1e-6, 1e32)
+    D2c = diag_c / radius
+    D2p = diag_p / radius
+    Js_c = Js[:, : rr * tc]  # (B, 18)
+    Js_p = Js[:, rr * tc:]   # (B, 6)
+    dt = J.dtype
+
+    # point elimination: M_p = sum Jp'Jp + D2p (3x3) and E'r, fused into
+    # ONE point scatter. Everything stays on 2-D flat lanes — the 3x3
+    # Cholesky/inverse/solve are closed-form elementwise (batched LAPACK
+    # on (P,3,3) would re-materialize tile-padded rank-3 tensors).
+    jptjp = _outer_flat(Js_p, Js_p, _outer_selectors(rr, tp, tp, dt))  # (B,9)
+    jptr = sp[pt_idx] * jtr[:, tc:]  # scaled E'r rows (col scaling identity)
+    m_etb = reduce_p(jnp.concatenate([jptjp, jptr], axis=1))
+    diag_embed = np.zeros((tp, tp * tp))
+    for i in range(tp):
+        diag_embed[i, i * tp + i] = 1.0  # D2p -> diagonal lanes
+    M_flat = m_etb[:, : tp * tp] + _mmf(D2p, jnp.asarray(diag_embed, dt))
+    etb = m_etb[:, tp * tp:]  # (P, 3)
+    # The tiny per-point factorizations are numerically delicate in f32
+    # (cancellation in the Cholesky recurrences); promote them per the
+    # module flags (P-sized elementwise lanes / one 9C x 9C solve).
+    dt3 = jnp.float64 if PRECISE_POINT_SOLVES else dt
+    L3 = _chol3_flat(M_flat.astype(dt3))
+    Kf64 = _inv_lower3(L3)  # (P, 9) = L^{-1} dense flat
+    Kf = Kf64.astype(dt)
+
+    # A = L^{-1} W' stacked per point: rows 3p+i, cols 9c+j
+    W = _outer_flat(Js_p, Js_c, _outer_selectors(rr, tp, tc, dt))  # (B,27)
+    GA, GB, G3 = _matmul_selectors(tp, tp, tc, dt)
+    Y = _mmf(_mmf(jnp.take(Kf, pt_idx, axis=0), GA) * _mmf(W, GB), G3)  # (B,27)
+    H1 = jnp.asarray(
+        np.kron(np.eye(tp), np.kron(np.ones((1, C)), np.eye(tc))), dt
+    )  # (27, 3*C*9)
+    H2 = jnp.asarray(
+        np.kron(np.ones((1, tp)), np.kron(np.eye(C), np.ones((1, tc)))), dt
+    )  # (C, 3*C*9)
+    T = _mmf(Y, H1) * _mmf(onehot, H2)  # (B, tp*C*tc), lanes (i, c, j)
+    A = reduce_p(T).reshape(P * tp, C * tc)
+
+    # S = blockdiag(F'F) + D2c - A'A ; rhs = F'r - A' (L^{-1} E'r)
+    jctjc = _outer_flat(Js_c, Js_c, _outer_selectors(rr, tc, tc, dt))  # (B,81)
+    FtF = reduce_c(jctjc).reshape(C, tc, tc)
+    S = jnp.einsum("cij,cd->cidj", FtF, jnp.eye(C, dtype=dt)).reshape(
+        C * tc, C * tc
+    )
+    S = S - jnp.einsum("kf,kg->fg", A, A, precision=_HI)
+    S = S + jnp.diag(D2c.reshape(-1))
+    # u = L^{-1} etb, closed form on lanes
+    u = jnp.stack(
+        [sum(Kf64[:, i * tp + k] * etb[:, k].astype(dt3)
+             for k in range(tp))
+         for i in range(tp)], axis=1
+    ).astype(dt)  # (P, 3)
+    ftb = (sc * gc).reshape(-1)
+    rhs = ftb - jnp.einsum("kf,k->f", A, u.reshape(-1), precision=_HI)
+
+    # dense 9C x 9C solve (tiny; S can be ill-conditioned -> flag)
+    dtS = jnp.float64 if PRECISE_SCHUR_SOLVE else dt
+    Ls = jnp.linalg.cholesky(S.astype(dtS))
+    z = jax.scipy.linalg.cho_solve((Ls, True), rhs.astype(dtS)).astype(dt)
+
+    # back substitution: y_p = L^{-T} (u_p - A_p z)
+    Az = jnp.einsum("kf,f->k", A, z, precision=_HI).reshape(P, tp)
+    y_p = _solve_lower3_t(L3, (u - Az).astype(dt3)).astype(dt)
+
+    step_c = -z.reshape(C, tc)
+    step_p = -y_p
+
+    seg_step = jnp.concatenate(
+        [_gather_cams(step_c, cam_idx, oh_gather), step_p[pt_idx]], axis=1
+    )
+    jstep = _mmf(Js * _mmf(seg_step, R), S_sel)
+    model_cost_change = -jnp.sum(jstep * (r + jstep / 2.0))
+
+    new_cams = cams + step_c * sc
+    new_pts = pts + step_p * sp
+    new_cost = ba_cost(new_cams, new_pts, cam_idx, pt_idx, obs, w, onehot=oh_gather)
+    ok = jnp.isfinite(new_cost) & (model_cost_change > 0)
+    rel_decrease = (cost - new_cost) / jnp.maximum(model_cost_change, 1e-300)
+    accept = ok & (rel_decrease > 1e-3)
 
     cams_out = jnp.where(accept, new_cams, cams)
     pts_out = jnp.where(accept, new_pts, pts)
@@ -256,10 +532,13 @@ def _pad_to_multiple(a, m, axis=0):
 
 
 def solve_ba(bal_problem, num_iterations=10, mesh=None, cg_iters=10,
-             dtype=jnp.float64):
+             dtype=jnp.float64, step="auto"):
     """Run `num_iterations` LM steps on a BALProblem; returns final BAState.
 
-    With a mesh, observations are sharded across devices."""
+    step: "schur" = exact dense-Schur elimination per step (lm_step_schur;
+    best when 9*num_cameras is dense-solvable), "cg" = matrix-free PCG
+    (lm_step), "auto" picks schur for <= 128 cameras. With a mesh,
+    observations are sharded across devices (cg path)."""
     cams = jnp.asarray(bal_problem.cameras, dtype)
     pts = jnp.asarray(bal_problem.points, dtype)
     if mesh is not None:
@@ -282,7 +561,14 @@ def solve_ba(bal_problem, num_iterations=10, mesh=None, cg_iters=10,
         # Measured on TPU v5e: XLA's scatter-add beats sorted segment-sums
         # here (the permutation gathers cost more than the scatter saves);
         # SortedSegments remains available via lm_step(segs=...).
-        step_fn = jax.jit(functools.partial(lm_step, cg_iters=cg_iters))
+        if step == "schur" or (step == "auto" and bal_problem.cameras.shape[0] <= 128):
+            step_fn = jax.jit(
+                lambda c, p_, cidx, pidx, o, r, w=None: lm_step_schur(
+                    c, p_, cidx, pidx, o, r, w
+                )
+            )
+        else:
+            step_fn = jax.jit(functools.partial(lm_step, cg_iters=cg_iters))
     radius = jnp.asarray(1e4, dtype)
     state = BAState(cams, pts, radius, jnp.asarray(0.0, dtype))
     for _ in range(num_iterations):

@@ -55,7 +55,7 @@ def test_sharded_evaluation_is_deterministic():
 def test_sharded_ba_lm_matches_unsharded():
     b = bal.synthetic_bal(num_cameras=4, num_points=33, visibility=0.5, noise=0.3, seed=9)
     bp = bal.perturb(b, 0.02, 0.1, 0.1)
-    st1 = sharded_ba.solve_ba(bp, num_iterations=3, mesh=None, cg_iters=5)
+    st1 = sharded_ba.solve_ba(bp, num_iterations=3, mesh=None, cg_iters=5, step="cg")
     st8 = sharded_ba.solve_ba(bp, num_iterations=3, mesh=sharded_ba.make_mesh(8), cg_iters=5)
     np.testing.assert_allclose(float(st8.cost), float(st1.cost), rtol=1e-10)
     np.testing.assert_allclose(
@@ -103,3 +103,55 @@ def test_fully_sharded_lm_matches_single_device():
     assert s.termination_type == ct.TerminationType.CONVERGENCE
     assert abs(s.final_cost - s_ref.final_cost) < 1e-4 * max(1.0, s_ref.final_cost)
     assert s.num_devices == 8
+
+
+def test_lm_step_schur_matches_dense_reference():
+    """The exact dense-Schur LM step reproduces the explicit dense LM step
+    (same scaling, damping, and acceptance logic) to solver precision."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ceres_tpu.models import bal
+    from ceres_tpu.parallel import sharded_ba as sba
+
+    b = bal.synthetic_bal(num_cameras=7, num_points=120, visibility=0.35,
+                          noise=0.4, seed=11)
+    bp = bal.perturb(b, 0.02, 0.1, 0.1, seed=12)
+    cams = jnp.asarray(bp.cameras)
+    pts = jnp.asarray(bp.points)
+    ci = jnp.asarray(bp.camera_index)
+    pi = jnp.asarray(bp.point_index)
+    obs = jnp.asarray(bp.observations)
+    st = sba.lm_step_schur(cams, pts, ci, pi, obs, jnp.asarray(1e4))
+
+    r, Jc, Jp = sba._evaluate(cams, pts, ci, pi, obs)
+    B = r.shape[0]
+    C, P = cams.shape[0], pts.shape[0]
+    J = np.zeros((B * 2, C * 9 + P * 3))
+    for k in range(B):
+        J[2 * k: 2 * k + 2, ci[k] * 9:(ci[k] + 1) * 9] = np.asarray(Jc[k])
+        J[2 * k: 2 * k + 2, C * 9 + pi[k] * 3: C * 9 + (pi[k] + 1) * 3] = (
+            np.asarray(Jp[k])
+        )
+    rv = np.asarray(r).reshape(-1)
+    d2 = (J * J).sum(0)
+    s = 1.0 / (1.0 + np.sqrt(d2))
+    Js = J * s
+    D2 = np.clip(s * s * d2, 1e-6, 1e32) / 1e4
+    y = np.linalg.solve(Js.T @ Js + np.diag(D2), Js.T @ rv)
+    step = -(y * s)
+    nc = np.asarray(cams) + step[: C * 9].reshape(C, 9)
+    npp = np.asarray(pts) + step[C * 9:].reshape(P, 3)
+    ref_cost = float(sba.ba_cost(jnp.asarray(nc), jnp.asarray(npp), ci, pi, obs))
+    assert abs(float(st.cost) - ref_cost) < 1e-9 * max(1.0, ref_cost)
+
+    # masked padding rows must not change the step
+    pad = 5
+    st2 = sba.lm_step_schur(
+        cams, pts,
+        jnp.concatenate([ci, jnp.zeros(pad, ci.dtype)]),
+        jnp.concatenate([pi, jnp.zeros(pad, pi.dtype)]),
+        jnp.concatenate([obs, jnp.full((pad, 2), 1e6)]),
+        jnp.asarray(1e4),
+        w=jnp.concatenate([jnp.ones(B), jnp.zeros(pad)]),
+    )
+    assert abs(float(st2.cost) - float(st.cost)) < 1e-9 * float(st.cost)
