@@ -7,10 +7,10 @@ ComputeCovarianceValues :504). Algorithms:
  - DENSE_SVD: rank-deficiency-tolerant Moore-Penrose pseudo-inverse with
    min_reciprocal_condition_number / null_space_rank semantics
    (covariance_impl.cc DENSE_SVD branch);
- - SPARSE_QR: QR factorization R'R = J'J with triangular solves per column
-   block (the SuiteSparseQR/Eigen-SparseQR path; the factorization runs on
-   the device as one batched QR — the block-sparse exploitation arrives
-   with the sparse-direct tier).
+ - SPARSE_QR: R'R = J'J, so (J'J)^{-1} = R^{-1}R^{-T} comes from the
+   native block-structure sparse Cholesky (SuiteSparseQR/Eigen-SparseQR
+   role, covariance_impl.cc:504) with only the REQUESTED block columns
+   solved — J is never densified.
 
 Covariance of manifold blocks is computed in tangent space and optionally
 lifted to ambient coordinates via PlusJacobian
@@ -54,11 +54,11 @@ class Covariance:
         prog = CompiledProgram(problem, apply_loss=self.options.apply_loss_function)
         self._program = prog
         x = prog.initial_state()
-        _, _, _, J = prog.evaluate_dense(x)
-        J = np.asarray(J)
         T = prog.tangent_size
         o = self.options
         if o.algorithm_type == CovarianceAlgorithmType.DENSE_SVD:
+            _, _, _, J = prog.evaluate_dense(x)
+            J = np.asarray(J)
             U, s, Vt = np.linalg.svd(J, full_matrices=False)
             # singular values of J; eigenvalues of J'J are s^2
             if o.null_space_rank < 0:
@@ -73,15 +73,9 @@ class Covariance:
             inv = np.where(keep, 1.0 / np.maximum(s * s, 1e-300), 0.0)
             self._cov = (Vt.T * inv[None, :]) @ Vt
         else:  # SPARSE_QR
-            # R from QR of J; covariance = R^{-1} R^{-T}.
-            R = np.linalg.qr(J, mode="r")
-            if R.shape[0] < T:
-                return False  # fewer residuals than parameters: rank deficient
-            diag = np.abs(np.diag(R))
-            if diag.size and diag.min() <= o.min_reciprocal_condition_number * diag.max():
-                return False  # rank deficient: reference returns failure
-            Rinv = np.linalg.solve(R, np.eye(T))
-            self._cov = Rinv @ Rinv.T
+            ok = self._compute_sparse(prog, x, covariance_blocks)
+            if not ok:
+                return False
         # Map parameter blocks -> tangent offsets.
         self._block_info = {}
         for fam in prog.families:
@@ -93,6 +87,75 @@ class Covariance:
                 )
         self._requested = covariance_blocks
         return True
+
+    def _compute_sparse(self, prog, x, covariance_blocks) -> bool:
+        """SPARSE_QR on the block structure: R'R = J'J, so the covariance
+        R^{-1}R^{-T} = (J'J)^{-1} is computed from the native sparse
+        Cholesky of J'J (symbolic structure from the block-sparse meta —
+        covariance_impl.cc:504's SuiteSparseQR role without densifying J),
+        solving only the requested block columns."""
+        from .native import SparseCholesky
+        from .ops import bsr
+        from .ops.inner_product import InnerProductComputer
+
+        T = prog.tangent_size
+        meta = bsr.build_meta(prog)
+        out = prog._eval_core(x, True, False)
+        ipc = InnerProductComputer(meta)
+        vals = np.asarray(ipc.compute(out["block_jacs"]))
+        chol = SparseCholesky(ipc.n, ipc.indptr, ipc.indices)
+        if not chol.factorize(vals):
+            return False  # rank deficient: reference returns failure
+        dl = np.abs(chol.Lx[chol.Lp[:-1]])
+        d2 = dl * dl  # pivots of J'J (~ squared diag of R)
+        if d2.size and d2.min() <= (
+            self.options.min_reciprocal_condition_number * d2.max()
+        ):
+            return False
+        # Columns to solve: union of blocks named in covariance_blocks
+        # (symmetry covers (i, j) vs (j, i)); everything if none given.
+        offsets = {}
+        off = 0
+        for fam in prog.families:
+            for i, b in enumerate(fam.blocks[: fam.num_var]):
+                offsets[id(b)] = (fam.tangent_offset + i * fam.tsize, fam.tsize)
+        cols: List[int] = []
+        if covariance_blocks:
+            seen = set()
+            for pair in covariance_blocks:
+                for v in pair:
+                    blk = prog.problem.parameter_block_for(v)
+                    info = offsets.get(id(blk))
+                    if info is None:
+                        continue  # constant block
+                    if info[0] not in seen:
+                        seen.add(info[0])
+                        cols.extend(range(info[0], info[0] + info[1]))
+            cols = sorted(cols)
+        else:
+            cols = list(range(T))
+        E = np.zeros((T, len(cols)))
+        E[cols, np.arange(len(cols))] = 1.0
+        sol = chol.solve_multi(E)  # (T, k) = (J'J)^{-1} columns
+        if len(cols) == T:
+            self._cov = sol
+        else:
+            self._cov = None
+            self._cov_cols = sol
+            self._colmap = {c: k for k, c in enumerate(cols)}
+        return True
+
+    def _cov_block(self, o1, t1, o2, t2) -> np.ndarray:
+        if self._cov is not None:
+            return self._cov[o1: o1 + t1, o2: o2 + t2]
+        m = self._colmap
+        if all((o2 + j) in m for j in range(t2)):
+            return self._cov_cols[o1: o1 + t1][:, [m[o2 + j] for j in range(t2)]]
+        if all((o1 + j) in m for j in range(t1)):
+            return self._cov_cols[o2: o2 + t2][:, [m[o1 + j] for j in range(t1)]].T
+        raise KeyError(
+            "covariance block was not in the covariance_blocks passed to compute()"
+        )
 
     def _resolve(self, values):
         blk = self._program.problem.parameter_block_for(values)
@@ -107,7 +170,7 @@ class Covariance:
         (GetCovarianceBlockInTangentSpace)."""
         o1, t1, b1 = self._resolve(x1)
         o2, t2, b2 = self._resolve(x2)
-        C = self._cov[o1 : o1 + t1, o2 : o2 + t2]
+        C = self._cov_block(o1, t1, o2, t2)
         if not lift_to_ambient:
             return C
         P1 = (
@@ -130,8 +193,14 @@ class Covariance:
         """Dense joint covariance for a list of blocks
         (GetCovarianceMatrixInTangentOrAmbientSpace)."""
         infos = [self._resolve(b) for b in blocks]
-        idx = np.concatenate([np.arange(o, o + t) for o, t, _ in infos])
-        C = self._cov[np.ix_(idx, idx)]
+        if self._cov is not None:
+            idx = np.concatenate([np.arange(o, o + t) for o, t, _ in infos])
+            C = self._cov[np.ix_(idx, idx)]
+        else:
+            C = np.block([
+                [self._cov_block(o1, t1, o2, t2) for (o2, t2, _) in infos]
+                for (o1, t1, _) in infos
+            ])
         if lift_to_ambient:
             Ps = []
             for o, t, b in infos:

@@ -212,3 +212,34 @@ def test_dogleg_rejects_iterative_solvers():
         p,
     )
     assert s.termination_type == ct.TerminationType.FAILURE
+
+
+def test_covariance_sparse_qr_selected_blocks():
+    """SPARSE_QR solves only the requested block columns of (J'J)^{-1} on
+    the block-sparse structure; values must match DENSE_SVD, and
+    unrequested pairs raise."""
+    from ceres_tpu.models import bal
+
+    b = bal.synthetic_bal(num_cameras=4, num_points=30, visibility=1.0,
+                          noise=0.1, seed=21)
+    p, cams, pts = bal.build_problem(b)
+    # fix the 7-dof BA gauge (else J'J is rank deficient and compute()
+    # correctly returns False, matching the reference's failure)
+    p.set_parameter_block_constant(cams[0])
+    p.set_parameter_block_constant(pts[0])
+    cov_blocks = [(cams[2], cams[2]), (cams[3], cams[2]), (pts[3], pts[3])]
+
+    c_sp = ct.Covariance(ct.CovarianceOptions(
+        algorithm_type=ct.CovarianceAlgorithmType.SPARSE_QR))
+    assert c_sp.compute(cov_blocks, p)
+    c_dn = ct.Covariance(ct.CovarianceOptions(
+        algorithm_type=ct.CovarianceAlgorithmType.DENSE_SVD))
+    assert c_dn.compute(cov_blocks, p)
+    for (x1, x2) in cov_blocks + [(cams[2], cams[3])]:
+        np.testing.assert_allclose(
+            c_sp.get_covariance_block(x1, x2),
+            c_dn.get_covariance_block(x1, x2),
+            rtol=1e-6, atol=1e-9,
+        )
+    with pytest.raises(KeyError):
+        c_sp.get_covariance_block(pts[4], pts[5])
