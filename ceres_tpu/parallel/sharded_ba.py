@@ -505,15 +505,25 @@ def lm_step_schur(cams, pts, cam_idx, pt_idx, obs, radius, w=None):
     return BAState(cams_out, pts_out, radius_out, cost_out)
 
 
-def make_sharded_lm_step(mesh: Mesh, cg_iters: int = 10):
-    """jit lm_step with observation arrays sharded over the mesh and the
-    parameter state replicated; GSPMD inserts the ICI all-reduces."""
+def make_sharded_lm_step(mesh: Mesh, cg_iters: int = 10, step: str = "cg"):
+    """jit an LM step with observation arrays sharded over the mesh and the
+    parameter state replicated; GSPMD inserts the ICI all-reduces.
+
+    step="schur" shards the exact dense-Schur step: all per-observation
+    work (Jacobian blocks, selector matmuls, the (B, 3*9C) element
+    contributions) stays shard-local; the point segment-sums and the
+    camera one-hot matmuls reduce to replicated outputs via psum, and the
+    tiny 9C x 9C solve runs replicated."""
     obs_sharded = NamedSharding(mesh, P("obs"))
     obs_sharded2 = NamedSharding(mesh, P("obs", None))
     repl = NamedSharding(mesh, P())
 
+    if step == "schur":
+        fn = lm_step_schur
+    else:
+        fn = functools.partial(lm_step, cg_iters=cg_iters)
     return jax.jit(
-        functools.partial(lm_step, cg_iters=cg_iters),
+        fn,
         in_shardings=(repl, repl, obs_sharded, obs_sharded, obs_sharded2, repl,
                       obs_sharded),
         out_shardings=BAState(repl, repl, repl, repl),
@@ -546,7 +556,12 @@ def solve_ba(bal_problem, num_iterations=10, mesh=None, cg_iters=10,
         cam_idx, w = _pad_to_multiple(bal_problem.camera_index, n_dev)
         pt_idx, _ = _pad_to_multiple(bal_problem.point_index, n_dev)
         obs, _ = _pad_to_multiple(bal_problem.observations, n_dev)
-        step_fn = make_sharded_lm_step(mesh, cg_iters)
+        use_schur = step == "schur" or (
+            step == "auto" and bal_problem.cameras.shape[0] <= 128
+        )
+        step_fn = make_sharded_lm_step(
+            mesh, cg_iters, step="schur" if use_schur else "cg"
+        )
         sh1 = NamedSharding(mesh, P("obs"))
         sh2 = NamedSharding(mesh, P("obs", None))
         cam_idx = jax.device_put(jnp.asarray(cam_idx), sh1)
