@@ -56,7 +56,7 @@ def test_sharded_ba_lm_matches_unsharded():
     b = bal.synthetic_bal(num_cameras=4, num_points=33, visibility=0.5, noise=0.3, seed=9)
     bp = bal.perturb(b, 0.02, 0.1, 0.1)
     st1 = sharded_ba.solve_ba(bp, num_iterations=3, mesh=None, cg_iters=5, step="cg")
-    st8 = sharded_ba.solve_ba(bp, num_iterations=3, mesh=sharded_ba.make_mesh(8), cg_iters=5)
+    st8 = sharded_ba.solve_ba(bp, num_iterations=3, mesh=sharded_ba.make_mesh(8), cg_iters=5, step="cg")
     np.testing.assert_allclose(float(st8.cost), float(st1.cost), rtol=1e-10)
     np.testing.assert_allclose(
         np.asarray(st8.cams), np.asarray(st1.cams), atol=1e-9
