@@ -692,3 +692,30 @@ class CompiledProgram:
             lo[o : o + nv * fam.asize] = fam.lower.reshape(-1)
             hi[o : o + nv * fam.asize] = fam.upper.reshape(-1)
         return lo, hi
+
+    def tangent_box(self):
+        """(tmap, lower, upper) over the TANGENT vector for the coordinates
+        where bounds act 1:1 (Euclidean families): tmap[i] is the state
+        index of tangent coordinate i, or -1 where no box applies (manifold
+        blocks — their ambient bounds are enforced by the projection in
+        _plus_impl only). Used for the active-set step restriction."""
+        from .manifolds import EuclideanManifold
+
+        tmap = np.full(self.tangent_size, -1, np.int64)
+        lo = np.full(self.tangent_size, -np.inf)
+        hi = np.full(self.tangent_size, np.inf)
+        for fam in self.families:
+            if fam.lower is None:
+                continue
+            if fam.manifold is not None and not isinstance(
+                fam.manifold, EuclideanManifold
+            ):
+                continue
+            if fam.asize != fam.tsize:
+                continue
+            n = fam.num_var * fam.tsize
+            t0 = fam.tangent_offset
+            tmap[t0: t0 + n] = fam.state_offset + np.arange(n)
+            lo[t0: t0 + n] = fam.lower[: fam.num_var].reshape(-1)
+            hi[t0: t0 + n] = fam.upper[: fam.num_var].reshape(-1)
+        return tmap, lo, hi

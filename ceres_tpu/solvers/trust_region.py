@@ -108,11 +108,12 @@ class LevenbergMarquardtStrategy:
         self._diagonal = None
 
     def compute_step(self, m: "TrustRegionMinimizer") -> StepResult:
+        scale = getattr(m, "effective_scale", m.scale)
         if not self.reuse_diagonal or self._diagonal is None:
-            self._diagonal = m.k.lm_diagonal(m.jacobian, m.scale)
+            self._diagonal = m.k.lm_diagonal(m.jacobian, scale)
         self.reuse_diagonal = True
         step, delta, mcc, num_iters = m.k.compute_step(
-            m.jacobian, m.residuals, m.scale, self._diagonal, self.radius
+            m.jacobian, m.residuals, scale, self._diagonal, self.radius
         )
         finite = bool(jnp.all(jnp.isfinite(step)))
         if not finite:
@@ -254,6 +255,7 @@ class TrustRegionMinimizer:
             strategy = DoglegStrategy(opts, self.k)
         self._strategy = strategy
         is_constrained = self.program.has_bounds()
+        self._tangent_box = self.program.tangent_box() if is_constrained else None
         inner_enabled = self.inner_minimizer is not None
         inner_were_useful = False
 
@@ -528,7 +530,32 @@ class TrustRegionMinimizer:
                 self.scale = jnp.ones(self.program.tangent_size)
         self.gradient_norm = float(gnorm)
         self.gradient_max_norm = float(gmax)
+        self._update_effective_scale()
         return True
+
+    def _update_effective_scale(self):
+        """Active-set restriction for bounds: zero the Jacobian columns of
+        coordinates sitting on a bound with the gradient pushing outward,
+        so the trust-region subproblem is solved in the free subspace
+        (gradient-projection flavor; improves on the pure clip-projection,
+        whose step quality the reference itself flags as weak —
+        trust_region_minimizer.cc:592 TODO / upstream issue 187). The mask
+        is recomputed from (x, gradient) after every accepted step."""
+        self.effective_scale = self.scale
+        box = getattr(self, "_tangent_box", None)
+        if box is None:
+            return
+        tmap, lo, hi = box
+        xs = np.asarray(self.x)
+        xv = np.where(tmap >= 0, xs[np.maximum(tmap, 0)], 0.0)
+        g = np.asarray(self.gradient)
+        active = (tmap >= 0) & (
+            ((xv <= lo) & (g > 0.0)) | ((xv >= hi) & (g < 0.0))
+        )
+        if active.any():
+            self.effective_scale = self.scale * jnp.asarray(
+                np.where(active, 0.0, 1.0)
+            )
 
     def _projected_line_search(self, delta):
         """Armijo backtracking on the step scale with bound projection

@@ -9,10 +9,11 @@ from ceres_tpu.models import mgh
 # f = 48.9843, #16 is a slow LM crawl (radius equilibrium at
 # rel_decrease ~ 0.5).
 _UNCONSTRAINED_EXPECTED_FAIL = {2, 16}
-# Constrained: the projected-line-search bound handling (the reference's
-# own is acknowledged weak, ceres-solver issue 187) lands on KKT points
-# of the box that are not the certified optimum for these.
-_CONSTRAINED_EXPECTED_FAIL = {7, 12, 16, 18}
+# Constrained: all certified problems reach the optimum — the active-set
+# step restriction (solvers/trust_region.py:_update_effective_scale)
+# avoids the KKT-point traps that pure clip-projection (the reference's
+# approach, its own issue 187) falls into.
+_CONSTRAINED_EXPECTED_FAIL = set()
 
 
 @pytest.mark.parametrize("p", mgh.PROBLEMS, ids=lambda p: f"{p.number}-{p.name}")
