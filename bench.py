@@ -37,24 +37,37 @@ def main():
     n_obs = b.num_observations
     nnz = n_obs * 2 * 12  # per-obs 2x9 + 2x3 blocks
 
+    # Observations sorted by point: the point-side segment reductions and
+    # gathers then run as the Mosaic tiled one-hot kernels
+    # (ops/pallas_kernels.py) instead of XLA scatter/gather.
+    order = np.argsort(np.asarray(b.point_index), kind="stable")
     cams = jnp.asarray(b.cameras, dtype)
     pts = jnp.asarray(b.points, dtype)
-    cam_idx = jnp.asarray(b.camera_index)
-    pt_idx = jnp.asarray(b.point_index)
-    obs = jnp.asarray(b.observations, dtype)
+    cam_idx = jnp.asarray(np.asarray(b.camera_index)[order])
+    pt_idx = jnp.asarray(np.asarray(b.point_index)[order])
+    obs = jnp.asarray(np.asarray(b.observations)[order], dtype)
 
     import functools
 
     # exact dense-Schur LM step (points eliminated in closed form; the
     # 9C x 9C reduced system is Cholesky-solved — no CG loop); see
     # parallel/sharded_ba.lm_step_schur.
-    step = jax.jit(sharded_ba.lm_step_schur)
+    from ceres_tpu.ops import pallas_kernels as pk
+
+    plan = pk.plan_block_tiles(np.asarray(pt_idx), n_pts)
+    step = jax.jit(functools.partial(sharded_ba.lm_step_schur, pallas_plan=plan))
     radius = jnp.asarray(1e4, dtype)
 
-    # Warm up (compile).
+    # Warm up (compile); fall back to the scatter path off-TPU.
     st = sharded_ba.BAState(cams, pts, radius, jnp.asarray(0.0, dtype))
-    st = sharded_ba.BAState(*step(st.cams, st.pts, cam_idx, pt_idx, obs, st.radius))
-    jax.block_until_ready(st)
+    try:
+        st = sharded_ba.BAState(*step(st.cams, st.pts, cam_idx, pt_idx, obs, st.radius))
+        jax.block_until_ready(st)
+    except Exception:
+        step = jax.jit(sharded_ba.lm_step_schur)
+        st = sharded_ba.BAState(cams, pts, radius, jnp.asarray(0.0, dtype))
+        st = sharded_ba.BAState(*step(st.cams, st.pts, cam_idx, pt_idx, obs, st.radius))
+        jax.block_until_ready(st)
 
     iters = 20
     t0 = time.perf_counter()

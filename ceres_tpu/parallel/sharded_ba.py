@@ -367,7 +367,8 @@ def lm_step(cams, pts, cam_idx, pt_idx, obs, radius, w=None, cg_iters: int = 10,
     return BAState(cams_out, pts_out, radius_out, cost_out)
 
 
-def lm_step_schur(cams, pts, cam_idx, pt_idx, obs, radius, w=None):
+def lm_step_schur(cams, pts, cam_idx, pt_idx, obs, radius, w=None,
+                  pallas_plan=None, pallas_interpret=False):
     """One LM iteration with an EXACT dense-Schur step: eliminate the
     points (E'E+D² is 3x3 block diagonal), assemble the reduced camera
     system S explicitly and Cholesky-solve it — no CG loop at all. The
@@ -375,7 +376,12 @@ def lm_step_schur(cams, pts, cam_idx, pt_idx, obs, radius, w=None):
     per-point scatters are three segment reductions; every camera-side
     aggregation is a one-hot matmul on the MXU (C is small, 9C x 9C dense
     S). Preferable to lm_step whenever 9*num_cameras is dense-solvable
-    (the reference's guidance for BAL-sized camera counts)."""
+    (the reference's guidance for BAL-sized camera counts).
+
+    pallas_plan: (tile_starts, max_rows) from
+    ops/pallas_kernels.plan_block_tiles over a POINT-SORTED observation
+    order — the point segment sums and gathers then run as the Mosaic
+    tiled one-hot kernels instead of XLA scatter/gather."""
     C = cams.shape[0]
     P = pts.shape[0]
     oh_gather = jax.nn.one_hot(cam_idx, C, dtype=cams.dtype)  # (B, C)
@@ -383,18 +389,51 @@ def lm_step_schur(cams, pts, cam_idx, pt_idx, obs, radius, w=None):
     # unmasked one so padded rows still see real camera values (zeros could
     # produce NaN residuals that survive the w mask as NaN * 0).
     onehot = oh_gather if w is None else oh_gather * w[:, None]
-    r, Jc, Jp = _evaluate(cams, pts, cam_idx, pt_idx, obs, w, onehot=oh_gather)
+
+    if pallas_plan is not None:
+        from ..ops import pallas_kernels as pk
+
+        tile_starts, max_rows = pallas_plan
+        ts = jnp.asarray(np.asarray(tile_starts, np.int32))
+        ids32 = pt_idx.astype(jnp.int32)
+        Bn = pt_idx.shape[0]
+
+        def reduce_p(contrib):  # (B, k) -> (P, k)
+            return pk.segment_block_sum(
+                contrib, ids32, ts, P, max_rows=max_rows,
+                interpret=pallas_interpret,
+            )[:P]
+
+        def expand_p(vals):  # (P, k) -> (B, k)
+            return pk.segment_block_expand(
+                vals, ids32, ts, Bn, max_rows=max_rows,
+                interpret=pallas_interpret,
+            )
+    else:
+        def reduce_p(contrib):  # (B, k) -> (P, k) segment sum
+            return jnp.zeros(
+                (P, contrib.shape[1]), contrib.dtype
+            ).at[pt_idx].add(contrib)
+
+        def expand_p(vals):
+            return jnp.take(vals, pt_idx, axis=0)
+
+    def reduce_c(contrib):  # (B, k) -> (C, k) via MXU
+        return jnp.einsum("bk,bc->ck", contrib, onehot, precision=_HI)
+
+    pts_g = expand_p(pts)
+    r, Jc, Jp = jax.vmap(_residual_and_blocks)(
+        _gather_cams(cams, cam_idx, oh_gather), pts_g, obs
+    )
+    if w is not None:
+        r = r * w[:, None]
+        Jc = Jc * w[:, None, None]
+        Jp = Jp * w[:, None, None]
     cost = 0.5 * jnp.sum(r * r)
     B, rr, tc = Jc.shape
     tp = Jp.shape[2]
     R, S_sel = _flat_selectors(rr, tc, tp, Jc.dtype)
     J = jnp.concatenate([Jc.reshape(B, rr * tc), Jp.reshape(B, rr * tp)], axis=1)
-
-    def reduce_p(contrib):  # (B, k) -> (P, k) segment sum
-        return jnp.zeros((P, contrib.shape[1]), contrib.dtype).at[pt_idx].add(contrib)
-
-    def reduce_c(contrib):  # (B, k) -> (C, k) via MXU
-        return jnp.einsum("bk,bc->ck", contrib, onehot, precision=_HI)
 
     # scaling (jacobi) from unscaled reductions; ONE fused point scatter
     jtr = _mmf(J * _mmf(r, S_sel.T), R.T)
@@ -405,8 +444,9 @@ def lm_step_schur(cams, pts, cam_idx, pt_idx, obs, radius, w=None):
     gp, d2p = gp_d2p[:, :tp], gp_d2p[:, tp:]
     sc = 1.0 / (1.0 + jnp.sqrt(d2c))
     sp = 1.0 / (1.0 + jnp.sqrt(d2p))
+    sp_g = expand_p(sp)
     Js = J * _mmf(
-        jnp.concatenate([_gather_cams(sc, cam_idx, oh_gather), sp[pt_idx]], axis=1), R
+        jnp.concatenate([_gather_cams(sc, cam_idx, oh_gather), sp_g], axis=1), R
     )
     diag_c = jnp.clip(sc * sc * d2c, 1e-6, 1e32)
     diag_p = jnp.clip(sp * sp * d2p, 1e-6, 1e32)
@@ -421,7 +461,7 @@ def lm_step_schur(cams, pts, cam_idx, pt_idx, obs, radius, w=None):
     # Cholesky/inverse/solve are closed-form elementwise (batched LAPACK
     # on (P,3,3) would re-materialize tile-padded rank-3 tensors).
     jptjp = _outer_flat(Js_p, Js_p, _outer_selectors(rr, tp, tp, dt))  # (B,9)
-    jptr = sp[pt_idx] * jtr[:, tc:]  # scaled E'r rows (col scaling identity)
+    jptr = sp_g * jtr[:, tc:]  # scaled E'r rows (col scaling identity)
     m_etb = reduce_p(jnp.concatenate([jptjp, jptr], axis=1))
     diag_embed = np.zeros((tp, tp * tp))
     for i in range(tp):
@@ -439,7 +479,7 @@ def lm_step_schur(cams, pts, cam_idx, pt_idx, obs, radius, w=None):
     # A = L^{-1} W' stacked per point: rows 3p+i, cols 9c+j
     W = _outer_flat(Js_p, Js_c, _outer_selectors(rr, tp, tc, dt))  # (B,27)
     GA, GB, G3 = _matmul_selectors(tp, tp, tc, dt)
-    Y = _mmf(_mmf(jnp.take(Kf, pt_idx, axis=0), GA) * _mmf(W, GB), G3)  # (B,27)
+    Y = _mmf(_mmf(expand_p(Kf), GA) * _mmf(W, GB), G3)  # (B,27)
     H1 = jnp.asarray(
         np.kron(np.eye(tp), np.kron(np.ones((1, C)), np.eye(tc))), dt
     )  # (27, 3*C*9)
@@ -479,14 +519,19 @@ def lm_step_schur(cams, pts, cam_idx, pt_idx, obs, radius, w=None):
     step_p = -y_p
 
     seg_step = jnp.concatenate(
-        [_gather_cams(step_c, cam_idx, oh_gather), step_p[pt_idx]], axis=1
+        [_gather_cams(step_c, cam_idx, oh_gather), expand_p(step_p)], axis=1
     )
     jstep = _mmf(Js * _mmf(seg_step, R), S_sel)
     model_cost_change = -jnp.sum(jstep * (r + jstep / 2.0))
 
     new_cams = cams + step_c * sc
     new_pts = pts + step_p * sp
-    new_cost = ba_cost(new_cams, new_pts, cam_idx, pt_idx, obs, w, onehot=oh_gather)
+    r_new = jax.vmap(snavely_reprojection_residual)(
+        _gather_cams(new_cams, cam_idx, oh_gather), expand_p(new_pts), obs
+    )
+    if w is not None:
+        r_new = r_new * w[:, None]
+    new_cost = 0.5 * jnp.sum(r_new * r_new)
     ok = jnp.isfinite(new_cost) & (model_cost_change > 0)
     rel_decrease = (cost - new_cost) / jnp.maximum(model_cost_change, 1e-300)
     accept = ok & (rel_decrease > 1e-3)

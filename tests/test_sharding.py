@@ -155,3 +155,31 @@ def test_lm_step_schur_matches_dense_reference():
         w=jnp.concatenate([jnp.ones(B), jnp.zeros(pad)]),
     )
     assert abs(float(st2.cost) - float(st.cost)) < 1e-9 * float(st.cost)
+
+
+def test_lm_step_schur_pallas_plan_matches_scatter():
+    """The Mosaic-kernel point reductions (interpret mode on CPU) agree
+    with the scatter path on point-sorted data."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ceres_tpu.models import bal
+    from ceres_tpu.ops import pallas_kernels as pk
+    from ceres_tpu.parallel import sharded_ba as sba
+
+    b = bal.synthetic_bal(num_cameras=8, num_points=120, visibility=0.4,
+                          noise=0.3, seed=3)
+    bp = bal.perturb(b, 0.02, 0.1, 0.1, seed=4)
+    order = np.argsort(np.asarray(bp.point_index), kind="stable")
+    ci = jnp.asarray(np.asarray(bp.camera_index)[order])
+    pi = jnp.asarray(np.asarray(bp.point_index)[order])
+    obs = jnp.asarray(np.asarray(bp.observations)[order], jnp.float32)
+    cams = jnp.asarray(bp.cameras, jnp.float32)
+    pts = jnp.asarray(bp.points, jnp.float32)
+    st0 = sba.lm_step_schur(cams, pts, ci, pi, obs, jnp.float32(1e4))
+    plan = pk.plan_block_tiles(np.asarray(pi), pts.shape[0])
+    st1 = sba.lm_step_schur(cams, pts, ci, pi, obs, jnp.float32(1e4),
+                            pallas_plan=plan, pallas_interpret=True)
+    # f32 reduction-order differences only
+    assert abs(float(st0.cost) - float(st1.cost)) < 1e-3 * float(st0.cost)
+    np.testing.assert_allclose(np.asarray(st1.cams), np.asarray(st0.cams),
+                               rtol=1e-2, atol=1e-4)
