@@ -55,29 +55,33 @@ def main():
     from ceres_tpu.ops import pallas_kernels as pk
 
     plan = pk.plan_block_tiles(np.asarray(pt_idx), n_pts)
-    step = jax.jit(functools.partial(sharded_ba.lm_step_schur, pallas_plan=plan))
     radius = jnp.asarray(1e4, dtype)
 
-    # Warm up (compile); fall back to the scatter path off-TPU.
+    # k LM iterations fused per jit call (the evaluation carry keeps the
+    # flat J compiler-internal between iterations). Fall back to the
+    # scatter path off-TPU.
+    K = 5
+    step = jax.jit(functools.partial(sharded_ba.lm_step_schur_k, k=K,
+                                     pallas_plan=plan))
     st = sharded_ba.BAState(cams, pts, radius, jnp.asarray(0.0, dtype))
     try:
         st = sharded_ba.BAState(*step(st.cams, st.pts, cam_idx, pt_idx, obs, st.radius))
         jax.block_until_ready(st)
     except Exception:
-        step = jax.jit(sharded_ba.lm_step_schur)
+        step = jax.jit(functools.partial(sharded_ba.lm_step_schur_k, k=K))
         st = sharded_ba.BAState(cams, pts, radius, jnp.asarray(0.0, dtype))
         st = sharded_ba.BAState(*step(st.cams, st.pts, cam_idx, pt_idx, obs, st.radius))
         jax.block_until_ready(st)
 
-    iters = 20
+    calls = 4
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(calls):
         st = sharded_ba.BAState(
             *step(st.cams, st.pts, cam_idx, pt_idx, obs, st.radius)
         )
     jax.block_until_ready(st)
     dt = time.perf_counter() - t0
-    lm_per_sec = iters / dt
+    lm_per_sec = calls * K / dt
 
     # SpMV benchmark: J v with the per-obs blocks (the CGNR hot op).
     r, Jc, Jp = jax.jit(sharded_ba._evaluate)(cams, pts, cam_idx, pt_idx, obs)

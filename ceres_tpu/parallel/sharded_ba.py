@@ -367,29 +367,9 @@ def lm_step(cams, pts, cam_idx, pt_idx, obs, radius, w=None, cg_iters: int = 10,
     return BAState(cams_out, pts_out, radius_out, cost_out)
 
 
-def lm_step_schur(cams, pts, cam_idx, pt_idx, obs, radius, w=None,
-                  pallas_plan=None, pallas_interpret=False):
-    """One LM iteration with an EXACT dense-Schur step: eliminate the
-    points (E'E+D² is 3x3 block diagonal), assemble the reduced camera
-    system S explicitly and Cholesky-solve it — no CG loop at all. The
-    TPU shape of schur_complement_solver.cc:338 (DENSE_SCHUR): the only
-    per-point scatters are three segment reductions; every camera-side
-    aggregation is a one-hot matmul on the MXU (C is small, 9C x 9C dense
-    S). Preferable to lm_step whenever 9*num_cameras is dense-solvable
-    (the reference's guidance for BAL-sized camera counts).
-
-    pallas_plan: (tile_starts, max_rows) from
-    ops/pallas_kernels.plan_block_tiles over a POINT-SORTED observation
-    order — the point segment sums and gathers then run as the Mosaic
-    tiled one-hot kernels instead of XLA scatter/gather."""
-    C = cams.shape[0]
-    P = pts.shape[0]
-    oh_gather = jax.nn.one_hot(cam_idx, C, dtype=cams.dtype)  # (B, C)
-    # reductions use a masked one-hot (padding rows vanish); gathers use the
-    # unmasked one so padded rows still see real camera values (zeros could
-    # produce NaN residuals that survive the w mask as NaN * 0).
-    onehot = oh_gather if w is None else oh_gather * w[:, None]
-
+def _point_ops(pt_idx, P, pallas_plan=None, pallas_interpret=False):
+    """(reduce_p, expand_p) — XLA scatter/gather, or the Mosaic tiled
+    one-hot kernels when a plan over POINT-SORTED observations is given."""
     if pallas_plan is not None:
         from ..ops import pallas_kernels as pk
 
@@ -410,7 +390,7 @@ def lm_step_schur(cams, pts, cam_idx, pt_idx, obs, radius, w=None,
                 interpret=pallas_interpret,
             )
     else:
-        def reduce_p(contrib):  # (B, k) -> (P, k) segment sum
+        def reduce_p(contrib):
             return jnp.zeros(
                 (P, contrib.shape[1]), contrib.dtype
             ).at[pt_idx].add(contrib)
@@ -418,22 +398,32 @@ def lm_step_schur(cams, pts, cam_idx, pt_idx, obs, radius, w=None,
         def expand_p(vals):
             return jnp.take(vals, pt_idx, axis=0)
 
-    def reduce_c(contrib):  # (B, k) -> (C, k) via MXU
-        return jnp.einsum("bk,bc->ck", contrib, onehot, precision=_HI)
+    return reduce_p, expand_p
 
-    pts_g = expand_p(pts)
+
+def _evaluate_flat(cams, pts, cam_idx, obs, w, oh_gather, expand_p):
+    """(r, J): residuals + the flat (B, r*(tc+tp)) Jacobian."""
     r, Jc, Jp = jax.vmap(_residual_and_blocks)(
-        _gather_cams(cams, cam_idx, oh_gather), pts_g, obs
+        _gather_cams(cams, cam_idx, oh_gather), expand_p(pts), obs
     )
     if w is not None:
         r = r * w[:, None]
         Jc = Jc * w[:, None, None]
         Jp = Jp * w[:, None, None]
-    cost = 0.5 * jnp.sum(r * r)
-    B, rr, tc = Jc.shape
-    tp = Jp.shape[2]
-    R, S_sel = _flat_selectors(rr, tc, tp, Jc.dtype)
-    J = jnp.concatenate([Jc.reshape(B, rr * tc), Jp.reshape(B, rr * tp)], axis=1)
+    B = r.shape[0]
+    J = jnp.concatenate([Jc.reshape(B, -1), Jp.reshape(B, -1)], axis=1)
+    return r, J
+
+
+def _schur_core(J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p,
+                C, P, rr=2, tc=9, tp=3):
+    """Exact dense-Schur LM step math from a flat-lane evaluation:
+    returns (step_c, step_p, sc, sp, model_cost_change)."""
+    B = r.shape[0]
+    R, S_sel = _flat_selectors(rr, tc, tp, J.dtype)
+
+    def reduce_c(contrib):  # (B, k) -> (C, k) via MXU
+        return jnp.einsum("bk,bc->ck", contrib, onehot, precision=_HI)
 
     # scaling (jacobi) from unscaled reductions; ONE fused point scatter
     jtr = _mmf(J * _mmf(r, S_sel.T), R.T)
@@ -523,6 +513,38 @@ def lm_step_schur(cams, pts, cam_idx, pt_idx, obs, radius, w=None,
     )
     jstep = _mmf(Js * _mmf(seg_step, R), S_sel)
     model_cost_change = -jnp.sum(jstep * (r + jstep / 2.0))
+    return step_c, step_p, sc, sp, model_cost_change
+
+
+def lm_step_schur(cams, pts, cam_idx, pt_idx, obs, radius, w=None,
+                  pallas_plan=None, pallas_interpret=False):
+    """One LM iteration with an EXACT dense-Schur step: eliminate the
+    points (E'E+D² is 3x3 block diagonal), assemble the reduced camera
+    system S explicitly and Cholesky-solve it — no CG loop at all. The
+    TPU shape of schur_complement_solver.cc:338 (DENSE_SCHUR): the only
+    per-point scatters are three segment reductions; every camera-side
+    aggregation is a one-hot matmul on the MXU (C is small, 9C x 9C dense
+    S). Preferable to lm_step whenever 9*num_cameras is dense-solvable
+    (the reference's guidance for BAL-sized camera counts).
+
+    pallas_plan: (tile_starts, max_rows) from
+    ops/pallas_kernels.plan_block_tiles over a POINT-SORTED observation
+    order — the point segment sums and gathers then run as the Mosaic
+    tiled one-hot kernels instead of XLA scatter/gather."""
+    C = cams.shape[0]
+    P = pts.shape[0]
+    oh_gather = jax.nn.one_hot(cam_idx, C, dtype=cams.dtype)  # (B, C)
+    # reductions use a masked one-hot (padding rows vanish); gathers use the
+    # unmasked one so padded rows still see real camera values (zeros could
+    # produce NaN residuals that survive the w mask as NaN * 0).
+    onehot = oh_gather if w is None else oh_gather * w[:, None]
+    reduce_p, expand_p = _point_ops(pt_idx, P, pallas_plan, pallas_interpret)
+
+    r, J = _evaluate_flat(cams, pts, cam_idx, obs, w, oh_gather, expand_p)
+    cost = 0.5 * jnp.sum(r * r)
+    step_c, step_p, sc, sp, model_cost_change = _schur_core(
+        J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p, C, P
+    )
 
     new_cams = cams + step_c * sc
     new_pts = pts + step_p * sp
@@ -548,6 +570,87 @@ def lm_step_schur(cams, pts, cam_idx, pt_idx, obs, radius, w=None,
     )
     cost_out = jnp.where(accept, new_cost, cost)
     return BAState(cams_out, pts_out, radius_out, cost_out)
+
+
+class SchurCarry(NamedTuple):
+    """BAState + the cached (r, J) evaluation at (cams, pts): the candidate
+    evaluation of an accepted step IS the next iteration's evaluation, so
+    each LM iteration evaluates r+J exactly once (both are bandwidth-bound
+    on TPU, so producing J alongside the candidate residuals is ~free)."""
+
+    cams: jax.Array
+    pts: jax.Array
+    radius: jax.Array
+    cost: jax.Array
+    r: jax.Array
+    J: jax.Array
+
+
+def lm_step_schur_init(cams, pts, cam_idx, pt_idx, obs, radius, w=None,
+                       pallas_plan=None, pallas_interpret=False) -> SchurCarry:
+    C = cams.shape[0]
+    oh_gather = jax.nn.one_hot(cam_idx, C, dtype=cams.dtype)
+    _, expand_p = _point_ops(pt_idx, pts.shape[0], pallas_plan, pallas_interpret)
+    r, J = _evaluate_flat(cams, pts, cam_idx, obs, w, oh_gather, expand_p)
+    return SchurCarry(cams, pts, radius, 0.5 * jnp.sum(r * r), r, J)
+
+
+def lm_step_schur_next(carry: SchurCarry, cam_idx, pt_idx, obs, w=None,
+                       pallas_plan=None, pallas_interpret=False) -> SchurCarry:
+    """lm_step_schur with the evaluation carried across iterations."""
+    cams, pts, radius, cost, r, J = carry
+    C = cams.shape[0]
+    P = pts.shape[0]
+    oh_gather = jax.nn.one_hot(cam_idx, C, dtype=cams.dtype)
+    onehot = oh_gather if w is None else oh_gather * w[:, None]
+    reduce_p, expand_p = _point_ops(pt_idx, P, pallas_plan, pallas_interpret)
+
+    step_c, step_p, sc, sp, model_cost_change = _schur_core(
+        J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p, C, P
+    )
+    new_cams = cams + step_c * sc
+    new_pts = pts + step_p * sp
+    r_new, J_new = _evaluate_flat(
+        new_cams, new_pts, cam_idx, obs, w, oh_gather, expand_p
+    )
+    new_cost = 0.5 * jnp.sum(r_new * r_new)
+    ok = jnp.isfinite(new_cost) & (model_cost_change > 0)
+    rel_decrease = (cost - new_cost) / jnp.maximum(model_cost_change, 1e-300)
+    accept = ok & (rel_decrease > 1e-3)
+
+    radius_out = jnp.where(
+        accept,
+        jnp.minimum(
+            radius / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rel_decrease - 1.0) ** 3),
+            1e16,
+        ),
+        radius / 2.0,
+    )
+    return SchurCarry(
+        jnp.where(accept, new_cams, cams),
+        jnp.where(accept, new_pts, pts),
+        radius_out,
+        jnp.where(accept, new_cost, cost),
+        jnp.where(accept, r_new, r),
+        jnp.where(accept, J_new, J),
+    )
+
+
+def lm_step_schur_k(cams, pts, cam_idx, pt_idx, obs, radius, k=5, w=None,
+                    pallas_plan=None, pallas_interpret=False):
+    """k LM iterations in ONE jit via the evaluation carry: the flat J
+    never leaves the compiled scope between iterations, so each iteration
+    costs one r+J evaluation ((k+1)/k evaluations per LM step amortized
+    vs 2 for lm_step_schur). Returns BAState after k steps."""
+    carry = lm_step_schur_init(cams, pts, cam_idx, pt_idx, obs, radius, w,
+                               pallas_plan, pallas_interpret)
+
+    def body(_, c):
+        return lm_step_schur_next(c, cam_idx, pt_idx, obs, w,
+                                  pallas_plan, pallas_interpret)
+
+    out = jax.lax.fori_loop(0, k, body, carry)
+    return BAState(out.cams, out.pts, out.radius, out.cost)
 
 
 def make_sharded_lm_step(mesh: Mesh, cg_iters: int = 10, step: str = "cg"):

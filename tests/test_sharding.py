@@ -183,3 +183,26 @@ def test_lm_step_schur_pallas_plan_matches_scatter():
     assert abs(float(st0.cost) - float(st1.cost)) < 1e-3 * float(st0.cost)
     np.testing.assert_allclose(np.asarray(st1.cams), np.asarray(st0.cams),
                                rtol=1e-2, atol=1e-4)
+
+
+def test_lm_step_schur_k_matches_stepwise():
+    import numpy as np
+    import jax.numpy as jnp
+    from ceres_tpu.models import bal
+    from ceres_tpu.parallel import sharded_ba as sba
+
+    b = bal.synthetic_bal(num_cameras=6, num_points=80, visibility=0.4,
+                          noise=0.3, seed=5)
+    bp = bal.perturb(b, 0.02, 0.1, 0.1, seed=6)
+    ci = jnp.asarray(bp.camera_index)
+    pi = jnp.asarray(bp.point_index)
+    obs = jnp.asarray(bp.observations)
+    cams = jnp.asarray(bp.cameras)
+    pts = jnp.asarray(bp.points)
+    st = sba.BAState(cams, pts, jnp.asarray(1e4), jnp.asarray(0.0))
+    for _ in range(6):
+        st = sba.lm_step_schur(st.cams, st.pts, ci, pi, obs, st.radius)
+    stk = sba.lm_step_schur_k(cams, pts, ci, pi, obs, jnp.asarray(1e4), k=6)
+    np.testing.assert_allclose(float(stk.cost), float(st.cost), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(stk.cams), np.asarray(st.cams),
+                               atol=1e-12)
