@@ -47,7 +47,7 @@ from .manifolds import (  # noqa: E402
     SphereManifold,
     SubsetManifold,
 )
-from .callbacks import IterationCallback  # noqa: E402
+from .callbacks import EvaluationCallback, IterationCallback  # noqa: E402
 from .covariance import Covariance, CovarianceOptions  # noqa: E402
 from .cubic_interpolation import (  # noqa: E402
     BiCubicInterpolator,

@@ -24,11 +24,17 @@ from .types import MinimizerType, TerminationType
 
 
 class GradientProblem:
-    """fn(x) -> scalar cost, jax-traceable; optional manifold."""
+    """fn(x) -> scalar cost, jax-traceable; optional manifold.
+
+    `gradient` optionally supplies a hand-coded (or finite-difference)
+    ambient gradient fn(x) -> (n,), the FirstOrderFunction::Evaluate
+    analog; reverse-mode AD is used when omitted."""
 
     def __init__(self, fn: Callable, num_parameters: int,
-                 manifold: Optional[Manifold] = None):
+                 manifold: Optional[Manifold] = None,
+                 gradient: Optional[Callable] = None):
         self.fn = fn
+        self.gradient = gradient
         self.num_parameters = num_parameters
         self.manifold = manifold
         if manifold is not None and manifold.ambient_size != num_parameters:
@@ -50,9 +56,14 @@ class _GradientProgram:
         fn = gp.fn
         manifold = gp.manifold
 
+        user_grad = gp.gradient
+
         def eval_core(x, with_grad, dense):
             if with_grad:
-                c, g_ambient = jax.value_and_grad(fn)(x)
+                if user_grad is not None:
+                    c, g_ambient = fn(x), user_grad(x)
+                else:
+                    c, g_ambient = jax.value_and_grad(fn)(x)
                 if manifold is not None:
                     g = manifold.plus_jacobian(x).T @ g_ambient
                 else:
