@@ -47,6 +47,119 @@ def _mm(a, b):
     return jnp.einsum("bl,lo->bo", a, b, precision=_HI)
 
 
+# --------------------------------------------------------------------------
+# Flat-lane block linear algebra: (t_a x t_b) blocks stored as row-major
+# lanes of 2-D (N, t_a*t_b) arrays; contractions are matmuls against tiny
+# constant 0/1 selector matrices (MXU), never rank-3 tensors. This is the
+# layout rule ROADMAP item 0 calls for: TPU tiles the two minormost dims to
+# (8, 128), so (N, r, t) tensors with small r/t inflate up to ~57x in HBM.
+# --------------------------------------------------------------------------
+
+
+def outer_selectors(r, ta, tb, dtype):
+    """Constants for sum_r outer(A_r, B_r) on flat lanes: A (N, r*ta),
+    B (N, r*tb) -> (N, ta*tb) with out[i*tb+j] = sum_r A[r*ta+i]*B[r*tb+j],
+    computed as (A@EA * B@EB) @ E3 — three MXU matmuls."""
+    EA = np.kron(np.eye(r * ta), np.ones((1, tb)))
+    EB = np.kron(np.eye(r), np.kron(np.ones((1, ta)), np.eye(tb)))
+    E3 = np.kron(np.ones((r, 1)), np.eye(ta * tb))
+    return (jnp.asarray(EA, dtype), jnp.asarray(EB, dtype), jnp.asarray(E3, dtype))
+
+
+def outer_flat(A, B, sel):
+    EA, EB, E3 = sel
+    return _mm(_mm(A, EA) * _mm(B, EB), E3)
+
+
+def matmul_selectors(ti, tk, tj, dtype):
+    """Constants for flat-lane matmul C[i*tj+j] = sum_k A[i*tk+k]*B[k*tj+j]
+    (A (N, ti*tk) row-major, B (N, tk*tj) row-major)."""
+    EA = np.kron(np.eye(ti * tk), np.ones((1, tj)))
+    EB = np.kron(np.ones((1, ti)), np.eye(tk * tj))
+    E3 = np.kron(np.eye(ti), np.kron(np.ones((tk, 1)), np.eye(tj)))
+    return (jnp.asarray(EA, dtype), jnp.asarray(EB, dtype), jnp.asarray(E3, dtype))
+
+
+def matmul_flat(A, B, sel):
+    EA, EB, E3 = sel
+    return _mm(_mm(A, EA) * _mm(B, EB), E3)
+
+
+def transpose_selector(ta, tb, dtype):
+    """(ta*tb, tb*ta) permutation: row-major (ta x tb) lanes -> row-major
+    (tb x ta) lanes of the transposed block."""
+    P = np.zeros((ta * tb, tb * ta))
+    for i in range(ta):
+        for j in range(tb):
+            P[i * tb + j, j * ta + i] = 1.0
+    return jnp.asarray(P, dtype)
+
+
+def matvec_selectors(t, dtype):
+    """Constants for flat-lane block matvec y[i] = sum_j M[i*t+j] * x[j]:
+    rep (t, t*t) replicates x across row groups, red (t*t, t) sums rows."""
+    rep = np.kron(np.ones((1, t)), np.eye(t))  # x -> lanes (i,j) = x[j]
+    red = np.kron(np.eye(t), np.ones((t, 1)))
+    return jnp.asarray(rep, dtype), jnp.asarray(red, dtype)
+
+
+def block_matvec_flat(M, x, sel):
+    """M (N, t*t) row-major blocks, x (N, t) -> (N, t)."""
+    rep, red = sel
+    return _mm(M * _mm(x, rep), red)
+
+
+def spd_inverse_flat(M, t):
+    """Dense inverses of SPD (t x t) blocks stored as (N, t*t) row-major
+    lanes, staying 2-D for t <= 3 (closed-form Cholesky on lanes); larger t
+    falls back to a batched rank-3 solve (acceptable: used only for small
+    block counts or once per iteration)."""
+    if t == 1:
+        return 1.0 / M
+    if t == 2:
+        a, b, d = M[:, 0], M[:, 1], M[:, 3]
+        det = a * d - b * b
+        return jnp.stack([d / det, -b / det, -b / det, a / det], axis=1)
+    if t == 3:
+        a, b, c = M[:, 0], M[:, 1], M[:, 2]
+        d, e, f = M[:, 4], M[:, 5], M[:, 8]
+        # closed-form Cholesky lanes, then M^{-1} = K'K with K = L^{-1}
+        L11 = jnp.sqrt(a)
+        L21 = b / L11
+        L31 = c / L11
+        L22 = jnp.sqrt(d - L21 * L21)
+        L32 = (e - L21 * L31) / L22
+        L33 = jnp.sqrt(f - L31 * L31 - L32 * L32)
+        K11 = 1.0 / L11
+        K22 = 1.0 / L22
+        K33 = 1.0 / L33
+        K21 = -L21 * K11 * K22
+        K31 = (L21 * L32 - L31 * L22) * K11 * K22 * K33
+        K32 = -L32 * K22 * K33
+        # M^{-1}[i,j] = sum_k K[k,i] K[k,j] (K lower triangular)
+        i11 = K11 * K11 + K21 * K21 + K31 * K31
+        i12 = K21 * K22 + K31 * K32
+        i13 = K31 * K33
+        i22 = K22 * K22 + K32 * K32
+        i23 = K32 * K33
+        i33 = K33 * K33
+        return jnp.stack([i11, i12, i13, i12, i22, i23, i13, i23, i33], axis=1)
+    N = M.shape[0]
+    blocks = M.reshape(N, t, t)
+    eye = jnp.broadcast_to(jnp.eye(t, dtype=M.dtype), (N, t, t))
+    L = jnp.linalg.cholesky(blocks)
+    inv = jax.vmap(lambda Li, I: jax.scipy.linalg.cho_solve((Li, True), I))(L, eye)
+    return inv.reshape(N, t * t)
+
+
+def diag_embed_selector(t, dtype):
+    """(t, t*t) selector putting a length-t vector on the diagonal lanes."""
+    E = np.zeros((t, t * t))
+    for i in range(t):
+        E[i, i * t + i] = 1.0
+    return jnp.asarray(E, dtype)
+
+
 class _Selectors:
     """Constant 0/1 matrices for (r, t) lane-group algebra."""
 
@@ -172,6 +285,85 @@ class _FlatOpsBase:
             )
         return out
 
+    def sq_col_norm(self, plans, fams, size, vflat):
+        """diag(J'J) over this partition's columns, all lanes 2-D."""
+        dtype = None
+        tables = {
+            fi: None for fi, _ in enumerate(fams)
+        }
+        for k, kind in enumerate(self.kinds):
+            for (s, fi, off, nv, t, local) in plans[k]:
+                J = vflat[k][s]
+                dtype = J.dtype
+                contrib = _mm(J * J, self.sel.get("sum_t", kind.r, t, J.dtype))
+                if tables[fi] is None:
+                    tables[fi] = jnp.zeros((fams[fi][1] + 1, fams[fi][2]), dtype)
+                tables[fi] = tables[fi].at[local].add(contrib)
+        out = jnp.zeros((size,), dtype or jnp.float64)
+        for fi, (off, nv, t, _) in enumerate(fams):
+            if tables[fi] is None:
+                continue
+            out = jax.lax.dynamic_update_slice(
+                out, tables[fi][:nv].reshape(-1), (off,)
+            )
+        return out
+
+    def block_jtj(self, plans, fams, vflat):
+        """Per-family (nv, t*t) flat diagonal blocks of J'J — the block
+        Jacobi preconditioner source (block_jacobi_preconditioner.cc), no
+        rank-3 temporaries."""
+        tables = [None] * len(fams)
+        for k, kind in enumerate(self.kinds):
+            for (s, fi, off, nv, t, local) in plans[k]:
+                J = vflat[k][s]
+                sel = outer_selectors(kind.r, t, t, J.dtype)
+                contrib = outer_flat(J, J, sel)  # (B, t*t)
+                if tables[fi] is None:
+                    tables[fi] = jnp.zeros((nv + 1, t * t), J.dtype)
+                tables[fi] = tables[fi].at[local].add(contrib)
+        out = []
+        for fi, (off, nv, t, _) in enumerate(fams):
+            tab = tables[fi]
+            if tab is None:
+                tab = jnp.zeros((nv + 1, t * t), jnp.float64)
+            out.append(tab[:nv])
+        return out
+
+    @staticmethod
+    def part_rows(fams, v):
+        """Split a partition-layout vector into per-family (nv, t) tables."""
+        out = []
+        for (off, nv, t, _) in fams:
+            out.append(
+                jax.lax.dynamic_slice(v, (off,), (nv * t,)).reshape(nv, t)
+            )
+        return out
+
+    @staticmethod
+    def scaled_block_inverses(fams, jtj_flats, scale, D2):
+        """Inverse flats of  S_b (J'J)_b S_b + diag(D2)_b  per family, where
+        S_b/D2 are the per-block rows of `scale`/`D2` in partition layout."""
+        out = []
+        for (off, nv, t, _), blk in zip(fams, jtj_flats):
+            s_rows = jax.lax.dynamic_slice(scale, (off,), (nv * t,)).reshape(nv, t)
+            d_rows = jax.lax.dynamic_slice(D2, (off,), (nv * t,)).reshape(nv, t)
+            souter = outer_flat(
+                s_rows, s_rows, outer_selectors(1, t, t, blk.dtype)
+            )
+            M = blk * souter + _mm(d_rows, diag_embed_selector(t, blk.dtype))
+            out.append(spd_inverse_flat(M, t))
+        return out
+
+    @staticmethod
+    def apply_inverse_rows(fams, inv_flats, v):
+        """x = blockdiag^{-1} v from inverse flats (nv, t*t)."""
+        outs = []
+        for (off, nv, t, _), M in zip(fams, inv_flats):
+            seg = jax.lax.dynamic_slice(v, (off,), (nv * t,)).reshape(nv, t)
+            sol = block_matvec_flat(M, seg, matvec_selectors(t, M.dtype))
+            outs.append(sol.reshape(-1))
+        return jnp.concatenate(outs) if outs else v
+
     def _inv_flatten(self, fams, factors):
         """Per-family (nv, t*t) dense inverses from Cholesky factors."""
         out = []
@@ -226,6 +418,20 @@ class FlatSchurOps(_FlatOpsBase):
     def left_e(self, vflat, u):
         return self._left(self.plans_e, self.pm.e_fams, self.pm.e_size, vflat, u)
 
+    def sq_col_norm_e(self, vflat):
+        return self.sq_col_norm(self.plans_e, self.pm.e_fams, self.pm.e_size, vflat)
+
+    def sq_col_norm_f(self, vflat):
+        return self.sq_col_norm(self.plans_f, self.pm.f_fams, self.pm.f_size, vflat)
+
+    def block_ete(self, vflat):
+        """Flat per-e-block E'E diagonal blocks."""
+        return self.block_jtj(self.plans_e, self.pm.e_fams, vflat)
+
+    def block_ftf(self, vflat):
+        """Flat per-f-block F'F diagonal blocks."""
+        return self.block_jtj(self.plans_f, self.pm.f_fams, vflat)
+
     def minv_flatten(self, factors):
         return self._inv_flatten(self.pm.e_fams, factors)
 
@@ -272,6 +478,15 @@ class FlatJacobianOps(_FlatOpsBase):
         """J' u."""
         return self._left(self.plans, self.fams, self.meta.tangent_size,
                           vflat, u)
+
+    def sq_col_norm_all(self, vflat):
+        """diag(J'J) over the full tangent."""
+        return self.sq_col_norm(self.plans, self.fams, self.meta.tangent_size,
+                                vflat)
+
+    def block_jtj_all(self, vflat):
+        """Flat per-variable-block diagonal blocks of J'J."""
+        return self.block_jtj(self.plans, self.fams, vflat)
 
     def inv_flatten(self, factors):
         return self._inv_flatten(self.fams, factors)

@@ -79,6 +79,19 @@ class Options:
     # flow stay fp64). BA-class problems tolerate fp32; NIST needs fp64.
     evaluation_dtype: str = "float64"
 
+    # Fused minimizer loop (solvers/fused_lm.py): run the ENTIRE LM loop —
+    # evaluation, linear step, accept/reject, radius update, tolerances —
+    # as one lax.while_loop in a single jit, with the Jacobian carried
+    # across iterations in flattened 2-D lanes. "AUTO" uses it for large
+    # problems when the configuration is in the fused subset (LM strategy,
+    # no bounds/callbacks/inner-iterations, device-resident linear solver);
+    # "ALWAYS"/"NEVER" force it on/off.
+    fused_loop: str = "AUTO"
+    # AUTO threshold: problems with at least this many residuals use the
+    # fused loop (below it, per-iteration dispatch is cheap and the host
+    # loop keeps full feature coverage with lower compile latency).
+    fused_loop_min_residuals: int = 8192
+
     # Linear solver
     linear_solver_type: LinearSolverType = LinearSolverType.SPARSE_NORMAL_CHOLESKY
     preconditioner_type: PreconditionerType = PreconditionerType.JACOBI

@@ -491,19 +491,26 @@ class CompiledProgram:
             args.append({"slots": slots, "data": data, "w": jnp.asarray(w)})
         return args
 
-    def _eval_core(self, x, with_jac: bool, dense_jac: bool, args=None):
+    def _eval_core(self, x, with_jac: bool, dense_jac: bool, args=None,
+                   need_grad: bool = True):
         """Shared evaluation body; returns dict of outputs.
 
         With `args` (from make_args), the observation arrays are traced
         inputs (shardable); without, they are baked constants. args-mode
         supports cost/gradient/block_jacs (batch sizes may be padded) but
-        not the dense Jacobian layout."""
+        not the dense Jacobian layout. `need_grad=False` skips the
+        per-element gradient scatter (the fused minimizer computes the
+        gradient from the flat block layout instead, ops/flatops.py)."""
         assert args is None or not dense_jac
         x = self._cast_in(x)
         total_cost = jnp.asarray(self.fixed_cost, dtype=jnp.float64)
         res_chunks = []
         T = self.tangent_size
-        grad = jnp.zeros((T + 1,), dtype=jnp.float64) if with_jac else None
+        grad = (
+            jnp.zeros((T + 1,), dtype=jnp.float64)
+            if (with_jac and need_grad)
+            else None
+        )
         J_dense = (
             jnp.zeros((self.num_residuals, T + 1), dtype=jnp.float64)
             if (with_jac and dense_jac)
@@ -557,10 +564,11 @@ class CompiledProgram:
             if with_jac:
                 block_jacs.append(tjacs)
                 for s, ti, tj in zip(kind.slots, tangent_idx, tjacs):
-                    if not s.any_variable:
+                    if not s.any_variable or (grad is None and not dense_jac):
                         continue
-                    contrib = jnp.einsum("brt,br->bt", tj, res_c)
-                    grad = grad.at[ti.reshape(-1)].add(contrib.reshape(-1))
+                    if grad is not None:
+                        contrib = jnp.einsum("brt,br->bt", tj, res_c)
+                        grad = grad.at[ti.reshape(-1)].add(contrib.reshape(-1))
                     if dense_jac:
                         rows = kind.row_offset + np.arange(kind.B * kind.r).reshape(
                             kind.B, kind.r
@@ -577,7 +585,8 @@ class CompiledProgram:
         )
         out = {"cost": total_cost, "residuals": residuals}
         if with_jac:
-            out["gradient"] = grad[:T]
+            if grad is not None:
+                out["gradient"] = grad[:T]
             out["block_jacs"] = block_jacs
             if dense_jac:
                 out["jacobian"] = J_dense[:, :T]

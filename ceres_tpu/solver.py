@@ -103,6 +103,44 @@ def _schur_structure_string(program, e_fams) -> str:
     return f"{uniq(rows)},{uniq(e_sizes)},{uniq(f_sizes)}"
 
 
+def _maybe_build_fused(options: Options, program: CompiledProgram, tier, kernel,
+                       used_type):
+    """Pick the fused one-jit LM loop when the configuration is in its
+    subset (see solvers/fused_lm.py docstring); None -> host loop."""
+    mode = options.fused_loop.upper()
+    if mode == "NEVER":
+        return None
+    if mode == "AUTO" and program.num_residuals < options.fused_loop_min_residuals:
+        return None
+    if options.trust_region_strategy_type.name != "LEVENBERG_MARQUARDT":
+        return None
+    if (
+        program.has_bounds()
+        or options.use_inner_iterations
+        or options.callbacks
+        or options.update_state_every_iteration
+        or options.evaluation_callback is not None
+        or options.trust_region_minimizer_iterations_to_dump
+        or options.max_solver_time_in_seconds < 1e6
+    ):
+        return None
+    from .solvers.fused_lm import build_fused_minimizer
+
+    if tier == "bsr":
+        return build_fused_minimizer(program, options, "bsr")
+    if tier == "schur_iterative":
+        return build_fused_minimizer(program, options, "schur_iterative",
+                                     e_families=kernel)
+    if tier == "dense":
+        name = (
+            "dense_qr"
+            if used_type == LinearSolverType.DENSE_QR
+            else "dense_normal_cholesky"
+        )
+        return build_fused_minimizer(program, options, name)
+    return None
+
+
 def solve(options: Options, problem: Problem, summary: Optional[Summary] = None) -> Summary:
     """ceres::Solve equivalent (solver.h:1119)."""
     if summary is None:
@@ -200,6 +238,22 @@ def solve(options: Options, problem: Problem, summary: Optional[Summary] = None)
     )
 
     from .solvers.trust_region import DenseTrustRegionKernels, TrustRegionMinimizer
+
+    # ---- Fused one-jit LM loop (solvers/fused_lm.py) -----------------------
+    fused = _maybe_build_fused(options, program, tier, kernel, used_type)
+    if fused is not None:
+        inner_minimizer = None
+        summary.preprocessor_time_in_seconds = time.monotonic() - t_start
+        t_min = time.monotonic()
+        x_final = fused.minimize(program.initial_state(), summary)
+        summary.minimizer_time_in_seconds = time.monotonic() - t_min
+        t_post = time.monotonic()
+        program.write_state(np.asarray(x_final))
+        if np.isfinite(fused.x_cost):
+            summary.final_cost = fused.x_cost
+        summary.postprocessor_time_in_seconds = time.monotonic() - t_post
+        summary.total_time_in_seconds = time.monotonic() - t_start
+        return summary
 
     if tier == "bsr":
         from .solvers.bsr_kernels import BlockTrustRegionKernels

@@ -1,0 +1,721 @@
+"""Fused trust-region minimizer: the WHOLE LM loop in one XLA program.
+
+TPU-native counterpart of the reference's TrustRegionMinimizer
+(/root/reference/internal/ceres/trust_region_minimizer.cc:68-847) for the
+Levenberg-Marquardt strategy: instead of a host loop dispatching one jitted
+kernel per phase (evaluate / solve / candidate — each crossing the device
+boundary with tile-padded rank-3 block tensors), the complete iteration
+
+    evaluate(r, J) -> LM diagonal -> linear step (CG in an inner while
+    loop) -> candidate evaluation -> accept/reject -> radius update ->
+    tolerance checks
+
+runs inside ONE `lax.while_loop` under a single jit:
+
+ - the Jacobian never leaves the compiled scope and is carried across
+   iterations as flattened 2-D (B, r*t) lanes (ops/flatops.py) — no
+   (8,128)-tile padding tax on the loop carry;
+ - the candidate evaluation of an accepted step IS the next iteration's
+   evaluation (the (k+1)/k-evaluations-per-step amortization of
+   parallel/sharded_ba.SchurCarry, generalized to any CompiledProgram);
+ - Jacobi column scaling is folded algebraically into the vectors
+   ((J S) x == J (S x), diag((JS)'(JS)) == S^2 diag(J'J)), so the scaled
+   Jacobian of levenberg_marquardt_strategy.cc:69-120 is never
+   materialized;
+ - per-iteration provenance (IterationSummary fields) is recorded into
+   preallocated history buffers and decoded host-side after the solve.
+
+Semantics preserved (same as solvers/trust_region.py): LM diagonal
+clamping, model_cost_change validity, non-monotonic step evaluation
+(Conn/Gould/Toint 10.1.2), radius update rules, invalid-step retry bound,
+gradient/function/parameter/trust-region-radius tolerances, termination
+taxonomy. Unsupported here (host loop used instead): bounds, Dogleg,
+inner iterations, callbacks, per-iteration dumps, solvers needing host
+factorizations (SPARSE_*), SUBSET/CLUSTER_* preconditioners.
+"""
+from __future__ import annotations
+
+import time
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..options import Options
+from ..summary import IterationSummary, Summary
+from ..types import TerminationType
+from ..ops import bsr
+from ..ops import flatops as fo
+from .linear.cg import conjugate_gradients
+
+_DBL_MAX = float(np.finfo(np.float64).max)
+
+# Termination reason codes carried through the loop.
+_RUNNING = 0
+_GRADIENT_TOL = 1
+_MIN_RADIUS = 2
+_PARAM_TOL = 3
+_FUNC_TOL = 4
+_INVALID_STEPS = 5
+_INIT_FAILURE = 6
+
+
+class _SEState(NamedTuple):
+    """TrustRegionStepEvaluator state (trust_region_step_evaluator.{h,cc})
+    as carried scalars."""
+
+    minimum: jax.Array
+    current: jax.Array
+    reference: jax.Array
+    candidate: jax.Array
+    acc_ref: jax.Array
+    acc_cand: jax.Array
+    count: jax.Array  # int32
+
+
+def _se_init(cost):
+    z = jnp.asarray(0.0, jnp.float64)
+    return _SEState(cost, cost, cost, cost, z, z, jnp.asarray(0, jnp.int32))
+
+
+def _se_quality(se: _SEState, cost, mcc):
+    rel = (se.current - cost) / mcc
+    hist = (se.reference - cost) / (se.acc_ref + mcc)
+    q = jnp.maximum(rel, hist)
+    return jnp.where(cost >= _DBL_MAX, -_DBL_MAX, q)
+
+
+def _se_accepted(se: _SEState, cost, mcc, max_steps: int):
+    current = cost
+    acc_cand = se.acc_cand + mcc
+    acc_ref = se.acc_ref + mcc
+    is_min = current < se.minimum
+    minimum = jnp.where(is_min, current, se.minimum)
+    count = jnp.where(is_min, 0, se.count + 1)
+    cand_worse = (~is_min) & (current > se.candidate)
+    candidate = jnp.where(is_min | cand_worse, current, se.candidate)
+    acc_cand = jnp.where(is_min | cand_worse, 0.0, acc_cand)
+    hit = count == max_steps
+    reference = jnp.where(hit, candidate, se.reference)
+    acc_ref = jnp.where(hit, acc_cand, acc_ref)
+    return _SEState(minimum, current, reference, candidate, acc_ref, acc_cand, count)
+
+
+class _History(NamedTuple):
+    cost: jax.Array
+    cost_change: jax.Array
+    gradient_norm: jax.Array
+    gradient_max_norm: jax.Array
+    step_norm: jax.Array
+    relative_decrease: jax.Array
+    radius: jax.Array
+    lin_iters: jax.Array  # int32
+    valid: jax.Array  # bool
+    successful: jax.Array  # bool
+
+
+class _Carry(NamedTuple):
+    x: jax.Array
+    cost: jax.Array
+    r: jax.Array
+    vrep: tuple  # Jacobian representation (flat 2-D lanes or dense)
+    aux: tuple  # per-evaluation solver state (e.g. flat J'J diagonal blocks)
+    g: jax.Array  # gradient J'r (compute dtype, tangent layout)
+    sqn: jax.Array  # diag(J'J) of the UNSCALED current Jacobian
+    radius: jax.Array
+    decrease_factor: jax.Array
+    se: _SEState
+    num_invalid: jax.Array  # int32
+    any_success: jax.Array  # bool
+    it: jax.Array  # int32 — completed iterations
+    term: jax.Array  # int32 reason code
+    min_cost: jax.Array
+    best_x: jax.Array
+    hist: _History
+
+
+# ----------------------------------------------------------------------------
+# Step adapters: evaluation layout + linear solver, one per solver family.
+# ----------------------------------------------------------------------------
+
+
+class CgnrStepOps:
+    """CGNR over the flat block Jacobian (cgnr_solver.cc role) with the
+    block-Jacobi preconditioner built from carried unscaled J'J blocks."""
+
+    def __init__(self, program, options: Options):
+        self.program = program
+        meta = bsr.build_meta(program)
+        self.meta = meta
+        self.flat = fo.FlatJacobianOps(meta)
+        if not self.flat.supported:
+            raise ValueError("flat layout unsupported for this program")
+        self.precond = options.preconditioner_type.name in ("JACOBI", "SCHUR_JACOBI")
+        self.eta = options.eta
+        self.max_li = options.max_linear_solver_iterations
+        self.min_li = options.min_linear_solver_iterations
+
+    def evaluate(self, x):
+        o = self.program._eval_core(x, True, False, need_grad=False)
+        vflat = tuple(tuple(r) for r in self.flat.flatten(o["block_jacs"]))
+        return o["cost"], o["residuals"], vflat
+
+    def post_eval(self, vrep, r):
+        g = self.flat.left(vrep, r)
+        sqn = self.flat.sq_col_norm_all(vrep)
+        aux = tuple(self.flat.block_jtj_all(vrep)) if self.precond else ()
+        return g, sqn, aux
+
+    def compute_step(self, vrep, aux, g, r, scale_c, D2_c):
+        flat = self.flat
+        rhs = scale_c * g
+
+        def lhs(x):
+            return scale_c * flat.left(vrep, flat.right(vrep, scale_c * x)) + D2_c * x
+
+        precond = None
+        if self.precond:
+            inv_flats = fo._FlatOpsBase.scaled_block_inverses(
+                flat.fams, list(aux), scale_c, D2_c
+            )
+
+            def precond(v):
+                return fo._FlatOpsBase.apply_inverse_rows(flat.fams, inv_flats, v)
+
+        res = conjugate_gradients(
+            lhs, rhs, jnp.zeros_like(rhs), precond,
+            min_num_iterations=self.min_li, max_num_iterations=self.max_li,
+            residual_reset_period=10, r_tolerance=-1.0, q_tolerance=self.eta,
+        )
+        step = -res.x
+        mr = flat.right(vrep, scale_c * step)
+        mcc = -jnp.dot(mr, r + mr / 2.0)
+        return step, mcc, res.num_iterations
+
+
+class IterativeSchurStepOps:
+    """Implicit-Schur PCG (iterative_schur_complement_solver.cc:64) on flat
+    lanes, SCHUR_JACOBI or IDENTITY preconditioner, scale folded into the
+    partition vectors."""
+
+    def __init__(self, program, options: Options, e_families):
+        from ..ops import partition as pt_mod
+
+        self.program = program
+        meta = bsr.build_meta(program)
+        self.meta = meta
+        self.pm = pt_mod.build_partition(meta, e_families)
+        self.pt = pt_mod
+        self.flat = fo.FlatSchurOps(self.pm)
+        if not self.flat.supported:
+            raise ValueError("flat layout unsupported for this program")
+        pname = options.preconditioner_type.name
+        if pname == "JACOBI":
+            pname = "SCHUR_JACOBI"
+        if pname not in ("SCHUR_JACOBI", "IDENTITY"):
+            raise ValueError(f"fused ITERATIVE_SCHUR: unsupported preconditioner {pname}")
+        self.precond = pname
+        self.eta = options.eta
+        self.max_li = options.max_linear_solver_iterations
+        self.min_li = options.min_linear_solver_iterations
+
+    def evaluate(self, x):
+        o = self.program._eval_core(x, True, False, need_grad=False)
+        vflat = tuple(tuple(r) for r in self.flat.flatten(o["block_jacs"]))
+        return o["cost"], o["residuals"], vflat
+
+    def post_eval(self, vrep, r):
+        fl, pm, pt = self.flat, self.pm, self.pt
+        g = pt.combine(pm, fl.left_e(vrep, r), fl.left_f(vrep, r))
+        sqn = pt.combine(pm, fl.sq_col_norm_e(vrep), fl.sq_col_norm_f(vrep))
+        aux = (tuple(fl.block_ete(vrep)), tuple(fl.block_ftf(vrep)))
+        return g, sqn, aux
+
+    def _schur_jacobi_inverses(self, vrep, ftf, minv_e, se, sf, d2f):
+        """Inverse flats of block-diag(S): scaled F'F + D_f^2 minus the
+        per-observation W' M^{-1} W correction, all 2-D lanes (the
+        schur_jacobi_preconditioner.h:78 assembly without rank-3 temps)."""
+        fl, pm = self.flat, self.pm
+        f_fams = pm.f_fams
+        # start from scaled F'F + diag(D_f^2)
+        tables = []
+        for (off, nv, t, _), blk in zip(f_fams, ftf):
+            s_rows = jax.lax.dynamic_slice(sf, (off,), (nv * t,)).reshape(nv, t)
+            d_rows = jax.lax.dynamic_slice(d2f, (off,), (nv * t,)).reshape(nv, t)
+            souter = fo.outer_flat(s_rows, s_rows, fo.outer_selectors(1, t, t, blk.dtype))
+            M = blk * souter + fo._mm(d_rows, fo.diag_embed_selector(t, blk.dtype))
+            tables.append(jnp.concatenate([M, jnp.zeros((1, t * t), M.dtype)], 0))
+        # subtract W' M^{-1} W per observation
+        plans_e = {k: lst for k, lst in enumerate(fl.plans_e) if lst}
+        for k, kind in enumerate(fl.kinds):
+            if k not in plans_e or not fl.plans_f[k]:
+                continue
+            (s_e, efi, off_e, nv_e, te, local_e) = plans_e[k][0]
+            Je = vrep[k][s_e]
+            se_rows = fl._gather(se, off_e, nv_e, te, local_e)  # (B, te)
+            Je_s = Je * fo._mm(se_rows, fl.sel.get("rep_t", kind.r, te, Je.dtype))
+            minv_tab = jnp.concatenate(
+                [minv_e[efi], jnp.zeros((1, te * te), Je.dtype)], 0
+            )
+            minv_rows = jnp.take(minv_tab, local_e, axis=0)  # (B, te*te)
+            for (s_f, ffi, off_f, nv_f, tf, local_f) in fl.plans_f[k]:
+                Jf = vrep[k][s_f]
+                sf_rows = fl._gather(sf, off_f, nv_f, tf, local_f)
+                Jf_s = Jf * fo._mm(sf_rows, fl.sel.get("rep_t", kind.r, tf, Jf.dtype))
+                W = fo.outer_flat(
+                    Je_s, Jf_s, fo.outer_selectors(kind.r, te, tf, Je.dtype)
+                )  # (B, te*tf)
+                Y = fo.matmul_flat(
+                    minv_rows, W, fo.matmul_selectors(te, te, tf, Je.dtype)
+                )  # (B, te*tf)
+                Wt = fo._mm(W, fo.transpose_selector(te, tf, W.dtype))
+                corr = fo.matmul_flat(
+                    Wt, Y, fo.matmul_selectors(tf, te, tf, Je.dtype)
+                )  # (B, tf*tf)
+                tables[ffi] = tables[ffi].at[local_f].add(-corr)
+        out = []
+        for (off, nv, t, _), tab in zip(f_fams, tables):
+            out.append(fo.spd_inverse_flat(tab[:nv], t))
+        return out
+
+    def compute_step(self, vrep, aux, g, r, scale_c, D2_c):
+        fl, pm, pt = self.flat, self.pm, self.pt
+        ete, ftf = aux
+        se = pt.extract_e(pm, scale_c)
+        sf = pt.extract_f(pm, scale_c)
+        d2e = pt.extract_e(pm, D2_c)
+        d2f = pt.extract_f(pm, D2_c)
+        base = fo._FlatOpsBase
+        minv_e = base.scaled_block_inverses(pm.e_fams, list(ete), se, d2e)
+
+        def minv(v):
+            return base.apply_inverse_rows(pm.e_fams, minv_e, v)
+
+        # rhs' = F_s'(b - E_s Minv E_s'b)   (implicit_schur_complement.cc:49)
+        etb = se * fl.left_e(vrep, r)
+        tmp = fl.right_e(vrep, se * minv(etb))
+        rhs = sf * fl.left_f(vrep, r - tmp)
+
+        def lhs(z):
+            fz = fl.right_f(vrep, sf * z)
+            etfz = se * fl.left_e(vrep, fz)
+            e_part = fl.right_e(vrep, se * minv(etfz))
+            return sf * fl.left_f(vrep, fz - e_part) + d2f * z
+
+        precond = None
+        if self.precond == "SCHUR_JACOBI":
+            inv_f = self._schur_jacobi_inverses(vrep, ftf, minv_e, se, sf, d2f)
+
+            def precond(v):
+                return base.apply_inverse_rows(pm.f_fams, inv_f, v)
+
+        res = conjugate_gradients(
+            lhs, rhs, jnp.zeros_like(rhs), precond,
+            min_num_iterations=self.min_li, max_num_iterations=self.max_li,
+            residual_reset_period=10, r_tolerance=-1.0, q_tolerance=self.eta,
+        )
+        z = res.x
+        # back substitution: y_e = Minv (E_s'b - E_s'F_s z)
+        fz = fl.right_f(vrep, sf * z)
+        y_e = minv(etb - se * fl.left_e(vrep, fz))
+        step = -pt.combine(pm, y_e, z)
+        mr = fl.right_e(vrep, se * (-y_e)) + fl.right_f(vrep, sf * (-z))
+        mcc = -jnp.dot(mr, r + mr / 2.0)
+        return step, mcc, res.num_iterations
+
+
+class DenseStepOps:
+    """Dense-Jacobian step (DENSE_QR / DENSE_NORMAL_CHOLESKY)."""
+
+    def __init__(self, program, options: Options, solver: str):
+        from .linear import dense as dense_mod
+
+        self.program = program
+        if solver == "DENSE_QR":
+            self.kernel = dense_mod.qr_solve
+        elif options.use_mixed_precision_solves:
+            refinements = max(1, options.max_num_refinement_iterations)
+
+            def kernel(J, r, D):
+                return dense_mod.normal_cholesky_solve_mixed(
+                    J, r, D, refinement_steps=refinements
+                )
+
+            self.kernel = kernel
+        else:
+            self.kernel = dense_mod.normal_cholesky_solve
+
+    def evaluate(self, x):
+        o = self.program._eval_core(x, True, True, need_grad=False)
+        return o["cost"], o["residuals"], (o["jacobian"],)
+
+    def post_eval(self, vrep, r):
+        (J,) = vrep
+        g = J.T @ r
+        sqn = jnp.sum(J * J, axis=0)
+        return g, sqn, ()
+
+    def compute_step(self, vrep, aux, g, r, scale_c, D2_c):
+        (J,) = vrep
+        Js = J * scale_c[None, :]
+        D = jnp.sqrt(D2_c)
+        y = self.kernel(Js, r, D)
+        step = -y
+        mr = Js @ step
+        mcc = -jnp.dot(mr, r + mr / 2.0)
+        return step, mcc, jnp.asarray(1, jnp.int32)
+
+
+# ----------------------------------------------------------------------------
+# The fused loop.
+# ----------------------------------------------------------------------------
+
+
+class FusedTrustRegionMinimizer:
+    """One-jit LM solve over a step adapter. Host involvement: one dispatch,
+    then summary decoding."""
+
+    def __init__(self, program, options: Options, ops):
+        self.program = program
+        self.options = options
+        self.ops = ops
+        self._fn = jax.jit(self._solve_impl)
+
+    # -- device code ---------------------------------------------------------
+
+    def _solve_impl(self, x0):
+        prog, opts, ops = self.program, self.options, self.ops
+        cdt = prog.compute_dtype
+        max_iters = int(opts.max_num_iterations)
+        min_d, max_d = opts.min_lm_diagonal, opts.max_lm_diagonal
+        max_steps = (
+            opts.max_consecutive_nonmonotonic_steps
+            if opts.use_nonmonotonic_steps
+            else 0
+        )
+
+        cost0, r0, vrep0 = ops.evaluate(x0)
+        g0, sqn0, aux0 = ops.post_eval(vrep0, r0)
+        sqn0_64 = sqn0.astype(jnp.float64)
+        if opts.jacobi_scaling:
+            scale = 1.0 / (1.0 + jnp.sqrt(sqn0_64))
+        else:
+            scale = jnp.ones_like(sqn0_64)
+        scale_c = scale.astype(cdt)
+
+        def grad_norms(x, g):
+            pg = prog._plus_impl(x, -g.astype(jnp.float64))
+            dx = x - pg
+            if dx.shape[0] == 0:
+                return jnp.asarray(0.0), jnp.asarray(0.0)
+            return jnp.linalg.norm(dx), jnp.max(jnp.abs(dx))
+
+        gnorm0, gmax0 = grad_norms(x0, g0)
+
+        H = max_iters + 1
+        z64 = jnp.zeros((H,), jnp.float64)
+        hist = _History(
+            cost=z64.at[0].set(cost0),
+            cost_change=z64,
+            gradient_norm=z64.at[0].set(gnorm0),
+            gradient_max_norm=z64.at[0].set(gmax0),
+            step_norm=z64,
+            relative_decrease=z64,
+            radius=z64.at[0].set(opts.initial_trust_region_radius),
+            lin_iters=jnp.zeros((H,), jnp.int32),
+            valid=jnp.zeros((H,), bool).at[0].set(True),
+            successful=jnp.zeros((H,), bool).at[0].set(True),
+        )
+
+        term0 = jnp.where(
+            jnp.isfinite(cost0),
+            jnp.where(
+                gmax0 <= opts.gradient_tolerance,
+                _GRADIENT_TOL,
+                jnp.where(
+                    opts.initial_trust_region_radius <= opts.min_trust_region_radius,
+                    _MIN_RADIUS,
+                    _RUNNING,
+                ),
+            ),
+            _INIT_FAILURE,
+        ).astype(jnp.int32)
+
+        carry0 = _Carry(
+            x=x0,
+            cost=cost0,
+            r=r0,
+            vrep=vrep0,
+            aux=aux0,
+            g=g0,
+            sqn=sqn0_64,
+            radius=jnp.asarray(opts.initial_trust_region_radius, jnp.float64),
+            decrease_factor=jnp.asarray(2.0, jnp.float64),
+            se=_se_init(cost0),
+            num_invalid=jnp.asarray(0, jnp.int32),
+            any_success=jnp.asarray(False),
+            it=jnp.asarray(0, jnp.int32),
+            term=term0,
+            min_cost=cost0,
+            best_x=x0,
+            hist=hist,
+        )
+
+        def cond(s: _Carry):
+            return (s.term == _RUNNING) & (s.it < max_iters)
+
+        def body(s: _Carry):
+            it = s.it + 1
+            # -- LM step (levenberg_marquardt_strategy.cc:69-120) ----------
+            diag = jnp.clip(scale * scale * s.sqn, min_d, max_d)
+            D2 = diag / s.radius
+            D2_c = D2.astype(cdt)
+            step, mcc_c, lin_iters = ops.compute_step(
+                s.vrep, s.aux, s.g, s.r, scale_c, D2_c
+            )
+            mcc = mcc_c.astype(jnp.float64)
+            valid = jnp.all(jnp.isfinite(step)) & (mcc > 0.0)
+
+            # -- invalid-step handling (trust_region_minimizer.cc:467) -----
+            num_invalid = jnp.where(valid, 0, s.num_invalid + 1)
+            term = jnp.where(
+                (~valid) & (num_invalid >= opts.max_num_consecutive_invalid_steps),
+                _INVALID_STEPS,
+                _RUNNING,
+            )
+
+            # -- candidate --------------------------------------------------
+            delta = step.astype(jnp.float64) * scale
+            cand_x = prog._plus_impl(s.x, delta)
+            cand_cost, cand_r, cand_vrep = ops.evaluate(cand_x)
+            cand_cost = jnp.where(jnp.isfinite(cand_cost), cand_cost, _DBL_MAX)
+            step_norm = jnp.linalg.norm(s.x - cand_x)
+
+            # -- tolerances (trust_region_minimizer.cc order) ---------------
+            x_norm = jnp.linalg.norm(s.x)
+            ptol = opts.parameter_tolerance
+            param_hit = valid & s.any_success & (
+                step_norm <= ptol * (x_norm + ptol)
+            )
+            cost_change = s.cost - cand_cost
+            func_hit = valid & (~param_hit) & (
+                jnp.abs(cost_change) <= opts.function_tolerance * s.cost
+            )
+            term = jnp.where(param_hit, _PARAM_TOL,
+                             jnp.where(func_hit, _FUNC_TOL, term)).astype(jnp.int32)
+            breaking = term != _RUNNING
+
+            # -- accept / reject --------------------------------------------
+            rel_dec = _se_quality(s.se, cand_cost, mcc)
+            success = valid & (~breaking) & (rel_dec > opts.min_relative_decrease)
+
+            x_new = jnp.where(success, cand_x, s.x)
+            cost_new = jnp.where(success, cand_cost, s.cost)
+            r_new = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(success, a, b), cand_r, s.r
+            )
+            vrep_new = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(success, a, b), cand_vrep, s.vrep
+            )
+            g_new, sqn_new_c, aux_new = ops.post_eval(vrep_new, r_new)
+            sqn_new = jnp.where(success, sqn_new_c.astype(jnp.float64), s.sqn)
+            gnorm, gmax = grad_norms(x_new, g_new)
+            gnorm = jnp.where(success, gnorm, s.hist.gradient_norm[s.it])
+            gmax = jnp.where(success, gmax, s.hist.gradient_max_norm[s.it])
+
+            se_new = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(success, a, b),
+                _se_accepted(s.se, cand_cost, mcc, max_steps),
+                s.se,
+            )
+
+            # -- radius update ----------------------------------------------
+            radius_acc = jnp.minimum(
+                s.radius / jnp.maximum(
+                    1.0 / 3.0, 1.0 - (2.0 * rel_dec - 1.0) ** 3
+                ),
+                opts.max_trust_region_radius,
+            )
+            radius_new = jnp.where(
+                success, radius_acc, s.radius / s.decrease_factor
+            )
+            radius_new = jnp.where(breaking, s.radius, radius_new)
+            decrease_new = jnp.where(
+                success, 2.0, jnp.where(breaking, s.decrease_factor,
+                                        s.decrease_factor * 2.0)
+            )
+
+            term = jnp.where(
+                (term == _RUNNING) & success & (gmax <= opts.gradient_tolerance),
+                _GRADIENT_TOL,
+                term,
+            )
+            term = jnp.where(
+                (term == _RUNNING) & (radius_new <= opts.min_trust_region_radius),
+                _MIN_RADIUS,
+                term,
+            ).astype(jnp.int32)
+
+            min_cost = jnp.where(
+                success & (cand_cost < s.min_cost), cand_cost, s.min_cost
+            )
+            best_x = jnp.where(
+                success & (cand_cost <= s.min_cost), cand_x, s.best_x
+            )
+
+            h = s.hist
+            hist_new = _History(
+                cost=h.cost.at[it].set(
+                    jnp.where(success | (~valid), cost_new, cand_cost)
+                ),
+                cost_change=h.cost_change.at[it].set(
+                    jnp.where(valid, cost_change, 0.0)
+                ),
+                gradient_norm=h.gradient_norm.at[it].set(gnorm),
+                gradient_max_norm=h.gradient_max_norm.at[it].set(gmax),
+                step_norm=h.step_norm.at[it].set(jnp.where(valid, step_norm, 0.0)),
+                relative_decrease=h.relative_decrease.at[it].set(
+                    jnp.where(valid, rel_dec, 0.0)
+                ),
+                radius=h.radius.at[it].set(radius_new),
+                lin_iters=h.lin_iters.at[it].set(lin_iters),
+                valid=h.valid.at[it].set(valid),
+                successful=h.successful.at[it].set(success),
+            )
+
+            return _Carry(
+                x=x_new, cost=cost_new, r=r_new, vrep=vrep_new, aux=aux_new,
+                g=g_new, sqn=sqn_new, radius=radius_new,
+                decrease_factor=decrease_new, se=se_new,
+                num_invalid=num_invalid, any_success=s.any_success | success,
+                it=it, term=term, min_cost=min_cost, best_x=best_x,
+                hist=hist_new,
+            )
+
+        out = jax.lax.while_loop(cond, body, carry0)
+        # Return the minimum-cost point (trust_region_minimizer.cc epilogue).
+        x_final = jnp.where(out.cost > out.min_cost, out.best_x, out.x)
+        cost_final = jnp.minimum(out.cost, out.min_cost)
+        return x_final, cost_final, out.it, out.term, out.hist
+
+    # -- host wrapper ---------------------------------------------------------
+
+    def minimize(self, x0, summary: Summary):
+        opts = self.options
+        t0 = time.monotonic()
+        x, cost, it, term, hist = self._fn(x0)
+        x = jax.block_until_ready(x)
+        elapsed = time.monotonic() - t0
+
+        n_it = int(it)
+        term = int(term)
+        hist = jax.tree_util.tree_map(np.asarray, hist)
+        self.x_cost = float(cost)
+
+        summary.initial_cost = float(hist.cost[0])
+        for i in range(n_it + 1):
+            s = IterationSummary(
+                iteration=i,
+                cost=float(hist.cost[i]),
+                cost_change=float(hist.cost_change[i]),
+                gradient_norm=float(hist.gradient_norm[i]),
+                gradient_max_norm=float(hist.gradient_max_norm[i]),
+                step_norm=float(hist.step_norm[i]),
+                relative_decrease=float(hist.relative_decrease[i]),
+                trust_region_radius=float(hist.radius[i]),
+                linear_solver_iterations=int(hist.lin_iters[i]),
+                step_is_valid=bool(hist.valid[i]),
+                step_is_successful=bool(hist.successful[i]),
+                eta=opts.eta,
+            )
+            summary.iterations.append(s)
+            # FinalizeIteration counting semantics: iteration 0 counts as
+            # successful; rows that broke the loop mid-iteration (param/
+            # function tolerance, invalid-step failure) are appended but
+            # never reach FinalizeIteration in the host loop.
+            if i == n_it and term in (_PARAM_TOL, _FUNC_TOL, _INVALID_STEPS):
+                continue
+            if hist.successful[i]:
+                summary.num_successful_steps += 1
+            else:
+                summary.num_unsuccessful_steps += 1
+        summary.num_linear_solves = n_it
+        summary.num_jacobian_evaluations += n_it + 1
+        summary.num_residual_evaluations += n_it + 1
+        summary.linear_solver_time_in_seconds += elapsed  # fused: undivided
+
+        if opts.minimizer_progress_to_stdout:
+            from ..callbacks import trust_region_log_line
+
+            for i in range(n_it + 1):
+                print(trust_region_log_line(summary.iterations[i]))
+
+        if term == _INIT_FAILURE:
+            summary.message = "Initial residual and Jacobian evaluation failed."
+            summary.termination_type = TerminationType.FAILURE
+        elif term == _GRADIENT_TOL:
+            summary.message = (
+                "Gradient tolerance reached. Gradient max norm: "
+                f"{float(hist.gradient_max_norm[n_it]):e} <= {opts.gradient_tolerance:e}"
+            )
+            summary.termination_type = TerminationType.CONVERGENCE
+        elif term == _MIN_RADIUS:
+            summary.message = (
+                "Minimum trust region radius reached. Trust region radius: "
+                f"{float(hist.radius[n_it]):e} <= {opts.min_trust_region_radius:e}"
+            )
+            summary.termination_type = TerminationType.CONVERGENCE
+        elif term == _PARAM_TOL:
+            summary.message = (
+                "Parameter tolerance reached. Relative step_norm: "
+                f"{float(hist.step_norm[n_it]):e} <= {opts.parameter_tolerance:e}."
+            )
+            summary.termination_type = TerminationType.CONVERGENCE
+        elif term == _FUNC_TOL:
+            summary.message = (
+                "Function tolerance reached. |cost_change|/cost: "
+                f"{abs(float(hist.cost_change[n_it])) / max(float(hist.cost[n_it]), 1e-300):e}"
+                f" <= {opts.function_tolerance:e}"
+            )
+            summary.termination_type = TerminationType.CONVERGENCE
+        elif term == _INVALID_STEPS:
+            summary.message = (
+                "Number of consecutive invalid steps more than "
+                "Solver::Options::max_num_consecutive_invalid_steps: "
+                f"{opts.max_num_consecutive_invalid_steps}"
+            )
+            summary.termination_type = TerminationType.FAILURE
+        else:
+            summary.message = (
+                f"Maximum number of iterations reached. Number of iterations: {n_it}."
+            )
+            summary.termination_type = TerminationType.NO_CONVERGENCE
+        return x
+
+
+def build_fused_minimizer(program, options: Options, tier: str, e_families=None):
+    """Factory: returns a FusedTrustRegionMinimizer or None when the
+    configuration is outside the fused subset (caller falls back to the
+    host-loop TrustRegionMinimizer)."""
+    try:
+        if tier == "bsr":
+            pname = options.preconditioner_type.name
+            if pname not in ("IDENTITY", "JACOBI", "SCHUR_JACOBI"):
+                return None
+            ops = CgnrStepOps(program, options)
+        elif tier == "schur_iterative":
+            if options.use_explicit_schur_complement:
+                return None
+            if options.use_spse_initialization:
+                return None
+            ops = IterativeSchurStepOps(program, options, e_families)
+        elif tier == "dense_qr":
+            ops = DenseStepOps(program, options, "DENSE_QR")
+        elif tier == "dense_normal_cholesky":
+            ops = DenseStepOps(program, options, "DENSE_NORMAL_CHOLESKY")
+        else:
+            return None
+    except ValueError:
+        return None
+    return FusedTrustRegionMinimizer(program, options, ops)
