@@ -152,6 +152,55 @@ def spd_inverse_flat(M, t):
     return inv.reshape(N, t * t)
 
 
+def chol_inv_lower_flat(M, t):
+    """K = L^{-1} (lower triangular, upper lanes zero) of SPD blocks stored
+    as (N, t*t) row-major lanes. Closed form on lanes for t <= 3 (promoted
+    to f64 internally: the small-pivot recurrences cancel badly in f32 —
+    measured on the BA point blocks, parallel/sharded_ba.py notes); rank-3
+    fallback otherwise."""
+    dt = M.dtype
+    if t == 1:
+        return (1.0 / jnp.sqrt(M.astype(jnp.float64))).astype(dt)
+    if t == 2:
+        m = M.astype(jnp.float64)
+        a, b, d = m[:, 0], m[:, 1], m[:, 3]
+        L11 = jnp.sqrt(a)
+        L21 = b / L11
+        L22 = jnp.sqrt(d - L21 * L21)
+        K11 = 1.0 / L11
+        K22 = 1.0 / L22
+        K21 = -L21 * K11 * K22
+        z = jnp.zeros_like(K11)
+        return jnp.stack([K11, z, K21, K22], axis=1).astype(dt)
+    if t == 3:
+        m = M.astype(jnp.float64)
+        a, b, c = m[:, 0], m[:, 1], m[:, 2]
+        d, e, f = m[:, 4], m[:, 5], m[:, 8]
+        L11 = jnp.sqrt(a)
+        L21 = b / L11
+        L31 = c / L11
+        L22 = jnp.sqrt(d - L21 * L21)
+        L32 = (e - L21 * L31) / L22
+        L33 = jnp.sqrt(f - L31 * L31 - L32 * L32)
+        K11 = 1.0 / L11
+        K22 = 1.0 / L22
+        K33 = 1.0 / L33
+        K21 = -L21 * K11 * K22
+        K31 = (L21 * L32 - L31 * L22) * K11 * K22 * K33
+        K32 = -L32 * K22 * K33
+        z = jnp.zeros_like(K11)
+        return jnp.stack(
+            [K11, z, z, K21, K22, z, K31, K32, K33], axis=1
+        ).astype(dt)
+    N = M.shape[0]
+    L = jnp.linalg.cholesky(M.reshape(N, t, t))
+    eye = jnp.broadcast_to(jnp.eye(t, dtype=M.dtype), (N, t, t))
+    K = jax.lax.linalg.triangular_solve(
+        L, eye, left_side=True, lower=True
+    )
+    return K.reshape(N, t * t)
+
+
 def diag_embed_selector(t, dtype):
     """(t, t*t) selector putting a length-t vector on the diagonal lanes."""
     E = np.zeros((t, t * t))

@@ -131,6 +131,9 @@ def _maybe_build_fused(options: Options, program: CompiledProgram, tier, kernel,
     if tier == "schur_iterative":
         return build_fused_minimizer(program, options, "schur_iterative",
                                      e_families=kernel)
+    if tier == "schur_dense":
+        return build_fused_minimizer(program, options, "schur_dense",
+                                     e_families=kernel)
     if tier == "dense":
         name = (
             "dense_qr"

@@ -325,6 +325,193 @@ class IterativeSchurStepOps:
         return step, mcc, res.num_iterations
 
 
+def _spread_selectors(te, tf, nv, f_size, col_off, dtype):
+    """Constants generalizing parallel/sharded_ba.py's H1/H2 kron trick:
+    place a per-observation (te x tf) block W into the observation's
+    f-block column window of a dense (te x f_size) row group.
+    T = (W @ H1) * (onehot_f @ H2) is nonzero exactly at lanes
+    (i, col_off + c*tf + j) = W[i, j] for the observation's block c."""
+    base1 = np.zeros((tf, f_size))
+    base1[:, col_off: col_off + nv * tf] = np.kron(np.ones((1, nv)), np.eye(tf))
+    H1 = np.kron(np.eye(te), base1)  # (te*tf, te*f_size)
+    base2 = np.zeros((nv, f_size))
+    base2[:, col_off: col_off + nv * tf] = np.kron(np.eye(nv), np.ones((1, tf)))
+    H2 = np.kron(np.ones((1, te)), base2)  # (nv, te*f_size)
+    return jnp.asarray(H1, dtype), jnp.asarray(H2, dtype)
+
+
+class DenseSchurStepOps:
+    """Exact dense-Schur LM step (schur_complement_solver.cc DENSE path) on
+    flat lanes: eliminate the e-blocks in closed form via per-block
+    L^{-1} lanes, assemble A = L^{-1} W densely with spread selectors + one
+    block-row scatter per kind (the generalization of
+    parallel/sharded_ba._schur_core to arbitrary programs), Cholesky-solve
+    the f_size x f_size reduced system. No CG loop; one linear solve per
+    LM iteration."""
+
+    def __init__(self, program, options: Options, e_families):
+        from ..ops import partition as pt_mod
+
+        self.program = program
+        meta = bsr.build_meta(program)
+        self.meta = meta
+        self.pm = pt_mod.build_partition(meta, e_families)
+        self.pt = pt_mod
+        self.flat = fo.FlatSchurOps(self.pm)
+        if not self.flat.supported:
+            raise ValueError("flat layout unsupported for this program")
+
+    evaluate = IterativeSchurStepOps.evaluate
+    post_eval = IterativeSchurStepOps.post_eval
+
+    def _scaled_K(self, ete, se, d2e):
+        """Per-e-family K = L^{-1} lanes of scaled E'E + D_e^2."""
+        out = []
+        for (off, nv, t, _), blk in zip(self.pm.e_fams, ete):
+            s_rows = jax.lax.dynamic_slice(se, (off,), (nv * t,)).reshape(nv, t)
+            d_rows = jax.lax.dynamic_slice(d2e, (off,), (nv * t,)).reshape(nv, t)
+            souter = fo.outer_flat(
+                s_rows, s_rows, fo.outer_selectors(1, t, t, blk.dtype)
+            )
+            M = blk * souter + fo._mm(d_rows, fo.diag_embed_selector(t, blk.dtype))
+            out.append(fo.chol_inv_lower_flat(M, t))
+        return out
+
+    def _kmatvec(self, K_e, v, transpose=False):
+        """Blockwise K v (or K' v) over the e-partition layout."""
+        outs = []
+        for (off, nv, t, _), K in zip(self.pm.e_fams, K_e):
+            Kb = K if not transpose else fo._mm(
+                K, fo.transpose_selector(t, t, K.dtype)
+            )
+            rows = jax.lax.dynamic_slice(v, (off,), (nv * t,)).reshape(nv, t)
+            sol = fo.block_matvec_flat(Kb, rows, fo.matvec_selectors(t, K.dtype))
+            outs.append(sol.reshape(-1))
+        return jnp.concatenate(outs) if outs else v
+
+    def compute_step(self, vrep, aux, g, r, scale_c, D2_c):
+        fl, pm, pt = self.flat, self.pm, self.pt
+        ete, ftf = aux
+        dt = r.dtype
+        se = pt.extract_e(pm, scale_c)
+        sf = pt.extract_f(pm, scale_c)
+        d2e = pt.extract_e(pm, D2_c)
+        d2f = pt.extract_f(pm, D2_c)
+        f_size = pm.f_size
+
+        K_e = self._scaled_K(ete, se, d2e)
+        etb = se * fl.left_e(vrep, r)
+        u = self._kmatvec(K_e, etb)
+
+        # A = L^{-1} W, dense (e_size, f_size), one spread + block-row
+        # scatter per (kind, f-slot)
+        plans_e = {k: lst for k, lst in enumerate(fl.plans_e) if lst}
+        tables = {
+            efi: jnp.zeros((nv + 1, te * f_size), dt)
+            for efi, (off, nv, te, _) in enumerate(pm.e_fams)
+        }
+        for k, kind in enumerate(fl.kinds):
+            if k not in plans_e or not fl.plans_f[k]:
+                continue
+            (s_e, efi, off_e, nv_e, te, local_e) = plans_e[k][0]
+            Je = vrep[k][s_e]
+            se_rows = fl._gather(se, off_e, nv_e, te, local_e)
+            Je_s = Je * fo._mm(se_rows, fl.sel.get("rep_t", kind.r, te, dt))
+            K_tab = jnp.concatenate(
+                [K_e[efi], jnp.zeros((1, te * te), dt)], axis=0
+            )
+            K_rows = jnp.take(K_tab, local_e, axis=0)
+            for (s_f, ffi, off_f, nv_f, tf, local_f) in fl.plans_f[k]:
+                Jf = vrep[k][s_f]
+                sf_rows = fl._gather(sf, off_f, nv_f, tf, local_f)
+                Jf_s = Jf * fo._mm(sf_rows, fl.sel.get("rep_t", kind.r, tf, dt))
+                W = fo.outer_flat(
+                    Je_s, Jf_s, fo.outer_selectors(kind.r, te, tf, dt)
+                )
+                Y = fo.matmul_flat(
+                    K_rows, W, fo.matmul_selectors(te, te, tf, dt)
+                )
+                H1, H2 = _spread_selectors(te, tf, nv_f, f_size, off_f, dt)
+                onehot_f = jax.nn.one_hot(local_f, nv_f, dtype=dt)
+                T = fo._mm(Y, H1) * fo._mm(onehot_f, H2)
+                tables[efi] = tables[efi].at[local_e].add(T)
+        A_parts = [
+            tables[efi][:nv].reshape(nv * te, f_size)
+            for efi, (off, nv, te, _) in enumerate(pm.e_fams)
+        ]
+        A = (
+            jnp.concatenate(A_parts, axis=0)
+            if A_parts
+            else jnp.zeros((0, f_size), dt)
+        )
+
+        # S = scaled F'F + diag(D_f^2) - A'A; same-block terms come from the
+        # carried flat F'F diagonal blocks, cross-f-slot terms (two distinct
+        # f blocks in one residual) from a spread pass.
+        S = jnp.zeros((f_size, f_size), dt)
+        for (off, nv, tf, _), blk in zip(pm.f_fams, ftf):
+            s_rows = jax.lax.dynamic_slice(sf, (off,), (nv * tf,)).reshape(nv, tf)
+            d_rows = jax.lax.dynamic_slice(d2f, (off,), (nv * tf,)).reshape(nv, tf)
+            souter = fo.outer_flat(
+                s_rows, s_rows, fo.outer_selectors(1, tf, tf, dt)
+            )
+            M = blk * souter + fo._mm(d_rows, fo.diag_embed_selector(tf, dt))
+            dense = jnp.einsum(
+                "cij,cd->cidj", M.reshape(nv, tf, tf), jnp.eye(nv, dtype=dt)
+            ).reshape(nv * tf, nv * tf)
+            S = jax.lax.dynamic_update_slice(S, dense, (off, off))
+        for k, kind in enumerate(fl.kinds):
+            fs = fl.plans_f[k]
+            for a in range(len(fs)):
+                for b in range(len(fs)):
+                    if a == b:
+                        continue
+                    (s1, f1, off1, nv1, t1, loc1) = fs[a]
+                    (s2, f2, off2, nv2, t2, loc2) = fs[b]
+                    if f1 == f2 and s1 == s2:
+                        continue
+                    # distinct f blocks may share a family; skip pairs that
+                    # hit the same block (handled by the diagonal term)
+                    J1 = vrep[k][s1] * fo._mm(
+                        fl._gather(sf, off1, nv1, t1, loc1),
+                        fl.sel.get("rep_t", kind.r, t1, dt),
+                    )
+                    J2 = vrep[k][s2] * fo._mm(
+                        fl._gather(sf, off2, nv2, t2, loc2),
+                        fl.sel.get("rep_t", kind.r, t2, dt),
+                    )
+                    same = (f1 == f2) & (loc1 == loc2)
+                    W12 = fo.outer_flat(
+                        J1, J2, fo.outer_selectors(kind.r, t1, t2, dt)
+                    ) * (1.0 - same.astype(dt))[:, None]
+                    H1, H2 = _spread_selectors(t1, t2, nv2, f_size, off2, dt)
+                    onehot2 = jax.nn.one_hot(loc2, nv2, dtype=dt)
+                    T12 = fo._mm(W12, H1) * fo._mm(onehot2, H2)
+                    rows = jnp.zeros((nv1 + 1, t1 * f_size), dt).at[loc1].add(T12)
+                    Sblk = rows[:nv1].reshape(nv1 * t1, f_size)
+                    S = jax.lax.dynamic_update_slice(
+                        S,
+                        jax.lax.dynamic_slice(
+                            S, (off1, 0), (nv1 * t1, f_size)
+                        ) + Sblk,
+                        (off1, 0),
+                    )
+        S = S - jnp.einsum("kf,kg->fg", A, A, precision=jax.lax.Precision.HIGHEST)
+
+        ftb = sf * fl.left_f(vrep, r)
+        rhs = ftb - jnp.einsum(
+            "kf,k->f", A, u, precision=jax.lax.Precision.HIGHEST
+        )
+        L = jnp.linalg.cholesky(S)
+        z = jax.scipy.linalg.cho_solve((L, True), rhs)
+        Az = jnp.einsum("kf,f->k", A, z, precision=jax.lax.Precision.HIGHEST)
+        y_e = self._kmatvec(K_e, u - Az, transpose=True)
+        step = -pt.combine(pm, y_e, z)
+        mr = fl.right_e(vrep, se * (-y_e)) + fl.right_f(vrep, sf * (-z))
+        mcc = -jnp.dot(mr, r + mr / 2.0)
+        return step, mcc, jnp.asarray(1, jnp.int32)
+
+
 class DenseStepOps:
     """Dense-Jacobian step (DENSE_QR / DENSE_NORMAL_CHOLESKY)."""
 
@@ -710,6 +897,8 @@ def build_fused_minimizer(program, options: Options, tier: str, e_families=None)
             if options.use_spse_initialization:
                 return None
             ops = IterativeSchurStepOps(program, options, e_families)
+        elif tier == "schur_dense":
+            ops = DenseSchurStepOps(program, options, e_families)
         elif tier == "dense_qr":
             ops = DenseStepOps(program, options, "DENSE_QR")
         elif tier == "dense_normal_cholesky":

@@ -28,7 +28,7 @@ def _solve_pair(opts_kwargs):
     return host, fused
 
 
-@pytest.mark.parametrize("lst", ["CGNR", "ITERATIVE_SCHUR"])
+@pytest.mark.parametrize("lst", ["CGNR", "ITERATIVE_SCHUR", "DENSE_SCHUR"])
 def test_fused_matches_host_trajectory(lst):
     host, fused = _solve_pair(
         dict(linear_solver_type=ct.LinearSolverType[lst], max_num_iterations=15)
