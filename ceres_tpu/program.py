@@ -519,21 +519,32 @@ class CompiledProgram:
         block_jacs = []  # list over kinds of list over slots of (B, r, t)
         plus_jacs = self._plus_jacobians(x) if with_jac else {}
 
+        # Family state tables for block-ROW gathers: a slot's parameters are
+        # one contiguous row of its family's (count, asize) view, so
+        # xf[pos] is a row gather (~20 ns/row on TPU) instead of asize
+        # scalar gathers per observation (ops/flatops.py module docstring).
+        fam_tables = {}
+        for fam in self.families:
+            fam_tables[id(fam)] = jax.lax.dynamic_slice(
+                x, (fam.state_offset,), (fam.count * fam.asize,)
+            ).reshape(fam.count, fam.asize)
+
         for ki, kind in enumerate(self.kinds):
             if args is not None:
                 a = args[ki]
-                state_idx = [sl["state_idx"] for sl in a["slots"]]
                 tangent_idx = [sl["tangent_idx"] for sl in a["slots"]]
                 pos_in_family = [sl["pos_in_family"] for sl in a["slots"]]
                 kdata = self._cast_data(a["data"])
                 w = self._cast_in(a["w"])
             else:
-                state_idx = [jnp.asarray(s.state_idx) for s in kind.slots]
                 tangent_idx = [jnp.asarray(s.tangent_idx) for s in kind.slots]
                 pos_in_family = [jnp.asarray(s.pos_in_family) for s in kind.slots]
                 kdata = self._cast_data(kind.data)
                 w = None
-            params = tuple(jnp.take(x, si) for si in state_idx)
+            params = tuple(
+                jnp.take(fam_tables[id(s.family)], pos, axis=0)
+                for s, pos in zip(kind.slots, pos_in_family)
+            )
             fn = self._vmapped_eval(kind, with_jac)
             if with_jac:
                 res, jacs = fn(params, kdata)

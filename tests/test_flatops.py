@@ -142,3 +142,73 @@ def test_flat_mixed_sizes_and_constants():
     np.testing.assert_allclose(
         fo.left(vflat, u), bsr.left_multiply(meta, values, u), atol=1e-12
     )
+
+
+def test_flat_lane_block_algebra():
+    """outer/matmul/transpose/matvec selectors and small SPD inverses vs
+    dense numpy on random blocks."""
+    from ceres_tpu.ops import flatops as fo
+
+    rng = np.random.default_rng(7)
+    for (r, ta, tb) in [(2, 3, 9), (1, 4, 4), (3, 2, 5)]:
+        A = rng.standard_normal((11, r, ta))
+        B = rng.standard_normal((11, r, tb))
+        out = fo.outer_flat(
+            jnp.asarray(A.reshape(11, -1)),
+            jnp.asarray(B.reshape(11, -1)),
+            fo.outer_selectors(r, ta, tb, jnp.float64),
+        )
+        ref = np.einsum("bra,brc->bac", A, B).reshape(11, -1)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-12)
+    for (ti, tk, tj) in [(3, 3, 9), (2, 4, 3)]:
+        A = rng.standard_normal((5, ti, tk))
+        B = rng.standard_normal((5, tk, tj))
+        out = fo.matmul_flat(
+            jnp.asarray(A.reshape(5, -1)),
+            jnp.asarray(B.reshape(5, -1)),
+            fo.matmul_selectors(ti, tk, tj, jnp.float64),
+        )
+        ref = np.einsum("bik,bkj->bij", A, B).reshape(5, -1)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-12)
+    M = rng.standard_normal((7, 4, 3))
+    out = fo._mm(jnp.asarray(M.reshape(7, -1)), fo.transpose_selector(4, 3, jnp.float64))
+    np.testing.assert_allclose(
+        np.asarray(out), np.transpose(M, (0, 2, 1)).reshape(7, -1)
+    )
+    for t in [1, 2, 3, 5]:
+        R = rng.standard_normal((9, t, t))
+        spd = np.einsum("bik,bjk->bij", R, R) + 3 * np.eye(t)
+        inv = fo.spd_inverse_flat(jnp.asarray(spd.reshape(9, -1)), t)
+        np.testing.assert_allclose(
+            np.asarray(inv).reshape(9, t, t), np.linalg.inv(spd), atol=1e-8
+        )
+        K = fo.chol_inv_lower_flat(jnp.asarray(spd.reshape(9, -1)), t)
+        L = np.linalg.cholesky(spd)
+        np.testing.assert_allclose(
+            np.asarray(K).reshape(9, t, t), np.linalg.inv(L), atol=1e-8
+        )
+        x = rng.standard_normal((9, t))
+        y = fo.block_matvec_flat(
+            jnp.asarray(spd.reshape(9, -1)), jnp.asarray(x), fo.matvec_selectors(t, jnp.float64)
+        )
+        np.testing.assert_allclose(
+            np.asarray(y), np.einsum("bij,bj->bi", spd, x), atol=1e-10
+        )
+
+
+def test_flat_jtj_blocks_and_sqnorm():
+    """block_jtj_all / sq_col_norm_all vs bsr dense reference."""
+    from ceres_tpu.ops.flatops import FlatJacobianOps
+
+    bp, prog, meta, values, residuals = _setup()
+    fl = FlatJacobianOps(meta)
+    vflat = fl.flatten(values)
+    sqn = np.asarray(fl.sq_col_norm_all(vflat))
+    ref = np.asarray(bsr.squared_column_norm(meta, values))
+    np.testing.assert_allclose(sqn, ref, rtol=1e-12)
+    blocks = fl.block_jtj_all(vflat)
+    ref_blocks = bsr.block_diag_jtj(meta, values)
+    for (off, nv, t, _), got, want in zip(fl.fams, blocks, ref_blocks):
+        np.testing.assert_allclose(
+            np.asarray(got).reshape(nv, t, t), np.asarray(want), rtol=1e-10
+        )
