@@ -102,6 +102,37 @@ def main():
     # each matvec does J v and J^T u => 2 * nnz mults
     nnz_per_sec = 2 * nnz * n_mv / dt_mv
 
+    # Generic public-API path: the fused one-jit LM loop (DENSE_SCHUR step)
+    # over the same problem built through Problem/CompiledProgram — measures
+    # the framework, not the specialized kernel.
+    generic_lm_per_sec = None
+    try:
+        import ceres_tpu as ct
+        from ceres_tpu.program import CompiledProgram
+        from ceres_tpu.solvers.fused_lm import build_fused_minimizer
+        from ceres_tpu.summary import Summary
+        from ceres_tpu.utils import ordering as om
+
+        problem, _, _ = bal.build_problem_batched(b)
+        opts = ct.Options(
+            linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+            evaluation_dtype="float32", fused_loop="ALWAYS",
+            max_num_iterations=20, function_tolerance=0.0,
+            gradient_tolerance=0.0, parameter_tolerance=0.0,
+            min_trust_region_radius=0.0,
+        )
+        prog = CompiledProgram(problem, compute_dtype="float32")
+        fused = build_fused_minimizer(
+            prog, opts, "schur_dense", e_families=om.eligible_e_sets(prog)
+        )
+        x0 = prog.initial_state()
+        fused.minimize(x0, Summary())  # compile + warm
+        t0 = time.perf_counter()
+        fused.minimize(x0, Summary())
+        generic_lm_per_sec = opts.max_num_iterations / (time.perf_counter() - t0)
+    except Exception:
+        pass
+
     baseline_path = pathlib.Path(__file__).parent / "bench_baseline.json"
     vs = 1.0
     if baseline_path.exists():
@@ -118,6 +149,9 @@ def main():
                 "vs_baseline": round(vs, 3),
                 "spmv_nnz_per_sec": round(nnz_per_sec / 1e9, 3),
                 "spmv_unit": "Gnnz/s",
+                "generic_fused_lm_it_per_s": (
+                    round(generic_lm_per_sec, 3) if generic_lm_per_sec else None
+                ),
                 "final_cost": float(st.cost),
                 "device": str(jax.devices()[0].device_kind),
             }

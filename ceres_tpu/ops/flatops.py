@@ -264,7 +264,9 @@ class _FlatOpsBase:
 
     def _build(self, slot_info):
         """slot_info: iterable of (k, s, fam_pos, off, nv, t, bid_off,
-        bid_key, idx_key) for every participating slot."""
+        bid_key, idx_key) for every participating slot. Plan entries carry
+        a `srt` flag: block ids nondecreasing over rows, so reductions can
+        run as SORTED segment-sums instead of random scatter-adds."""
         plans: List[List[Tuple]] = [[] for _ in self.kinds]
         for (k, s, fi, off, nv, t, bid_off, bid_key, idx_key) in slot_info:
             bid = self.arrays[bid_key]
@@ -278,8 +280,21 @@ class _FlatOpsBase:
             var = local < nv
             if not np.array_equal(idx[var], want[var]):
                 self.supported = False
-            plans[k].append((s, fi, off, nv, t, jnp.asarray(local)))
+            srt = bool(np.all(local[1:] >= local[:-1]))
+            plans[k].append((s, fi, off, nv, t, jnp.asarray(local), srt))
         return plans
+
+    @staticmethod
+    def _reduce_rows(table, local, contrib, srt):
+        """table (+=) segment reduction of contrib by local row ids —
+        sorted segment-sum when the ids are nondecreasing (the program was
+        built with sort_rows), scatter-add otherwise."""
+        if srt:
+            return table + jax.ops.segment_sum(
+                contrib, local, num_segments=table.shape[0],
+                indices_are_sorted=True,
+            )
+        return table.at[local].add(contrib)
 
     def flatten(self, values):
         out = []
@@ -300,7 +315,7 @@ class _FlatOpsBase:
         outs = []
         for k, kind in enumerate(self.kinds):
             acc = None
-            for (s, fi, off, nv, t, local) in plans[k]:
+            for (s, fi, off, nv, t, local, srt) in plans[k]:
                 J = vflat[k][s]  # (B, r*t)
                 seg = self._gather(v, off, nv, t, local)  # (B, t)
                 rep = _mm(seg, self.sel.get("rep_t", kind.r, t, J.dtype))
@@ -322,11 +337,11 @@ class _FlatOpsBase:
                 continue
             rows = u[kind.row_offset: kind.row_offset + kind.B * kind.r]
             rows = rows.reshape(kind.B, kind.r)
-            for (s, fi, off, nv, t, local) in plans[k]:
+            for (s, fi, off, nv, t, local, srt) in plans[k]:
                 J = vflat[k][s]
                 rep = _mm(rows, self.sel.get("rep_r", kind.r, t, J.dtype))
                 contrib = _mm(J * rep, self.sel.get("sum_t", kind.r, t, J.dtype))
-                tables[fi] = tables[fi].at[local].add(contrib)
+                tables[fi] = self._reduce_rows(tables[fi], local, contrib, srt)
         out = jnp.zeros((size,), dtype)
         for fi, (off, nv, t, _) in enumerate(fams):
             out = jax.lax.dynamic_update_slice(
@@ -341,13 +356,13 @@ class _FlatOpsBase:
             fi: None for fi, _ in enumerate(fams)
         }
         for k, kind in enumerate(self.kinds):
-            for (s, fi, off, nv, t, local) in plans[k]:
+            for (s, fi, off, nv, t, local, srt) in plans[k]:
                 J = vflat[k][s]
                 dtype = J.dtype
                 contrib = _mm(J * J, self.sel.get("sum_t", kind.r, t, J.dtype))
                 if tables[fi] is None:
                     tables[fi] = jnp.zeros((fams[fi][1] + 1, fams[fi][2]), dtype)
-                tables[fi] = tables[fi].at[local].add(contrib)
+                tables[fi] = self._reduce_rows(tables[fi], local, contrib, srt)
         out = jnp.zeros((size,), dtype or jnp.float64)
         for fi, (off, nv, t, _) in enumerate(fams):
             if tables[fi] is None:
@@ -357,19 +372,67 @@ class _FlatOpsBase:
             )
         return out
 
+    def fused_post_eval(self, plans, fams, size, vflat, u):
+        """ONE segment reduction per (kind, slot) computing, on
+        concatenated lanes, everything the minimizer needs per evaluation:
+        gradient J'u, squared column norms diag(J'J), and the per-block
+        J'J diagonal blocks. Returns (g, sqn, blocks_flat_list) in this
+        partition's layout — the lane-concatenation trick of
+        parallel/sharded_ba.py generalized."""
+        tables = [None] * len(fams)
+        dtype = None
+        for k, kind in enumerate(self.kinds):
+            if not plans[k]:
+                continue
+            rows = u[kind.row_offset: kind.row_offset + kind.B * kind.r]
+            rows = rows.reshape(kind.B, kind.r)
+            for (s, fi, off, nv, t, local, srt) in plans[k]:
+                J = vflat[k][s]
+                dtype = J.dtype
+                rep = _mm(rows, self.sel.get("rep_r", kind.r, t, J.dtype))
+                sum_t = self.sel.get("sum_t", kind.r, t, J.dtype)
+                contrib = jnp.concatenate(
+                    [
+                        _mm(J * rep, sum_t),  # J'u rows       (t)
+                        _mm(J * J, sum_t),  # diag(J'J) rows   (t)
+                        outer_flat(J, J, outer_selectors(kind.r, t, t, J.dtype)),
+                    ],
+                    axis=1,
+                )  # (B, 2t + t*t)
+                if tables[fi] is None:
+                    tables[fi] = jnp.zeros((nv + 1, 2 * t + t * t), J.dtype)
+                tables[fi] = self._reduce_rows(tables[fi], local, contrib, srt)
+        dtype = dtype or jnp.float64
+        g = jnp.zeros((size,), dtype)
+        sqn = jnp.zeros((size,), dtype)
+        blocks = []
+        for fi, (off, nv, t, _) in enumerate(fams):
+            tab = tables[fi]
+            if tab is None:
+                blocks.append(jnp.zeros((nv, t * t), dtype))
+                continue
+            g = jax.lax.dynamic_update_slice(
+                g, tab[:nv, :t].reshape(-1), (off,)
+            )
+            sqn = jax.lax.dynamic_update_slice(
+                sqn, tab[:nv, t: 2 * t].reshape(-1), (off,)
+            )
+            blocks.append(tab[:nv, 2 * t:])
+        return g, sqn, blocks
+
     def block_jtj(self, plans, fams, vflat):
         """Per-family (nv, t*t) flat diagonal blocks of J'J — the block
         Jacobi preconditioner source (block_jacobi_preconditioner.cc), no
         rank-3 temporaries."""
         tables = [None] * len(fams)
         for k, kind in enumerate(self.kinds):
-            for (s, fi, off, nv, t, local) in plans[k]:
+            for (s, fi, off, nv, t, local, srt) in plans[k]:
                 J = vflat[k][s]
                 sel = outer_selectors(kind.r, t, t, J.dtype)
                 contrib = outer_flat(J, J, sel)  # (B, t*t)
                 if tables[fi] is None:
                     tables[fi] = jnp.zeros((nv + 1, t * t), J.dtype)
-                tables[fi] = tables[fi].at[local].add(contrib)
+                tables[fi] = self._reduce_rows(tables[fi], local, contrib, srt)
         out = []
         for fi, (off, nv, t, _) in enumerate(fams):
             tab = tables[fi]
@@ -467,6 +530,14 @@ class FlatSchurOps(_FlatOpsBase):
     def left_e(self, vflat, u):
         return self._left(self.plans_e, self.pm.e_fams, self.pm.e_size, vflat, u)
 
+    def fused_post_eval_e(self, vflat, u):
+        return self.fused_post_eval(self.plans_e, self.pm.e_fams,
+                                    self.pm.e_size, vflat, u)
+
+    def fused_post_eval_f(self, vflat, u):
+        return self.fused_post_eval(self.plans_f, self.pm.f_fams,
+                                    self.pm.f_size, vflat, u)
+
     def sq_col_norm_e(self, vflat):
         return self.sq_col_norm(self.plans_e, self.pm.e_fams, self.pm.e_size, vflat)
 
@@ -527,6 +598,12 @@ class FlatJacobianOps(_FlatOpsBase):
         """J' u."""
         return self._left(self.plans, self.fams, self.meta.tangent_size,
                           vflat, u)
+
+    def fused_post_eval_all(self, vflat, u):
+        """(gradient, diag(J'J), per-family J'J blocks) in one reduction
+        pass per slot."""
+        return self.fused_post_eval(self.plans, self.fams,
+                                    self.meta.tangent_size, vflat, u)
 
     def sq_col_norm_all(self, vflat):
         """diag(J'J) over the full tangent."""

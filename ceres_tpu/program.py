@@ -116,13 +116,19 @@ class CompiledProgram:
     """Static evaluation plan + jitted evaluators for a Problem snapshot."""
 
     def __init__(self, problem: Problem, apply_loss: bool = True,
-                 compute_dtype: str = "float64"):
+                 compute_dtype: str = "float64", sort_rows: bool = False):
         self.problem = problem
         self.apply_loss = apply_loss
         # "float32" evaluates residuals/Jacobians in fp32 (the TPU-native
         # precision; fp64 is emulated) while the solver state and all
         # host-side control flow stay fp64 — Options.evaluation_dtype.
         self.compute_dtype = jnp.dtype(compute_dtype)
+        # sort_rows: reorder each kind's rows by its largest family's block
+        # ids so the solver's per-block scatter-adds are SORTED segment
+        # reductions (the TPU analog of the reference's cumulative-nnz row
+        # partitioning, block_sparse_matrix.cc). Used by the solve driver;
+        # Problem.evaluate keeps the user's residual-block add order.
+        self.sort_rows = sort_rows
         self.structure_version = problem.structure_version
         self._fn_cache: Dict[str, object] = {}
         self._build()
@@ -260,6 +266,35 @@ class CompiledProgram:
             key = (id(rb.cost), id(rb.loss), slot_fams, dshape)
             kind_map.setdefault(key, []).append(rb)
 
+        def _sort_perm(slots: List[SlotPlan]):
+            """Permutation ordering rows by the largest variable family's
+            block ids (None when already sorted or sorting disabled)."""
+            if not self.sort_rows or not slots:
+                return None
+            best = max(
+                (s for s in slots if s.any_variable),
+                key=lambda s: s.family.count,
+                default=None,
+            )
+            if best is None:
+                return None
+            pos = best.pos_in_family
+            if np.all(pos[1:] >= pos[:-1]):
+                return None
+            return np.argsort(pos, kind="stable")
+
+        def _apply_perm(slots, perm):
+            return [
+                SlotPlan(
+                    family=s.family,
+                    state_idx=s.state_idx[perm],
+                    tangent_idx=s.tangent_idx[perm],
+                    pos_in_family=s.pos_in_family[perm],
+                    any_variable=s.any_variable,
+                )
+                for s in slots
+            ]
+
         self.kinds: List[Kind] = []
         row_off = 0
         for key, rbs in kind_map.items():
@@ -294,13 +329,20 @@ class CompiledProgram:
                         any_variable=bool(is_var.any()),
                     )
                 )
+            data = _stack_data(rbs)
+            perm = _sort_perm(slots)
+            if perm is not None:
+                slots = _apply_perm(slots, perm)
+                rbs = [rbs[i] for i in perm]
+                if data is not None:
+                    data = jax.tree_util.tree_map(lambda a: a[perm], data)
             self.kinds.append(
                 Kind(
                     cost=cost,
                     loss=rbs[0].loss if self.apply_loss else None,
                     rbs=rbs,
                     slots=slots,
-                    data=_stack_data(rbs),
+                    data=data,
                     row_offset=row_off,
                     B=B,
                     r=r,
@@ -344,6 +386,11 @@ class CompiledProgram:
                 data = jax.tree_util.tree_map(
                     lambda a: jnp.asarray(np.asarray(a)), rec.data
                 )
+            perm = _sort_perm(slots)
+            if perm is not None:
+                slots = _apply_perm(slots, perm)
+                if data is not None:
+                    data = jax.tree_util.tree_map(lambda a: a[perm], data)
             self.kinds.append(
                 Kind(
                     cost=rec.cost,

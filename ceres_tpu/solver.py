@@ -187,7 +187,8 @@ def solve(options: Options, problem: Problem, summary: Optional[Summary] = None)
             return summary
 
     # ---- Preprocess -------------------------------------------------------
-    program = CompiledProgram(problem, compute_dtype=options.evaluation_dtype)
+    program = CompiledProgram(problem, compute_dtype=options.evaluation_dtype,
+                              sort_rows=True)
     options._program = program  # for update_state_every_iteration
     summary.fixed_cost = program.fixed_cost
     summary.num_parameter_blocks_reduced = sum(f.count for f in program.families)

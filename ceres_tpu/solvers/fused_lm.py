@@ -162,9 +162,8 @@ class CgnrStepOps:
         return o["cost"], o["residuals"], vflat
 
     def post_eval(self, vrep, r):
-        g = self.flat.left(vrep, r)
-        sqn = self.flat.sq_col_norm_all(vrep)
-        aux = tuple(self.flat.block_jtj_all(vrep)) if self.precond else ()
+        g, sqn, blocks = self.flat.fused_post_eval_all(vrep, r)
+        aux = tuple(blocks) if self.precond else ()
         return g, sqn, aux
 
     def compute_step(self, vrep, aux, g, r, scale_c, D2_c):
@@ -227,10 +226,11 @@ class IterativeSchurStepOps:
 
     def post_eval(self, vrep, r):
         fl, pm, pt = self.flat, self.pm, self.pt
-        g = pt.combine(pm, fl.left_e(vrep, r), fl.left_f(vrep, r))
-        sqn = pt.combine(pm, fl.sq_col_norm_e(vrep), fl.sq_col_norm_f(vrep))
-        aux = (tuple(fl.block_ete(vrep)), tuple(fl.block_ftf(vrep)))
-        return g, sqn, aux
+        g_e, sqn_e, ete = fl.fused_post_eval_e(vrep, r)
+        g_f, sqn_f, ftf = fl.fused_post_eval_f(vrep, r)
+        g = pt.combine(pm, g_e, g_f)
+        sqn = pt.combine(pm, sqn_e, sqn_f)
+        return g, sqn, (tuple(ete), tuple(ftf))
 
     def _schur_jacobi_inverses(self, vrep, ftf, minv_e, se, sf, d2f):
         """Inverse flats of block-diag(S): scaled F'F + D_f^2 minus the
@@ -251,7 +251,7 @@ class IterativeSchurStepOps:
         for k, kind in enumerate(fl.kinds):
             if k not in plans_e or not fl.plans_f[k]:
                 continue
-            (s_e, efi, off_e, nv_e, te, local_e) = plans_e[k][0]
+            (s_e, efi, off_e, nv_e, te, local_e, srt_e) = plans_e[k][0]
             Je = vrep[k][s_e]
             se_rows = fl._gather(se, off_e, nv_e, te, local_e)  # (B, te)
             Je_s = Je * fo._mm(se_rows, fl.sel.get("rep_t", kind.r, te, Je.dtype))
@@ -259,7 +259,7 @@ class IterativeSchurStepOps:
                 [minv_e[efi], jnp.zeros((1, te * te), Je.dtype)], 0
             )
             minv_rows = jnp.take(minv_tab, local_e, axis=0)  # (B, te*te)
-            for (s_f, ffi, off_f, nv_f, tf, local_f) in fl.plans_f[k]:
+            for (s_f, ffi, off_f, nv_f, tf, local_f, srt_f) in fl.plans_f[k]:
                 Jf = vrep[k][s_f]
                 sf_rows = fl._gather(sf, off_f, nv_f, tf, local_f)
                 Jf_s = Jf * fo._mm(sf_rows, fl.sel.get("rep_t", kind.r, tf, Jf.dtype))
@@ -273,7 +273,9 @@ class IterativeSchurStepOps:
                 corr = fo.matmul_flat(
                     Wt, Y, fo.matmul_selectors(tf, te, tf, Je.dtype)
                 )  # (B, tf*tf)
-                tables[ffi] = tables[ffi].at[local_f].add(-corr)
+                tables[ffi] = fo._FlatOpsBase._reduce_rows(
+                    tables[ffi], local_f, -corr, srt_f
+                )
         out = []
         for (off, nv, t, _), tab in zip(f_fams, tables):
             out.append(fo.spd_inverse_flat(tab[:nv], t))
@@ -293,7 +295,8 @@ class IterativeSchurStepOps:
             return base.apply_inverse_rows(pm.e_fams, minv_e, v)
 
         # rhs' = F_s'(b - E_s Minv E_s'b)   (implicit_schur_complement.cc:49)
-        etb = se * fl.left_e(vrep, r)
+        # E'b is the e-part of the carried gradient J'b — no extra J pass
+        etb = se * pt.extract_e(pm, g)
         tmp = fl.right_e(vrep, se * minv(etb))
         rhs = sf * fl.left_f(vrep, r - tmp)
 
@@ -400,7 +403,9 @@ class DenseSchurStepOps:
         f_size = pm.f_size
 
         K_e = self._scaled_K(ete, se, d2e)
-        etb = se * fl.left_e(vrep, r)
+        # E'b / F'b are the partition components of the carried gradient
+        # J'b — two J passes saved per iteration
+        etb = se * pt.extract_e(pm, g)
         u = self._kmatvec(K_e, etb)
 
         # A = L^{-1} W, dense (e_size, f_size), one spread + block-row
@@ -413,7 +418,7 @@ class DenseSchurStepOps:
         for k, kind in enumerate(fl.kinds):
             if k not in plans_e or not fl.plans_f[k]:
                 continue
-            (s_e, efi, off_e, nv_e, te, local_e) = plans_e[k][0]
+            (s_e, efi, off_e, nv_e, te, local_e, srt_e) = plans_e[k][0]
             Je = vrep[k][s_e]
             se_rows = fl._gather(se, off_e, nv_e, te, local_e)
             Je_s = Je * fo._mm(se_rows, fl.sel.get("rep_t", kind.r, te, dt))
@@ -421,7 +426,7 @@ class DenseSchurStepOps:
                 [K_e[efi], jnp.zeros((1, te * te), dt)], axis=0
             )
             K_rows = jnp.take(K_tab, local_e, axis=0)
-            for (s_f, ffi, off_f, nv_f, tf, local_f) in fl.plans_f[k]:
+            for (s_f, ffi, off_f, nv_f, tf, local_f, srt_f) in fl.plans_f[k]:
                 Jf = vrep[k][s_f]
                 sf_rows = fl._gather(sf, off_f, nv_f, tf, local_f)
                 Jf_s = Jf * fo._mm(sf_rows, fl.sel.get("rep_t", kind.r, tf, dt))
@@ -434,7 +439,9 @@ class DenseSchurStepOps:
                 H1, H2 = _spread_selectors(te, tf, nv_f, f_size, off_f, dt)
                 onehot_f = jax.nn.one_hot(local_f, nv_f, dtype=dt)
                 T = fo._mm(Y, H1) * fo._mm(onehot_f, H2)
-                tables[efi] = tables[efi].at[local_e].add(T)
+                tables[efi] = fo._FlatOpsBase._reduce_rows(
+                    tables[efi], local_e, T, srt_e
+                )
         A_parts = [
             tables[efi][:nv].reshape(nv * te, f_size)
             for efi, (off, nv, te, _) in enumerate(pm.e_fams)
@@ -466,8 +473,8 @@ class DenseSchurStepOps:
                 for b in range(len(fs)):
                     if a == b:
                         continue
-                    (s1, f1, off1, nv1, t1, loc1) = fs[a]
-                    (s2, f2, off2, nv2, t2, loc2) = fs[b]
+                    (s1, f1, off1, nv1, t1, loc1, srt1) = fs[a]
+                    (s2, f2, off2, nv2, t2, loc2, srt2) = fs[b]
                     if f1 == f2 and s1 == s2:
                         continue
                     # distinct f blocks may share a family; skip pairs that
@@ -487,7 +494,9 @@ class DenseSchurStepOps:
                     H1, H2 = _spread_selectors(t1, t2, nv2, f_size, off2, dt)
                     onehot2 = jax.nn.one_hot(loc2, nv2, dtype=dt)
                     T12 = fo._mm(W12, H1) * fo._mm(onehot2, H2)
-                    rows = jnp.zeros((nv1 + 1, t1 * f_size), dt).at[loc1].add(T12)
+                    rows = fo._FlatOpsBase._reduce_rows(
+                        jnp.zeros((nv1 + 1, t1 * f_size), dt), loc1, T12, srt1
+                    )
                     Sblk = rows[:nv1].reshape(nv1 * t1, f_size)
                     S = jax.lax.dynamic_update_slice(
                         S,
@@ -498,7 +507,7 @@ class DenseSchurStepOps:
                     )
         S = S - jnp.einsum("kf,kg->fg", A, A, precision=jax.lax.Precision.HIGHEST)
 
-        ftb = sf * fl.left_f(vrep, r)
+        ftb = sf * pt.extract_f(pm, g)
         rhs = ftb - jnp.einsum(
             "kf,k->f", A, u, precision=jax.lax.Precision.HIGHEST
         )
