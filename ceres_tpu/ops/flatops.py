@@ -32,7 +32,7 @@ the selector matmuls: TPU einsums default to bf16 multiplies.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -248,13 +248,44 @@ class _Selectors:
         return jnp.asarray(m, dtype)
 
 
+class SlotPlanFlat(NamedTuple):
+    """One (kind, slot) entry of a flat-ops plan."""
+
+    s: int  # slot index within the kind
+    fi: int  # family index within the partition's fams list
+    off: int  # family tangent offset (partition-local)
+    nv: int  # variable blocks in the family
+    t: int  # tangent width
+    local: jax.Array  # (B,) local block ids (sentinel == nv)
+    srt: bool  # ids nondecreasing (program built with sort_rows)
+    pplan: "Optional[Tuple]"  # (tile_starts, max_rows) Mosaic segment plan
+
+
+# Pallas usage for sorted segment reductions/gathers: "auto" = on TPU-like
+# backends for f32, "off" = never, "interpret" = emulated (tests).
+PALLAS_MODE = "auto"
+_PALLAS_VMEM_BUDGET = 4 * 1024 * 1024
+
+
+def _pallas_ok(dtype, pplan, width):
+    if PALLAS_MODE == "off" or pplan is None:
+        return False
+    if dtype != jnp.float32:
+        return False
+    if PALLAS_MODE == "interpret":
+        return True
+    if jax.default_backend() == "cpu":
+        return False
+    t_pad = max(8, -(-int(width) // 8) * 8)
+    return pplan[1] * t_pad * 4 <= _PALLAS_VMEM_BUDGET
+
+
 class _FlatOpsBase:
     """Shared machinery: plan building, flatten, and the two products.
 
-    A plan entry is (slot, fam_pos, off, nv, t, local_block_ids) against a
-    `fams` layout list [(off, nv, t, bid_off)]. `supported` goes False when
-    any slot's tangent indices are not block-contiguous (callers keep the
-    per-element path)."""
+    Plan entries are SlotPlanFlat against a `fams` layout list
+    [(off, nv, t, bid_off)]. `supported` goes False when any slot's tangent
+    indices are not block-contiguous (callers keep the per-element path)."""
 
     def __init__(self, kinds, arrays):
         self.kinds = kinds
@@ -281,14 +312,30 @@ class _FlatOpsBase:
             if not np.array_equal(idx[var], want[var]):
                 self.supported = False
             srt = bool(np.all(local[1:] >= local[:-1]))
-            plans[k].append((s, fi, off, nv, t, jnp.asarray(local), srt))
+            pplan = None
+            if srt and local.size:
+                from . import pallas_kernels as pk
+
+                ts, max_rows = pk.plan_block_tiles(local, nv + 1)
+                pplan = (jnp.asarray(ts), max_rows)
+            plans[k].append(
+                SlotPlanFlat(s, fi, off, nv, t, jnp.asarray(local), srt, pplan)
+            )
         return plans
 
     @staticmethod
-    def _reduce_rows(table, local, contrib, srt):
-        """table (+=) segment reduction of contrib by local row ids —
-        sorted segment-sum when the ids are nondecreasing (the program was
-        built with sort_rows), scatter-add otherwise."""
+    def _reduce_rows(table, local, contrib, srt, pplan=None):
+        """table (+=) segment reduction of contrib by local row ids. Three
+        tiers: Mosaic tiled one-hot MXU kernel (sorted, f32, TPU), XLA
+        sorted segment-sum, scatter-add."""
+        if _pallas_ok(contrib.dtype, pplan, contrib.shape[1]):
+            from . import pallas_kernels as pk
+
+            out = pk.segment_block_sum(
+                contrib, local, pplan[0], table.shape[0],
+                max_rows=pplan[1], interpret=PALLAS_MODE == "interpret",
+            )
+            return table + out[: table.shape[0]]
         if srt:
             return table + jax.ops.segment_sum(
                 contrib, local, num_segments=table.shape[0],
@@ -306,20 +353,27 @@ class _FlatOpsBase:
             out.append(row)
         return out
 
-    def _gather(self, v, off, nv, t, local):
+    def _gather(self, v, off, nv, t, local, pplan=None):
         table = jax.lax.dynamic_slice(v, (off,), (nv * t,)).reshape(nv, t)
         table = jnp.concatenate([table, jnp.zeros((1, t), v.dtype)], axis=0)
+        if _pallas_ok(v.dtype, pplan, t):
+            from . import pallas_kernels as pk
+
+            return pk.segment_block_expand(
+                table, local, pplan[0], local.shape[0],
+                max_rows=pplan[1], interpret=PALLAS_MODE == "interpret",
+            )
         return jnp.take(table, local, axis=0)
 
     def _right(self, plans, vflat, v):
         outs = []
         for k, kind in enumerate(self.kinds):
             acc = None
-            for (s, fi, off, nv, t, local, srt) in plans[k]:
-                J = vflat[k][s]  # (B, r*t)
-                seg = self._gather(v, off, nv, t, local)  # (B, t)
-                rep = _mm(seg, self.sel.get("rep_t", kind.r, t, J.dtype))
-                part = _mm(J * rep, self.sel.get("sum_r", kind.r, t, J.dtype))
+            for pe in plans[k]:
+                J = vflat[k][pe.s]  # (B, r*t)
+                seg = self._gather(v, pe.off, pe.nv, pe.t, pe.local, pe.pplan)
+                rep = _mm(seg, self.sel.get("rep_t", kind.r, pe.t, J.dtype))
+                part = _mm(J * rep, self.sel.get("sum_r", kind.r, pe.t, J.dtype))
                 acc = part if acc is None else acc + part
             if acc is None:
                 acc = jnp.zeros((kind.B, kind.r), v.dtype)
@@ -337,11 +391,13 @@ class _FlatOpsBase:
                 continue
             rows = u[kind.row_offset: kind.row_offset + kind.B * kind.r]
             rows = rows.reshape(kind.B, kind.r)
-            for (s, fi, off, nv, t, local, srt) in plans[k]:
-                J = vflat[k][s]
-                rep = _mm(rows, self.sel.get("rep_r", kind.r, t, J.dtype))
-                contrib = _mm(J * rep, self.sel.get("sum_t", kind.r, t, J.dtype))
-                tables[fi] = self._reduce_rows(tables[fi], local, contrib, srt)
+            for pe in plans[k]:
+                J = vflat[k][pe.s]
+                rep = _mm(rows, self.sel.get("rep_r", kind.r, pe.t, J.dtype))
+                contrib = _mm(J * rep, self.sel.get("sum_t", kind.r, pe.t, J.dtype))
+                tables[pe.fi] = self._reduce_rows(
+                    tables[pe.fi], pe.local, contrib, pe.srt, pe.pplan
+                )
         out = jnp.zeros((size,), dtype)
         for fi, (off, nv, t, _) in enumerate(fams):
             out = jax.lax.dynamic_update_slice(
@@ -356,13 +412,17 @@ class _FlatOpsBase:
             fi: None for fi, _ in enumerate(fams)
         }
         for k, kind in enumerate(self.kinds):
-            for (s, fi, off, nv, t, local, srt) in plans[k]:
-                J = vflat[k][s]
+            for pe in plans[k]:
+                J = vflat[k][pe.s]
                 dtype = J.dtype
-                contrib = _mm(J * J, self.sel.get("sum_t", kind.r, t, J.dtype))
-                if tables[fi] is None:
-                    tables[fi] = jnp.zeros((fams[fi][1] + 1, fams[fi][2]), dtype)
-                tables[fi] = self._reduce_rows(tables[fi], local, contrib, srt)
+                contrib = _mm(J * J, self.sel.get("sum_t", kind.r, pe.t, J.dtype))
+                if tables[pe.fi] is None:
+                    tables[pe.fi] = jnp.zeros(
+                        (fams[pe.fi][1] + 1, fams[pe.fi][2]), dtype
+                    )
+                tables[pe.fi] = self._reduce_rows(
+                    tables[pe.fi], pe.local, contrib, pe.srt, pe.pplan
+                )
         out = jnp.zeros((size,), dtype or jnp.float64)
         for fi, (off, nv, t, _) in enumerate(fams):
             if tables[fi] is None:
@@ -386,8 +446,9 @@ class _FlatOpsBase:
                 continue
             rows = u[kind.row_offset: kind.row_offset + kind.B * kind.r]
             rows = rows.reshape(kind.B, kind.r)
-            for (s, fi, off, nv, t, local, srt) in plans[k]:
-                J = vflat[k][s]
+            for pe in plans[k]:
+                J = vflat[k][pe.s]
+                t = pe.t
                 dtype = J.dtype
                 rep = _mm(rows, self.sel.get("rep_r", kind.r, t, J.dtype))
                 sum_t = self.sel.get("sum_t", kind.r, t, J.dtype)
@@ -399,9 +460,11 @@ class _FlatOpsBase:
                     ],
                     axis=1,
                 )  # (B, 2t + t*t)
-                if tables[fi] is None:
-                    tables[fi] = jnp.zeros((nv + 1, 2 * t + t * t), J.dtype)
-                tables[fi] = self._reduce_rows(tables[fi], local, contrib, srt)
+                if tables[pe.fi] is None:
+                    tables[pe.fi] = jnp.zeros((pe.nv + 1, 2 * t + t * t), J.dtype)
+                tables[pe.fi] = self._reduce_rows(
+                    tables[pe.fi], pe.local, contrib, pe.srt, pe.pplan
+                )
         dtype = dtype or jnp.float64
         g = jnp.zeros((size,), dtype)
         sqn = jnp.zeros((size,), dtype)
@@ -426,13 +489,16 @@ class _FlatOpsBase:
         rank-3 temporaries."""
         tables = [None] * len(fams)
         for k, kind in enumerate(self.kinds):
-            for (s, fi, off, nv, t, local, srt) in plans[k]:
-                J = vflat[k][s]
+            for pe in plans[k]:
+                J = vflat[k][pe.s]
+                t = pe.t
                 sel = outer_selectors(kind.r, t, t, J.dtype)
                 contrib = outer_flat(J, J, sel)  # (B, t*t)
-                if tables[fi] is None:
-                    tables[fi] = jnp.zeros((nv + 1, t * t), J.dtype)
-                tables[fi] = self._reduce_rows(tables[fi], local, contrib, srt)
+                if tables[pe.fi] is None:
+                    tables[pe.fi] = jnp.zeros((pe.nv + 1, t * t), J.dtype)
+                tables[pe.fi] = self._reduce_rows(
+                    tables[pe.fi], pe.local, contrib, pe.srt, pe.pplan
+                )
         out = []
         for fi, (off, nv, t, _) in enumerate(fams):
             tab = tables[fi]

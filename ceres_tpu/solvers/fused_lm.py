@@ -251,7 +251,11 @@ class IterativeSchurStepOps:
         for k, kind in enumerate(fl.kinds):
             if k not in plans_e or not fl.plans_f[k]:
                 continue
-            (s_e, efi, off_e, nv_e, te, local_e, srt_e) = plans_e[k][0]
+            pe = plans_e[k][0]
+            (s_e, efi, off_e, nv_e, te, local_e, srt_e) = (
+                pe.s, pe.fi, pe.off, pe.nv, pe.t, pe.local, pe.srt
+            )
+            pplan_e = pe.pplan
             Je = vrep[k][s_e]
             se_rows = fl._gather(se, off_e, nv_e, te, local_e)  # (B, te)
             Je_s = Je * fo._mm(se_rows, fl.sel.get("rep_t", kind.r, te, Je.dtype))
@@ -259,7 +263,11 @@ class IterativeSchurStepOps:
                 [minv_e[efi], jnp.zeros((1, te * te), Je.dtype)], 0
             )
             minv_rows = jnp.take(minv_tab, local_e, axis=0)  # (B, te*te)
-            for (s_f, ffi, off_f, nv_f, tf, local_f, srt_f) in fl.plans_f[k]:
+            for pf in fl.plans_f[k]:
+                (s_f, ffi, off_f, nv_f, tf, local_f, srt_f) = (
+                    pf.s, pf.fi, pf.off, pf.nv, pf.t, pf.local, pf.srt
+                )
+                pplan_f = pf.pplan
                 Jf = vrep[k][s_f]
                 sf_rows = fl._gather(sf, off_f, nv_f, tf, local_f)
                 Jf_s = Jf * fo._mm(sf_rows, fl.sel.get("rep_t", kind.r, tf, Jf.dtype))
@@ -274,7 +282,7 @@ class IterativeSchurStepOps:
                     Wt, Y, fo.matmul_selectors(tf, te, tf, Je.dtype)
                 )  # (B, tf*tf)
                 tables[ffi] = fo._FlatOpsBase._reduce_rows(
-                    tables[ffi], local_f, -corr, srt_f
+                    tables[ffi], local_f, -corr, srt_f, pplan_f
                 )
         out = []
         for (off, nv, t, _), tab in zip(f_fams, tables):
@@ -418,7 +426,11 @@ class DenseSchurStepOps:
         for k, kind in enumerate(fl.kinds):
             if k not in plans_e or not fl.plans_f[k]:
                 continue
-            (s_e, efi, off_e, nv_e, te, local_e, srt_e) = plans_e[k][0]
+            pe = plans_e[k][0]
+            (s_e, efi, off_e, nv_e, te, local_e, srt_e) = (
+                pe.s, pe.fi, pe.off, pe.nv, pe.t, pe.local, pe.srt
+            )
+            pplan_e = pe.pplan
             Je = vrep[k][s_e]
             se_rows = fl._gather(se, off_e, nv_e, te, local_e)
             Je_s = Je * fo._mm(se_rows, fl.sel.get("rep_t", kind.r, te, dt))
@@ -426,7 +438,11 @@ class DenseSchurStepOps:
                 [K_e[efi], jnp.zeros((1, te * te), dt)], axis=0
             )
             K_rows = jnp.take(K_tab, local_e, axis=0)
-            for (s_f, ffi, off_f, nv_f, tf, local_f, srt_f) in fl.plans_f[k]:
+            for pf in fl.plans_f[k]:
+                (s_f, ffi, off_f, nv_f, tf, local_f, srt_f) = (
+                    pf.s, pf.fi, pf.off, pf.nv, pf.t, pf.local, pf.srt
+                )
+                pplan_f = pf.pplan
                 Jf = vrep[k][s_f]
                 sf_rows = fl._gather(sf, off_f, nv_f, tf, local_f)
                 Jf_s = Jf * fo._mm(sf_rows, fl.sel.get("rep_t", kind.r, tf, dt))
@@ -440,7 +456,7 @@ class DenseSchurStepOps:
                 onehot_f = jax.nn.one_hot(local_f, nv_f, dtype=dt)
                 T = fo._mm(Y, H1) * fo._mm(onehot_f, H2)
                 tables[efi] = fo._FlatOpsBase._reduce_rows(
-                    tables[efi], local_e, T, srt_e
+                    tables[efi], local_e, T, srt_e, pplan_e
                 )
         A_parts = [
             tables[efi][:nv].reshape(nv * te, f_size)
@@ -473,8 +489,14 @@ class DenseSchurStepOps:
                 for b in range(len(fs)):
                     if a == b:
                         continue
-                    (s1, f1, off1, nv1, t1, loc1, srt1) = fs[a]
-                    (s2, f2, off2, nv2, t2, loc2, srt2) = fs[b]
+                    (s1, f1, off1, nv1, t1, loc1, srt1) = (
+                        fs[a].s, fs[a].fi, fs[a].off, fs[a].nv, fs[a].t,
+                        fs[a].local, fs[a].srt
+                    )
+                    (s2, f2, off2, nv2, t2, loc2, srt2) = (
+                        fs[b].s, fs[b].fi, fs[b].off, fs[b].nv, fs[b].t,
+                        fs[b].local, fs[b].srt
+                    )
                     if f1 == f2 and s1 == s2:
                         continue
                     # distinct f blocks may share a family; skip pairs that
@@ -495,7 +517,8 @@ class DenseSchurStepOps:
                     onehot2 = jax.nn.one_hot(loc2, nv2, dtype=dt)
                     T12 = fo._mm(W12, H1) * fo._mm(onehot2, H2)
                     rows = fo._FlatOpsBase._reduce_rows(
-                        jnp.zeros((nv1 + 1, t1 * f_size), dt), loc1, T12, srt1
+                        jnp.zeros((nv1 + 1, t1 * f_size), dt), loc1, T12,
+                        srt1, fs[a].pplan
                     )
                     Sblk = rows[:nv1].reshape(nv1 * t1, f_size)
                     S = jax.lax.dynamic_update_slice(

@@ -114,3 +114,21 @@ def test_auto_threshold_picks_host_for_small_problems():
         make_ba(),
     )
     assert s.is_solution_usable()
+
+
+def test_fused_pallas_tier_interpret():
+    """The Mosaic segment-reduction tier (sorted rows + f32) matches the
+    scatter tier, exercised via the interpret mode on CPU."""
+    from ceres_tpu.ops import flatops as fo
+
+    opts = dict(linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+                fused_loop="ALWAYS", evaluation_dtype="float32",
+                max_num_iterations=6)
+    base = ct.solve(ct.Options(**opts), make_ba())
+    old = fo.PALLAS_MODE
+    fo.PALLAS_MODE = "interpret"
+    try:
+        pal = ct.solve(ct.Options(**opts), make_ba())
+    finally:
+        fo.PALLAS_MODE = old
+    assert pal.final_cost == pytest.approx(base.final_cost, rel=1e-4)
