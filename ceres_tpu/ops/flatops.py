@@ -343,12 +343,50 @@ class _FlatOpsBase:
             )
         return table.at[local].add(contrib)
 
+    def with_env(self, locs, padded_B):
+        """Args-mode view of these ops: per-(kind, slot) local block ids
+        become TRACED arrays (so the same products run under GSPMD with
+        the observation axis sharded — SURVEY.md §5.8) and kind batch
+        sizes/row offsets reflect mesh padding. locs: {(k, s): (B',) int32
+        ids with sentinel == nv}; padded_B: per-kind padded batch size."""
+        import copy
+
+        clone = copy.copy(self)
+
+        class _KindView(NamedTuple):
+            row_offset: int
+            B: int
+            r: int
+
+        kinds = []
+        off = 0
+        for k, kind in enumerate(self.kinds):
+            B = int(padded_B[k])
+            kinds.append(_KindView(off, B, kind.r))
+            off += B * kind.r
+        clone.kinds = kinds
+
+        def remap(plans):
+            return [
+                [
+                    pe._replace(local=locs[(k, pe.s)], srt=False, pplan=None)
+                    for pe in pl
+                ]
+                for k, pl in enumerate(plans)
+            ]
+
+        if hasattr(clone, "plans"):
+            clone.plans = remap(self.plans)
+        if hasattr(clone, "plans_e"):
+            clone.plans_e = remap(self.plans_e)
+            clone.plans_f = remap(self.plans_f)
+        return clone
+
     def flatten(self, values):
         out = []
-        for k, kind in enumerate(self.kinds):
+        for k, _ in enumerate(self.kinds):
             row = []
-            for s, slot in enumerate(kind.slots):
-                V = values[k][s]
+            for V in values[k]:
                 row.append(V.reshape(V.shape[0], -1) if V is not None else None)
             out.append(row)
         return out

@@ -156,17 +156,17 @@ class CgnrStepOps:
         self.max_li = options.max_linear_solver_iterations
         self.min_li = options.min_linear_solver_iterations
 
-    def evaluate(self, x):
-        o = self.program._eval_core(x, True, False, need_grad=False)
+    def evaluate(self, x, args=None):
+        o = self.program._eval_core(x, True, False, args=args, need_grad=False)
         vflat = tuple(tuple(r) for r in self.flat.flatten(o["block_jacs"]))
         return o["cost"], o["residuals"], vflat
 
-    def post_eval(self, vrep, r):
+    def post_eval(self, vrep, r, args=None):
         g, sqn, blocks = self.flat.fused_post_eval_all(vrep, r)
         aux = tuple(blocks) if self.precond else ()
         return g, sqn, aux
 
-    def compute_step(self, vrep, aux, g, r, scale_c, D2_c):
+    def compute_step(self, vrep, aux, g, r, scale_c, D2_c, args=None):
         flat = self.flat
         rhs = scale_c * g
 
@@ -219,12 +219,12 @@ class IterativeSchurStepOps:
         self.max_li = options.max_linear_solver_iterations
         self.min_li = options.min_linear_solver_iterations
 
-    def evaluate(self, x):
-        o = self.program._eval_core(x, True, False, need_grad=False)
+    def evaluate(self, x, args=None):
+        o = self.program._eval_core(x, True, False, args=args, need_grad=False)
         vflat = tuple(tuple(r) for r in self.flat.flatten(o["block_jacs"]))
         return o["cost"], o["residuals"], vflat
 
-    def post_eval(self, vrep, r):
+    def post_eval(self, vrep, r, args=None):
         fl, pm, pt = self.flat, self.pm, self.pt
         g_e, sqn_e, ete = fl.fused_post_eval_e(vrep, r)
         g_f, sqn_f, ftf = fl.fused_post_eval_f(vrep, r)
@@ -289,7 +289,7 @@ class IterativeSchurStepOps:
             out.append(fo.spd_inverse_flat(tab[:nv], t))
         return out
 
-    def compute_step(self, vrep, aux, g, r, scale_c, D2_c):
+    def compute_step(self, vrep, aux, g, r, scale_c, D2_c, args=None):
         fl, pm, pt = self.flat, self.pm, self.pt
         ete, ftf = aux
         se = pt.extract_e(pm, scale_c)
@@ -400,7 +400,7 @@ class DenseSchurStepOps:
             outs.append(sol.reshape(-1))
         return jnp.concatenate(outs) if outs else v
 
-    def compute_step(self, vrep, aux, g, r, scale_c, D2_c):
+    def compute_step(self, vrep, aux, g, r, scale_c, D2_c, args=None):
         fl, pm, pt = self.flat, self.pm, self.pt
         ete, ftf = aux
         dt = r.dtype
@@ -565,17 +565,17 @@ class DenseStepOps:
         else:
             self.kernel = dense_mod.normal_cholesky_solve
 
-    def evaluate(self, x):
+    def evaluate(self, x, args=None):
         o = self.program._eval_core(x, True, True, need_grad=False)
         return o["cost"], o["residuals"], (o["jacobian"],)
 
-    def post_eval(self, vrep, r):
+    def post_eval(self, vrep, r, args=None):
         (J,) = vrep
         g = J.T @ r
         sqn = jnp.sum(J * J, axis=0)
         return g, sqn, ()
 
-    def compute_step(self, vrep, aux, g, r, scale_c, D2_c):
+    def compute_step(self, vrep, aux, g, r, scale_c, D2_c, args=None):
         (J,) = vrep
         Js = J * scale_c[None, :]
         D = jnp.sqrt(D2_c)
@@ -595,15 +595,20 @@ class FusedTrustRegionMinimizer:
     """One-jit LM solve over a step adapter. Host involvement: one dispatch,
     then summary decoding."""
 
-    def __init__(self, program, options: Options, ops):
+    def __init__(self, program, options: Options, ops, args=None,
+                 in_shardings=None):
         self.program = program
         self.options = options
         self.ops = ops
-        self._fn = jax.jit(self._solve_impl)
+        self._args = args
+        if in_shardings is not None:
+            self._fn = jax.jit(self._solve_impl, in_shardings=in_shardings)
+        else:
+            self._fn = jax.jit(self._solve_impl)
 
     # -- device code ---------------------------------------------------------
 
-    def _solve_impl(self, x0):
+    def _solve_impl(self, x0, args=None):
         prog, opts, ops = self.program, self.options, self.ops
         cdt = prog.compute_dtype
         max_iters = int(opts.max_num_iterations)
@@ -614,8 +619,8 @@ class FusedTrustRegionMinimizer:
             else 0
         )
 
-        cost0, r0, vrep0 = ops.evaluate(x0)
-        g0, sqn0, aux0 = ops.post_eval(vrep0, r0)
+        cost0, r0, vrep0 = ops.evaluate(x0, args)
+        g0, sqn0, aux0 = ops.post_eval(vrep0, r0, args)
         sqn0_64 = sqn0.astype(jnp.float64)
         if opts.jacobi_scaling:
             scale = 1.0 / (1.0 + jnp.sqrt(sqn0_64))
@@ -691,7 +696,7 @@ class FusedTrustRegionMinimizer:
             D2 = diag / s.radius
             D2_c = D2.astype(cdt)
             step, mcc_c, lin_iters = ops.compute_step(
-                s.vrep, s.aux, s.g, s.r, scale_c, D2_c
+                s.vrep, s.aux, s.g, s.r, scale_c, D2_c, args
             )
             mcc = mcc_c.astype(jnp.float64)
             valid = jnp.all(jnp.isfinite(step)) & (mcc > 0.0)
@@ -707,7 +712,7 @@ class FusedTrustRegionMinimizer:
             # -- candidate --------------------------------------------------
             delta = step.astype(jnp.float64) * scale
             cand_x = prog._plus_impl(s.x, delta)
-            cand_cost, cand_r, cand_vrep = ops.evaluate(cand_x)
+            cand_cost, cand_r, cand_vrep = ops.evaluate(cand_x, args)
             cand_cost = jnp.where(jnp.isfinite(cand_cost), cand_cost, _DBL_MAX)
             step_norm = jnp.linalg.norm(s.x - cand_x)
 
@@ -737,7 +742,7 @@ class FusedTrustRegionMinimizer:
             vrep_new = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(success, a, b), cand_vrep, s.vrep
             )
-            g_new, sqn_new_c, aux_new = ops.post_eval(vrep_new, r_new)
+            g_new, sqn_new_c, aux_new = ops.post_eval(vrep_new, r_new, args)
             sqn_new = jnp.where(success, sqn_new_c.astype(jnp.float64), s.sqn)
             gnorm, gmax = grad_norms(x_new, g_new)
             gnorm = jnp.where(success, gnorm, s.hist.gradient_norm[s.it])
@@ -823,7 +828,7 @@ class FusedTrustRegionMinimizer:
     def minimize(self, x0, summary: Summary):
         opts = self.options
         t0 = time.monotonic()
-        x, cost, it, term, hist = self._fn(x0)
+        x, cost, it, term, hist = self._fn(x0, self._args)
         x = jax.block_until_ready(x)
         elapsed = time.monotonic() - t0
 
@@ -911,6 +916,116 @@ class FusedTrustRegionMinimizer:
             )
             summary.termination_type = TerminationType.NO_CONVERGENCE
         return x
+
+
+class ShardedCgnrStepOps(CgnrStepOps):
+    """CGNR step over TRACED per-observation index arrays (args mode from
+    CompiledProgram.make_args): the same flat-lane products run under
+    GSPMD with the observation axis sharded over the mesh — XLA inserts
+    the ICI psums for every segment reduction (SURVEY.md §5.8)."""
+
+    def __init__(self, program, options: Options, padded_B):
+        super().__init__(program, options)
+        self.padded_B = tuple(int(b) for b in padded_B)
+        T = program.tangent_size
+        self._T = T
+
+    def _bound(self, args):
+        locs = {}
+        for k in range(len(self.program.kinds)):
+            for pe in self.flat.plans[k]:
+                sl = args[k]["slots"][pe.s]
+                is_var = sl["tangent_idx"][:, 0] < self._T
+                locs[(k, pe.s)] = jnp.where(
+                    is_var, sl["pos_in_family"].astype(jnp.int32), pe.nv
+                )
+        return self.flat.with_env(locs, self.padded_B)
+
+    def evaluate(self, x, args=None):
+        o = self.program._eval_core(x, True, False, args=args, need_grad=False)
+        fl = self._bound(args)
+        vflat = tuple(tuple(r) for r in fl.flatten(o["block_jacs"]))
+        return o["cost"], o["residuals"], vflat
+
+    def post_eval(self, vrep, r, args=None):
+        fl = self._bound(args)
+        g, sqn, blocks = fl.fused_post_eval_all(vrep, r)
+        aux = tuple(blocks) if self.precond else ()
+        return g, sqn, aux
+
+    def compute_step(self, vrep, aux, g, r, scale_c, D2_c, args=None):
+        fl = self._bound(args)
+        rhs = scale_c * g
+
+        def lhs(x):
+            return scale_c * fl.left(vrep, fl.right(vrep, scale_c * x)) + D2_c * x
+
+        precond = None
+        if self.precond:
+            inv_flats = fo._FlatOpsBase.scaled_block_inverses(
+                fl.fams, list(aux), scale_c, D2_c
+            )
+
+            def precond(v):
+                return fo._FlatOpsBase.apply_inverse_rows(fl.fams, inv_flats, v)
+
+        res = conjugate_gradients(
+            lhs, rhs, jnp.zeros_like(rhs), precond,
+            min_num_iterations=self.min_li, max_num_iterations=self.max_li,
+            residual_reset_period=10, r_tolerance=-1.0, q_tolerance=self.eta,
+        )
+        step = -res.x
+        mr = fl.right(vrep, scale_c * step)
+        mcc = -jnp.dot(mr, r + mr / 2.0)
+        return step, mcc, res.num_iterations
+
+
+def solve_sharded_fused(options: Options, problem, mesh=None, summary=None,
+                        axis: str = "obs"):
+    """The WHOLE LM solve as ONE jit over a device mesh: observation
+    arrays sharded on the 'obs' axis, state replicated, the complete
+    trust-region loop (evaluation + CGNR Krylov loop + accept/reject +
+    radius control) inside a single lax.while_loop under GSPMD. The
+    multi-chip upgrade of parallel/mesh.solve_sharded."""
+    import time as _time
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import make_mesh
+    from ..program import CompiledProgram
+    from ..summary import Summary
+
+    if summary is None:
+        summary = Summary()
+    if mesh is None:
+        mesh = make_mesh()
+    t0 = _time.monotonic()
+    n = mesh.devices.size
+    program = CompiledProgram(problem, compute_dtype=options.evaluation_dtype,
+                              sort_rows=True)
+    args = program.make_args(pad_to=n)
+
+    def shard_leaf(leaf):
+        spec = P(axis, *([None] * (leaf.ndim - 1)))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    args = jax.tree_util.tree_map(shard_leaf, args)
+    arg_sh = jax.tree_util.tree_map(lambda l: l.sharding, args)
+    repl = NamedSharding(mesh, P())
+    padded_B = [a["w"].shape[0] for a in args]
+    ops = ShardedCgnrStepOps(program, options, padded_B)
+    fused = FusedTrustRegionMinimizer(
+        program, options, ops, args=args, in_shardings=(repl, arg_sh)
+    )
+    summary.num_devices = n
+    summary.fixed_cost = program.fixed_cost
+    summary.preprocessor_time_in_seconds = _time.monotonic() - t0
+    x = fused.minimize(program.initial_state(), summary)
+    program.write_state(np.asarray(x))
+    if np.isfinite(fused.x_cost):
+        summary.final_cost = fused.x_cost
+    summary.total_time_in_seconds = _time.monotonic() - t0
+    return summary
 
 
 def build_fused_minimizer(program, options: Options, tier: str, e_families=None):

@@ -206,3 +206,26 @@ def test_lm_step_schur_k_matches_stepwise():
     np.testing.assert_allclose(float(stk.cost), float(st.cost), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(stk.cams), np.asarray(st.cams),
                                atol=1e-12)
+
+
+def test_sharded_fused_lm_matches_single_device():
+    """solve_sharded_fused (whole LM loop as one jit over the mesh) agrees
+    with the single-device fused loop."""
+    import ceres_tpu as ct
+    from ceres_tpu.models import bal
+    from ceres_tpu.parallel.mesh import make_mesh
+    from ceres_tpu.solvers.fused_lm import solve_sharded_fused
+
+    def make():
+        b = bal.perturb(
+            bal.synthetic_bal(6, 60, 0.5, noise=0.1, seed=3), 0.01, 0.05, 0.05
+        )
+        return bal.build_problem_batched(b)[0]
+
+    opts = dict(linear_solver_type=ct.LinearSolverType.CGNR,
+                max_num_iterations=15)
+    s = solve_sharded_fused(ct.Options(**opts), make(), make_mesh(8))
+    assert s.is_solution_usable()
+    assert s.num_devices == 8
+    ref = ct.solve(ct.Options(fused_loop="ALWAYS", **opts), make())
+    assert abs(s.final_cost - ref.final_cost) < 1e-6 * max(1.0, ref.final_cost)
