@@ -215,6 +215,8 @@ class IterativeSchurStepOps:
         if pname not in ("SCHUR_JACOBI", "IDENTITY"):
             raise ValueError(f"fused ITERATIVE_SCHUR: unsupported preconditioner {pname}")
         self.precond = pname
+        self.mixed = options.use_mixed_precision_solves
+        self.refine = max(1, options.max_num_refinement_iterations)
         self.eta = options.eta
         self.max_li = options.max_linear_solver_iterations
         self.min_li = options.min_linear_solver_iterations
@@ -371,6 +373,8 @@ class DenseSchurStepOps:
         self.flat = fo.FlatSchurOps(self.pm)
         if not self.flat.supported:
             raise ValueError("flat layout unsupported for this program")
+        self.mixed = options.use_mixed_precision_solves
+        self.refine = max(1, options.max_num_refinement_iterations)
 
     evaluate = IterativeSchurStepOps.evaluate
     post_eval = IterativeSchurStepOps.post_eval
@@ -400,10 +404,14 @@ class DenseSchurStepOps:
             outs.append(sol.reshape(-1))
         return jnp.concatenate(outs) if outs else v
 
-    def compute_step(self, vrep, aux, g, r, scale_c, D2_c, args=None):
+    def _factor(self, vrep, aux, scale_c, D2_c):
+        """Assemble and factorize the eliminated system; returns a solver
+        closure for (J_s'J_s + D^2) y = b over arbitrary tangent rhs b —
+        the factor-once/apply-many split that makes mixed-precision
+        iterative refinement cheap (dense_cholesky.h:198-249 pattern)."""
         fl, pm, pt = self.flat, self.pm, self.pt
         ete, ftf = aux
-        dt = r.dtype
+        dt = vrep[0][0].dtype if vrep and vrep[0] else jnp.float64
         se = pt.extract_e(pm, scale_c)
         sf = pt.extract_f(pm, scale_c)
         d2e = pt.extract_e(pm, D2_c)
@@ -411,10 +419,6 @@ class DenseSchurStepOps:
         f_size = pm.f_size
 
         K_e = self._scaled_K(ete, se, d2e)
-        # E'b / F'b are the partition components of the carried gradient
-        # J'b — two J passes saved per iteration
-        etb = se * pt.extract_e(pm, g)
-        u = self._kmatvec(K_e, etb)
 
         # A = L^{-1} W, dense (e_size, f_size), one spread + block-row
         # scatter per (kind, f-slot)
@@ -529,17 +533,55 @@ class DenseSchurStepOps:
                         (off1, 0),
                     )
         S = S - jnp.einsum("kf,kg->fg", A, A, precision=jax.lax.Precision.HIGHEST)
-
-        ftb = sf * pt.extract_f(pm, g)
-        rhs = ftb - jnp.einsum(
-            "kf,k->f", A, u, precision=jax.lax.Precision.HIGHEST
-        )
         L = jnp.linalg.cholesky(S)
-        z = jax.scipy.linalg.cho_solve((L, True), rhs)
-        Az = jnp.einsum("kf,f->k", A, z, precision=jax.lax.Precision.HIGHEST)
-        y_e = self._kmatvec(K_e, u - Az, transpose=True)
-        step = -pt.combine(pm, y_e, z)
-        mr = fl.right_e(vrep, se * (-y_e)) + fl.right_f(vrep, sf * (-z))
+
+        def solve(b):
+            u_b = self._kmatvec(K_e, pt.extract_e(pm, b))
+            rhs = pt.extract_f(pm, b) - jnp.einsum(
+                "kf,k->f", A, u_b, precision=jax.lax.Precision.HIGHEST
+            )
+            z = jax.scipy.linalg.cho_solve((L, True), rhs)
+            Az = jnp.einsum(
+                "kf,f->k", A, z, precision=jax.lax.Precision.HIGHEST
+            )
+            y_e = self._kmatvec(K_e, u_b - Az, transpose=True)
+            return pt.combine(pm, y_e, z)
+
+        return solve
+
+    def compute_step(self, vrep, aux, g, r, scale_c, D2_c, args=None):
+        fl, pm, pt = self.flat, self.pm, self.pt
+        mixed = self.mixed and r.dtype == jnp.float64
+        if mixed:
+            cast32 = lambda t: jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32), t
+            )
+            solve = self._factor(
+                cast32(vrep), cast32(aux),
+                scale_c.astype(jnp.float32), D2_c.astype(jnp.float32),
+            )
+            b = scale_c * g
+            y = solve(b.astype(jnp.float32)).astype(jnp.float64)
+
+            def H64(v):  # (J_s'J_s + D^2) v in f64, via the e/f split
+                sv = scale_c * v
+                jv = fl.right_e(vrep, pt.extract_e(pm, sv)) + fl.right_f(
+                    vrep, pt.extract_f(pm, sv)
+                )
+                jtjv = pt.combine(pm, fl.left_e(vrep, jv), fl.left_f(vrep, jv))
+                return scale_c * jtjv + D2_c * v
+
+            for _ in range(self.refine):
+                resid = b - H64(y)
+                y = y + solve(resid.astype(jnp.float32)).astype(jnp.float64)
+        else:
+            solve = self._factor(vrep, aux, scale_c, D2_c)
+            y = solve(scale_c * g)
+        step = -y
+        sstep = scale_c * step
+        mr = fl.right_e(vrep, pt.extract_e(pm, sstep)) + fl.right_f(
+            vrep, pt.extract_f(pm, sstep)
+        )
         mcc = -jnp.dot(mr, r + mr / 2.0)
         return step, mcc, jnp.asarray(1, jnp.int32)
 

@@ -132,3 +132,19 @@ def test_fused_pallas_tier_interpret():
     finally:
         fo.PALLAS_MODE = old
     assert pal.final_cost == pytest.approx(base.final_cost, rel=1e-4)
+
+
+def test_fused_dense_schur_mixed_precision():
+    """f32 factorization + f64 iterative refinement (the reference's
+    use_mixed_precision_solves, dense_cholesky.h:198-249 pattern) tracks
+    the full-f64 trajectory."""
+    opts = dict(linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+                fused_loop="ALWAYS", max_num_iterations=12)
+    full = ct.solve(ct.Options(**opts), make_ba())
+    mixed = ct.solve(
+        ct.Options(use_mixed_precision_solves=True,
+                   max_num_refinement_iterations=2, **opts),
+        make_ba(),
+    )
+    assert mixed.is_solution_usable()
+    assert mixed.final_cost == pytest.approx(full.final_cost, rel=1e-5)
