@@ -271,7 +271,8 @@ def build_problem(p: MGHProblem, constrained: bool = False, trial: int = 0):
     return prob, x
 
 
-def solve_problem(p: MGHProblem, constrained: bool = False, trial: int = 0):
+def solve_problem(p: MGHProblem, constrained: bool = False, trial: int = 0,
+                  options_overrides=None):
     """Returns (success, sum_of_squares, summary) with the reference's
     >= 4 relative-log-digit criterion."""
     prob, x = build_problem(p, constrained, trial)
@@ -281,6 +282,7 @@ def solve_problem(p: MGHProblem, constrained: bool = False, trial: int = 0):
         function_tolerance=1e-18,
         gradient_tolerance=1e-18,
         max_num_iterations=1000,
+        **(options_overrides or {}),
     )
     s = solve(opts, prob)
     optimal = (p.constrained_optimal_cost if constrained

@@ -155,6 +155,27 @@ class Problem:
         arr.constant = True
         self._bump()
 
+    def set_parameter_block_array_bounds(
+        self, arr: ParameterBlockArray, lower=None, upper=None
+    ):
+        """Box bounds for every block in a batched array (the scale-path
+        analog of SetParameterLowerBound/SetParameterUpperBound,
+        problem.h:333-341). `lower`/`upper` broadcast to (B, size)."""
+        shape = (arr.B, arr.size)
+        if lower is not None:
+            arr.lower_bounds = np.broadcast_to(
+                np.asarray(lower, np.float64), shape
+            ).copy()
+            if arr.upper_bounds is None:
+                arr.upper_bounds = np.full(shape, np.inf)
+        if upper is not None:
+            arr.upper_bounds = np.broadcast_to(
+                np.asarray(upper, np.float64), shape
+            ).copy()
+            if arr.lower_bounds is None:
+                arr.lower_bounds = np.full(shape, -np.inf)
+        self._bump()
+
     def set_parameter_block_array_bounds(self, arr: ParameterBlockArray,
                                          lower=None, upper=None):
         if lower is not None:

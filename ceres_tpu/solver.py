@@ -115,8 +115,7 @@ def _maybe_build_fused(options: Options, program: CompiledProgram, tier, kernel,
     if options.trust_region_strategy_type.name != "LEVENBERG_MARQUARDT":
         return None
     if (
-        program.has_bounds()
-        or options.use_inner_iterations
+        options.use_inner_iterations
         or options.callbacks
         or options.update_state_every_iteration
         or options.evaluation_callback is not None

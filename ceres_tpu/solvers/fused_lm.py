@@ -29,9 +29,11 @@ Semantics preserved (same as solvers/trust_region.py): LM diagonal
 clamping, model_cost_change validity, non-monotonic step evaluation
 (Conn/Gould/Toint 10.1.2), radius update rules, invalid-step retry bound,
 gradient/function/parameter/trust-region-radius tolerances, termination
-taxonomy. Unsupported here (host loop used instead): bounds, Dogleg,
-inner iterations, callbacks, per-iteration dumps, solvers needing host
-factorizations (SPARSE_*), SUBSET/CLUSTER_* preconditioners.
+taxonomy, bounds (active-set column masking + projected Armijo line
+search as an inner while loop). Unsupported here (host loop used
+instead): Dogleg, inner iterations, callbacks, per-iteration dumps,
+solvers needing host factorizations (SPARSE_*), SUBSET/CLUSTER_*
+preconditioners.
 """
 from __future__ import annotations
 
@@ -212,9 +214,12 @@ class IterativeSchurStepOps:
         pname = options.preconditioner_type.name
         if pname == "JACOBI":
             pname = "SCHUR_JACOBI"
-        if pname not in ("SCHUR_JACOBI", "IDENTITY"):
+        if pname not in ("SCHUR_JACOBI", "IDENTITY",
+                         "SCHUR_POWER_SERIES_EXPANSION"):
             raise ValueError(f"fused ITERATIVE_SCHUR: unsupported preconditioner {pname}")
         self.precond = pname
+        self.spse_terms = max(1, options.max_num_spse_iterations)
+        self.spse_init = options.use_spse_initialization
         self.mixed = options.use_mixed_precision_solves
         self.refine = max(1, options.max_num_refinement_iterations)
         self.eta = options.eta
@@ -317,14 +322,35 @@ class IterativeSchurStepOps:
             return sf * fl.left_f(vrep, fz - e_part) + d2f * z
 
         precond = None
-        if self.precond == "SCHUR_JACOBI":
+        x0 = jnp.zeros_like(rhs)
+        if self.precond in ("SCHUR_JACOBI", "SCHUR_POWER_SERIES_EXPANSION") or (
+            self.spse_init
+        ):
             inv_f = self._schur_jacobi_inverses(vrep, ftf, minv_e, se, sf, d2f)
 
-            def precond(v):
+            def p_inv(v):
                 return base.apply_inverse_rows(pm.f_fams, inv_f, v)
 
+            def spse(v, terms):
+                # Truncated Neumann series S^{-1} ~= sum (I - P^{-1}S)^i P^{-1}
+                # (power_series_expansion_preconditioner.h:40-66) on flat lanes.
+                t = p_inv(v)
+                acc = t
+                for _ in range(terms):
+                    t = t - p_inv(lhs(t))
+                    acc = acc + t
+                return acc
+
+            if self.precond == "SCHUR_JACOBI":
+                precond = p_inv
+            elif self.precond == "SCHUR_POWER_SERIES_EXPANSION":
+                def precond(v):
+                    return spse(v, self.spse_terms)
+            if self.spse_init:
+                x0 = spse(rhs, self.spse_terms)
+
         res = conjugate_gradients(
-            lhs, rhs, jnp.zeros_like(rhs), precond,
+            lhs, rhs, x0, precond,
             min_num_iterations=self.min_li, max_num_iterations=self.max_li,
             residual_reset_period=10, r_tolerance=-1.0, q_tolerance=self.eta,
         )
@@ -661,6 +687,28 @@ class FusedTrustRegionMinimizer:
             else 0
         )
 
+        bounded = prog.has_bounds()
+        if bounded:
+            # Project the initial point onto the feasible box (the host
+            # loop's iteration-zero projection; bounds clip inside Plus).
+            x0 = prog._plus_impl(x0, jnp.zeros(prog.tangent_size))
+            tmap_np, blo_np, bhi_np = prog.tangent_box()
+            tmap_b = jnp.asarray(tmap_np)
+            box_lo = jnp.asarray(blo_np)
+            box_hi = jnp.asarray(bhi_np)
+
+            def active_mask(x, g):
+                """Active-set restriction: 0 for tangent coordinates on a
+                bound with the gradient pushing outward (the host loop's
+                _update_effective_scale)."""
+                xv = jnp.where(tmap_b >= 0, x[jnp.maximum(tmap_b, 0)], 0.0)
+                g64 = g.astype(jnp.float64)
+                active = (tmap_b >= 0) & (
+                    ((xv <= box_lo) & (g64 > 0.0))
+                    | ((xv >= box_hi) & (g64 < 0.0))
+                )
+                return jnp.where(active, 0.0, 1.0)
+
         cost0, r0, vrep0 = ops.evaluate(x0, args)
         g0, sqn0, aux0 = ops.post_eval(vrep0, r0, args)
         sqn0_64 = sqn0.astype(jnp.float64)
@@ -734,11 +782,16 @@ class FusedTrustRegionMinimizer:
         def body(s: _Carry):
             it = s.it + 1
             # -- LM step (levenberg_marquardt_strategy.cc:69-120) ----------
-            diag = jnp.clip(scale * scale * s.sqn, min_d, max_d)
+            if bounded:
+                escale = scale * active_mask(s.x, s.g)
+                escale_c = escale.astype(cdt)
+            else:
+                escale, escale_c = scale, scale_c
+            diag = jnp.clip(escale * escale * s.sqn, min_d, max_d)
             D2 = diag / s.radius
             D2_c = D2.astype(cdt)
             step, mcc_c, lin_iters = ops.compute_step(
-                s.vrep, s.aux, s.g, s.r, scale_c, D2_c, args
+                s.vrep, s.aux, s.g, s.r, escale_c, D2_c, args
             )
             mcc = mcc_c.astype(jnp.float64)
             valid = jnp.all(jnp.isfinite(step)) & (mcc > 0.0)
@@ -752,7 +805,42 @@ class FusedTrustRegionMinimizer:
             )
 
             # -- candidate --------------------------------------------------
-            delta = step.astype(jnp.float64) * scale
+            delta = step.astype(jnp.float64) * escale
+            if bounded and opts.max_num_line_search_step_size_iterations > 0:
+                # Projected Armijo backtracking on the step scale
+                # (trust_region_minimizer.cc:591-645) as an inner while
+                # loop; each probe is a cost-only evaluation of the
+                # projected point.
+                slope = jnp.dot(s.g.astype(jnp.float64), delta)
+                sdec = opts.line_search_sufficient_function_decrease
+                max_ls = int(opts.max_num_line_search_step_size_iterations)
+
+                def ls_cond(c):
+                    i, ss, best_s, best_c, done = c
+                    return (~done) & (i < max_ls)
+
+                def ls_body(c):
+                    i, ss, best_s, best_c, done = c
+                    probe = prog._eval_core(
+                        prog._plus_impl(s.x, ss * delta), False, False,
+                        args=args, need_grad=False,
+                    )["cost"]
+                    finite = jnp.isfinite(probe)
+                    armijo = finite & (probe <= s.cost + sdec * ss * slope)
+                    better = finite & (probe < best_c)
+                    best_s = jnp.where(armijo | better, ss, best_s)
+                    best_c = jnp.where(armijo | better, probe, best_c)
+                    ss_next = ss * 0.5
+                    done = armijo | (ss_next < opts.min_line_search_step_size)
+                    return (i + 1, ss_next, best_s, best_c, done)
+
+                _, _, best_s, _, _ = jax.lax.while_loop(
+                    ls_cond, ls_body,
+                    (jnp.asarray(0, jnp.int32), jnp.asarray(1.0, jnp.float64),
+                     jnp.asarray(-1.0, jnp.float64), s.cost,
+                     ~valid),  # skip the search for invalid steps
+                )
+                delta = jnp.where(best_s > 0.0, best_s, 1.0) * delta
             cand_x = prog._plus_impl(s.x, delta)
             cand_cost, cand_r, cand_vrep = ops.evaluate(cand_x, args)
             cand_cost = jnp.where(jnp.isfinite(cand_cost), cand_cost, _DBL_MAX)
@@ -1082,8 +1170,6 @@ def build_fused_minimizer(program, options: Options, tier: str, e_families=None)
             ops = CgnrStepOps(program, options)
         elif tier == "schur_iterative":
             if options.use_explicit_schur_complement:
-                return None
-            if options.use_spse_initialization:
                 return None
             ops = IterativeSchurStepOps(program, options, e_families)
         elif tier == "schur_dense":

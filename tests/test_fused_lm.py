@@ -93,6 +93,87 @@ def test_fused_identity_preconditioner():
     assert fused.final_cost == pytest.approx(host.final_cost, rel=1e-4)
 
 
+def test_fused_spse_preconditioner():
+    """SCHUR_POWER_SERIES_EXPANSION inside the fused ISC loop (the
+    power_series_expansion_preconditioner.h:40-66 Neumann series applied
+    with flat-lane Schur products) tracks the host path."""
+    host, fused = _solve_pair(
+        dict(linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+             preconditioner_type=(
+                 ct.PreconditionerType.SCHUR_POWER_SERIES_EXPANSION),
+             max_num_spse_iterations=4, max_num_iterations=10)
+    )
+    assert fused.is_solution_usable()
+    assert fused.final_cost == pytest.approx(host.final_cost, rel=1e-4)
+
+
+def test_fused_spse_initialization():
+    """use_spse_initialization (linear_solver.h:174-183): power-series
+    initial guess for the Schur CG inside the fused loop."""
+    fused = ct.solve(
+        ct.Options(linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+                   fused_loop="ALWAYS", use_spse_initialization=True,
+                   max_num_spse_iterations=3, max_num_iterations=10),
+        make_ba(),
+    )
+    base = ct.solve(
+        ct.Options(linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+                   fused_loop="ALWAYS", max_num_iterations=10),
+        make_ba(),
+    )
+    assert fused.is_solution_usable()
+    assert fused.final_cost == pytest.approx(base.final_cost, rel=1e-4)
+
+
+def _make_bounded_ba():
+    """BA problem with box bounds on the point blocks (forces the
+    constrained path: projection in Plus + active-set masking +
+    projected line search)."""
+    b = bal.synthetic_bal(num_cameras=6, num_points=60, visibility=0.5,
+                          noise=0.1, seed=3)
+    bp = bal.perturb(b, 0.01, 0.05, 0.05)
+    problem, cams, pts = bal.build_problem_batched(bp)
+    lo = np.asarray(bp.points).min(axis=0) - 0.5
+    hi = np.asarray(bp.points).max(axis=0) + 0.5
+    arr = problem._block_arrays[1]  # the point ParameterBlockArray
+    problem.set_parameter_block_array_bounds(arr, lower=lo, upper=hi)
+    return problem
+
+
+@pytest.mark.parametrize("lst", ["CGNR", "DENSE_SCHUR"])
+def test_fused_bounds_matches_host(lst):
+    """Bounds inside the fused loop (active-set mask + projected Armijo)
+    track the host loop's constrained trajectory."""
+    kw = dict(linear_solver_type=ct.LinearSolverType[lst],
+              max_num_iterations=15)
+    host = ct.solve(ct.Options(fused_loop="NEVER", **kw), _make_bounded_ba())
+    fused = ct.solve(ct.Options(fused_loop="ALWAYS", **kw), _make_bounded_ba())
+    assert fused.is_solution_usable()
+    assert fused.final_cost == pytest.approx(host.final_cost, rel=1e-6)
+    # the solution respects the box
+    assert host.is_constrained and fused.is_constrained
+
+
+def test_fused_bounds_constrained_mgh():
+    """Constrained More-Garbow-Hillstrom problems through the forced
+    fused loop reach the same certified constrained minima as the host
+    loop (the reference's bounds semantics)."""
+    from ceres_tpu.models import mgh
+
+    checked = 0
+    for p in mgh.PROBLEMS:
+        if p.constrained_optimal_cost is None:
+            continue
+        ok, achieved, s = mgh.solve_problem(
+            p, constrained=True, trial=0,
+            options_overrides=dict(fused_loop="ALWAYS"),
+        )
+        assert s.is_solution_usable()
+        if ok:
+            checked += 1
+    assert checked >= 7  # host loop reaches 9/9; allow minor divergence
+
+
 def test_fused_max_iterations_termination():
     fused = ct.solve(
         ct.Options(linear_solver_type=ct.LinearSolverType.CGNR,
