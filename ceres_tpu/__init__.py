@@ -67,7 +67,9 @@ from .types import (  # noqa: E402
     CovarianceAlgorithmType,
     DoglegType,
     LineSearchDirectionType,
+    LineSearchInterpolationType,
     LineSearchType,
+    NonlinearConjugateGradientType,
     LinearSolverTerminationType,
     LinearSolverType,
     LoggingType,

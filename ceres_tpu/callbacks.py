@@ -64,8 +64,24 @@ def run_callbacks(options, it_summary: IterationSummary, summary: Summary, x_np)
             print(trust_region_log_line(it_summary))
     if options.update_state_every_iteration and getattr(options, "_program", None) is not None:
         options._program.write_state(x_np)
+    prog = getattr(options, "_program", None)
     for cb in options.callbacks:
         ret = cb(it_summary)
+        if (
+            prog is not None
+            and getattr(prog, "problem", None) is not None
+            and prog.problem.structure_version != prog.structure_version
+        ):
+            # the reference leaves mid-solve mutation undefined
+            # (problem.h: "may not modify the problem while Solve is
+            # running"); fail loudly instead of solving a stale structure
+            raise RuntimeError(
+                "Problem structure was modified during Solve() (inside an "
+                "IterationCallback). Mutating the problem mid-solve is not "
+                "supported: return SOLVER_TERMINATE_SUCCESSFULLY from the "
+                "callback, mutate, and call solve() again (the compiled "
+                "program is cached and rebuilt only on structural change)."
+            )
         if ret == CallbackReturnType.SOLVER_ABORT:
             summary.message = "User callback returned SOLVER_ABORT."
             return TerminationType.USER_FAILURE

@@ -72,6 +72,7 @@ class _GradientProgram:
             return {"cost": fn(x), "residuals": jnp.zeros((0,))}
 
         self._eval_core = eval_core
+        self._minimizer_cache = {}
 
     def _plus_impl(self, x, delta):
         if self.gp.manifold is not None:
@@ -91,6 +92,7 @@ def solve_gradient_problem(
 ) -> Summary:
     """gradient_problem_solver.cc:99 Solve equivalent; `parameters` is
     updated in place."""
+    from .solvers.fused_line_search import build_fused_line_search
     from .solvers.line_search import LineSearchMinimizer
 
     if summary is None:
@@ -101,10 +103,17 @@ def solve_gradient_problem(
     summary.num_effective_parameters = problem.num_tangent_parameters
     summary.fixed_cost = 0.0
 
-    program = _GradientProgram(problem)
+    # fast path: repeated solves of the same GradientProblem reuse the
+    # jitted evaluators and cached fused minimizer
+    program = getattr(problem, "_cached_program", None)
+    if program is None:
+        program = _GradientProgram(problem)
+        problem._cached_program = program
     summary.preprocessor_time_in_seconds = time.monotonic() - t0
     t1 = time.monotonic()
-    minimizer = LineSearchMinimizer(program, options, summary)
+    minimizer = build_fused_line_search(program, options, summary)
+    if minimizer is None:
+        minimizer = LineSearchMinimizer(program, options, summary)
     x = minimizer.minimize(jnp.asarray(parameters))
     summary.minimizer_time_in_seconds = time.monotonic() - t1
     parameters[...] = np.asarray(x)

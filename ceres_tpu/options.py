@@ -177,6 +177,16 @@ class Options:
                     False,
                     "DOGLEG only supports exact factorization-based linear solvers",
                 )
+        if self.minimizer_type == MinimizerType.LINE_SEARCH:
+            if self.line_search_direction_type in (
+                LineSearchDirectionType.BFGS, LineSearchDirectionType.LBFGS
+            ) and self.line_search_type != LineSearchType.WOLFE:
+                return (
+                    False,
+                    "BFGS/LBFGS line search directions require WOLFE line "
+                    "search (Armijo does not guarantee the curvature "
+                    "condition needed for a valid secant update)",
+                )
         if is_schur_type(self.linear_solver_type) and self.linear_solver_ordering is not None:
             if any(len(g) == 0 for g in self.linear_solver_ordering):
                 return False, "linear_solver_ordering contains an empty group"

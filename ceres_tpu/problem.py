@@ -36,6 +36,7 @@ class ParameterBlock:
         "upper_bounds",
         "index",
         "residual_blocks",
+        "_owner",
     )
 
     def __init__(self, values: np.ndarray, manifold: Optional[Manifold] = None):
@@ -49,6 +50,7 @@ class ParameterBlock:
         self.upper_bounds = None
         self.index = -1
         self.residual_blocks: set = set()  # enable_fast_removal is free here
+        self._owner = None  # owning Problem; bound mutations bump its version
 
     @property
     def tangent_size(self) -> int:
@@ -63,11 +65,15 @@ class ParameterBlock:
         if self.lower_bounds is None:
             self.lower_bounds = np.full(self.size, -np.inf)
         self.lower_bounds[coord] = value
+        if self._owner is not None:
+            self._owner._bump()
 
     def set_upper_bound(self, coord: int, value: float):
         if self.upper_bounds is None:
             self.upper_bounds = np.full(self.size, np.inf)
         self.upper_bounds[coord] = value
+        if self._owner is not None:
+            self._owner._bump()
 
     def has_bounds(self) -> bool:
         return self.lower_bounds is not None or self.upper_bounds is not None
@@ -268,6 +274,7 @@ class Problem:
         if manifold is not None and manifold.ambient_size != values.shape[0]:
             raise ValueError("manifold ambient size mismatch")
         blk = ParameterBlock(values, manifold)
+        blk._owner = self
         self._ptr_to_block[key] = blk
         self._blocks.append(blk)
         self._bump()

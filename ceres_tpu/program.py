@@ -131,7 +131,31 @@ class CompiledProgram:
         self.sort_rows = sort_rows
         self.structure_version = problem.structure_version
         self._fn_cache: Dict[str, object] = {}
+        self._minimizer_cache: Dict[object, object] = {}
         self._build()
+
+    @classmethod
+    def cached(cls, problem: Problem, apply_loss: bool = True,
+               compute_dtype: str = "float64", sort_rows: bool = False):
+        """Structure-version fast path: reuse the compiled program (and with
+        it every jitted evaluator and cached fused minimizer) across
+        repeated solves of the same Problem.  Any structural mutation —
+        add/remove blocks, constancy, manifolds, bounds — bumps
+        Problem.structure_version and invalidates the entry; parameter
+        VALUES are read live (initial_state), so value updates between
+        solves hit the cache."""
+        key = (bool(apply_loss), str(jnp.dtype(compute_dtype)),
+               bool(sort_rows))
+        cache = getattr(problem, "_compiled_cache", None)
+        if cache is None:
+            cache = problem._compiled_cache = {}
+        prog = cache.get(key)
+        if prog is not None and prog.structure_version == problem.structure_version:
+            return prog
+        prog = cls(problem, apply_loss=apply_loss,
+                   compute_dtype=compute_dtype, sort_rows=sort_rows)
+        cache[key] = prog
+        return prog
 
     def _cast_in(self, x):
         if self.compute_dtype == jnp.float64:

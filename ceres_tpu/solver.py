@@ -103,6 +103,22 @@ def _schur_structure_string(program, e_fams) -> str:
     return f"{uniq(rows)},{uniq(e_sizes)},{uniq(f_sizes)}"
 
 
+def _options_fingerprint(options: Options):
+    """Hashable key over the scalar/enum option fields (the fields a fused
+    minimizer bakes into its compiled program). Non-hashable fields
+    (callbacks, orderings, ...) are excluded — the fused gate already
+    requires them empty."""
+    import dataclasses as _dc
+    import enum as _enum
+
+    parts = []
+    for f in _dc.fields(options):
+        v = getattr(options, f.name)
+        if v is None or isinstance(v, (int, float, str, bool, _enum.Enum)):
+            parts.append((f.name, v))
+    return tuple(parts)
+
+
 def _maybe_build_fused(options: Options, program: CompiledProgram, tier, kernel,
                        used_type):
     """Pick the fused one-jit LM loop when the configuration is in its
@@ -126,21 +142,31 @@ def _maybe_build_fused(options: Options, program: CompiledProgram, tier, kernel,
     from .solvers.fused_lm import build_fused_minimizer
 
     if tier == "bsr":
-        return build_fused_minimizer(program, options, "bsr")
-    if tier == "schur_iterative":
-        return build_fused_minimizer(program, options, "schur_iterative",
-                                     e_families=kernel)
-    if tier == "schur_dense":
-        return build_fused_minimizer(program, options, "schur_dense",
-                                     e_families=kernel)
-    if tier == "dense":
+        name, e_families = "bsr", None
+    elif tier == "schur_iterative":
+        name, e_families = "schur_iterative", kernel
+    elif tier == "schur_dense":
+        name, e_families = "schur_dense", kernel
+    elif tier == "dense":
         name = (
             "dense_qr"
             if used_type == LinearSolverType.DENSE_QR
             else "dense_normal_cholesky"
         )
-        return build_fused_minimizer(program, options, name)
-    return None
+        e_families = None
+    else:
+        return None
+    # minimizer fast path: reuse the jitted fused loop across solves of the
+    # same compiled program + equivalent options
+    e_key = tuple(e_families) if e_families is not None else None
+    cache_key = (name, e_key, _options_fingerprint(options))
+    fused = program._minimizer_cache.get(cache_key)
+    if fused is None:
+        fused = build_fused_minimizer(program, options, name,
+                                      e_families=e_families)
+        if fused is not None:
+            program._minimizer_cache[cache_key] = fused
+    return fused
 
 
 def solve(options: Options, problem: Problem, summary: Optional[Summary] = None) -> Summary:
@@ -186,8 +212,11 @@ def solve(options: Options, problem: Problem, summary: Optional[Summary] = None)
             return summary
 
     # ---- Preprocess -------------------------------------------------------
-    program = CompiledProgram(problem, compute_dtype=options.evaluation_dtype,
-                              sort_rows=True)
+    # structure-version fast path: repeated solves of an unmutated Problem
+    # reuse the compiled program + its jitted evaluators/minimizers
+    program = CompiledProgram.cached(
+        problem, compute_dtype=options.evaluation_dtype, sort_rows=True
+    )
     options._program = program  # for update_state_every_iteration
     summary.fixed_cost = program.fixed_cost
     summary.num_parameter_blocks_reduced = sum(f.count for f in program.families)
@@ -217,11 +246,14 @@ def solve(options: Options, problem: Problem, summary: Optional[Summary] = None)
             )
             summary.termination_type = TerminationType.FAILURE
             return summary
+        from .solvers.fused_line_search import build_fused_line_search
         from .solvers.line_search import LineSearchMinimizer
 
         summary.preprocessor_time_in_seconds = time.monotonic() - t_start
         t_min = time.monotonic()
-        minimizer = LineSearchMinimizer(program, options, summary)
+        minimizer = build_fused_line_search(program, options, summary)
+        if minimizer is None:
+            minimizer = LineSearchMinimizer(program, options, summary)
         x0 = program.initial_state()
         x_final = minimizer.minimize(x0)
         summary.minimizer_time_in_seconds = time.monotonic() - t_min

@@ -215,11 +215,27 @@ class IterativeSchurStepOps:
         if pname == "JACOBI":
             pname = "SCHUR_JACOBI"
         if pname not in ("SCHUR_JACOBI", "IDENTITY",
-                         "SCHUR_POWER_SERIES_EXPANSION"):
+                         "SCHUR_POWER_SERIES_EXPANSION",
+                         "CLUSTER_JACOBI", "CLUSTER_TRIDIAGONAL"):
             raise ValueError(f"fused ITERATIVE_SCHUR: unsupported preconditioner {pname}")
         self.precond = pname
         self.spse_terms = max(1, options.max_num_spse_iterations)
         self.spse_init = options.use_spse_initialization
+        if pname in ("CLUSTER_JACOBI", "CLUSTER_TRIDIAGONAL"):
+            from .bsr_kernels import _build_cluster
+
+            self.cluster_structure, self.cluster_assembler = _build_cluster(
+                self.pm, options,
+                tridiagonal=(pname == "CLUSTER_TRIDIAGONAL"),
+            )
+            # (kind, slot) -> partition plan, for re-materializing the
+            # scaled rank-3 values the assembler consumes
+            self._slot_plan = {}
+            for k in range(len(self.flat.kinds)):
+                for pe in self.flat.plans_e[k]:
+                    self._slot_plan[(k, pe.s)] = ("e", pe)
+                for pf in self.flat.plans_f[k]:
+                    self._slot_plan[(k, pf.s)] = ("f", pf)
         self.mixed = options.use_mixed_precision_solves
         self.refine = max(1, options.max_num_refinement_iterations)
         self.eta = options.eta
@@ -296,6 +312,48 @@ class IterativeSchurStepOps:
             out.append(fo.spd_inverse_flat(tab[:nv], t))
         return out
 
+    def _cluster_precond(self, vrep, se, sf, d2e, d2f):
+        """CLUSTER_JACOBI / CLUSTER_TRIDIAGONAL inside the fused loop:
+        re-materialize the scaled rank-3 Jacobian blocks (only for the
+        preconditioner assembly — the CG products stay on flat lanes),
+        run the batched cluster-block assembler, and build the batched
+        cho_solve / block-tridiagonal apply."""
+        from .linear.preconditioners import (
+            make_cluster_preconditioner,
+            make_cluster_tridiagonal_preconditioner,
+        )
+
+        fl = self.flat
+        values3 = []
+        for k, kind in enumerate(fl.kinds):
+            row = []
+            for s, V in enumerate(vrep[k]):
+                if V is None:
+                    row.append(None)
+                    continue
+                plan = self._slot_plan.get((k, s))
+                if plan is not None:
+                    side, p = plan
+                    seg = se if side == "e" else sf
+                    rows = fl._gather(seg, p.off, p.nv, p.t, p.local)
+                    V = V * fo._mm(rows,
+                                   fl.sel.get("rep_t", kind.r, p.t, V.dtype))
+                    t = p.t
+                else:
+                    t = V.shape[1] // kind.r
+                row.append(V.reshape(V.shape[0], kind.r, t))
+            values3.append(row)
+        D_e = jnp.sqrt(d2e)
+        D_f = jnp.sqrt(d2f)
+        blocks = self.cluster_assembler(values3, D_e, D_f)
+        if self.precond == "CLUSTER_TRIDIAGONAL":
+            return make_cluster_tridiagonal_preconditioner(
+                self.cluster_structure, lambda: blocks
+            )
+        return make_cluster_preconditioner(
+            self.cluster_structure, lambda: blocks
+        )
+
     def compute_step(self, vrep, aux, g, r, scale_c, D2_c, args=None):
         fl, pm, pt = self.flat, self.pm, self.pt
         ete, ftf = aux
@@ -348,6 +406,8 @@ class IterativeSchurStepOps:
                     return spse(v, self.spse_terms)
             if self.spse_init:
                 x0 = spse(rhs, self.spse_terms)
+        if self.precond in ("CLUSTER_JACOBI", "CLUSTER_TRIDIAGONAL"):
+            precond = self._cluster_precond(vrep, se, sf, d2e, d2f)
 
         res = conjugate_gradients(
             lhs, rhs, x0, precond,
@@ -430,11 +490,10 @@ class DenseSchurStepOps:
             outs.append(sol.reshape(-1))
         return jnp.concatenate(outs) if outs else v
 
-    def _factor(self, vrep, aux, scale_c, D2_c):
-        """Assemble and factorize the eliminated system; returns a solver
-        closure for (J_s'J_s + D^2) y = b over arbitrary tangent rhs b —
-        the factor-once/apply-many split that makes mixed-precision
-        iterative refinement cheap (dense_cholesky.h:198-249 pattern)."""
+    def _assemble(self, vrep, aux, scale_c, D2_c):
+        """Assemble the eliminated system: per-e-block K = L^{-1} lanes,
+        the dense A = L^{-1} W (e_size x f_size), and the reduced Schur
+        complement S = scaled F'F + D_f^2 - A'A (f_size x f_size)."""
         fl, pm, pt = self.flat, self.pm, self.pt
         ete, ftf = aux
         dt = vrep[0][0].dtype if vrep and vrep[0] else jnp.float64
@@ -559,6 +618,15 @@ class DenseSchurStepOps:
                         (off1, 0),
                     )
         S = S - jnp.einsum("kf,kg->fg", A, A, precision=jax.lax.Precision.HIGHEST)
+        return K_e, A, S
+
+    def _factor(self, vrep, aux, scale_c, D2_c):
+        """Assemble and factorize the eliminated system; returns a solver
+        closure for (J_s'J_s + D^2) y = b over arbitrary tangent rhs b —
+        the factor-once/apply-many split that makes mixed-precision
+        iterative refinement cheap (dense_cholesky.h:198-249 pattern)."""
+        pm, pt = self.pm, self.pt
+        K_e, A, S = self._assemble(vrep, aux, scale_c, D2_c)
         L = jnp.linalg.cholesky(S)
 
         def solve(b):
@@ -610,6 +678,74 @@ class DenseSchurStepOps:
         )
         mcc = -jnp.dot(mr, r + mr / 2.0)
         return step, mcc, jnp.asarray(1, jnp.int32)
+
+
+class ExplicitSchurStepOps(DenseSchurStepOps):
+    """use_explicit_schur_complement inside the fused loop
+    (schur_complement_solver.cc:338: PCG on the explicitly assembled S
+    with block-Jacobi-of-S preconditioning).  The TPU rendition keeps S
+    dense — for the camera-sized reduced system an MXU dense matvec beats
+    sparse bookkeeping — and reads the preconditioner blocks straight off
+    S's block diagonal."""
+
+    def __init__(self, program, options: Options, e_families):
+        super().__init__(program, options, e_families)
+        self.eta = options.eta
+        self.max_li = options.max_linear_solver_iterations
+        self.min_li = options.min_linear_solver_iterations
+        pname = options.preconditioner_type.name
+        if pname == "JACOBI":
+            pname = "SCHUR_JACOBI"
+        if pname not in ("SCHUR_JACOBI", "IDENTITY"):
+            raise ValueError(
+                f"fused explicit-S ITERATIVE_SCHUR: unsupported preconditioner {pname}"
+            )
+        self.precond = pname
+
+    def compute_step(self, vrep, aux, g, r, scale_c, D2_c, args=None):
+        fl, pm, pt = self.flat, self.pm, self.pt
+        K_e, A, S = self._assemble(vrep, aux, scale_c, D2_c)
+        b = scale_c * g
+        u_b = self._kmatvec(K_e, pt.extract_e(pm, b))
+        rhs = pt.extract_f(pm, b) - jnp.einsum(
+            "kf,k->f", A, u_b, precision=jax.lax.Precision.HIGHEST
+        )
+
+        precond = None
+        if self.precond == "SCHUR_JACOBI":
+            inv_f = []
+            for (off, nv, t, _) in pm.f_fams:
+                blk = jax.lax.dynamic_slice(
+                    S, (off, off), (nv * t, nv * t)
+                ).reshape(nv, t, nv, t)
+                diag = blk[jnp.arange(nv), :, jnp.arange(nv), :]
+                inv_f.append(fo.spd_inverse_flat(diag.reshape(nv, t * t), t))
+
+            def precond(v):
+                return fo._FlatOpsBase.apply_inverse_rows(
+                    pm.f_fams, inv_f, v
+                )
+
+        def lhs(z):
+            return jnp.matmul(S, z, precision=jax.lax.Precision.HIGHEST)
+
+        res = conjugate_gradients(
+            lhs, rhs, jnp.zeros_like(rhs), precond,
+            min_num_iterations=self.min_li, max_num_iterations=self.max_li,
+            residual_reset_period=10, r_tolerance=-1.0,
+            q_tolerance=self.eta,
+        )
+        z = res.x
+        Az = jnp.einsum("kf,f->k", A, z, precision=jax.lax.Precision.HIGHEST)
+        y_e = self._kmatvec(K_e, u_b - Az, transpose=True)
+        y = pt.combine(pm, y_e, z)
+        step = -y
+        sstep = scale_c * step
+        mr = fl.right_e(vrep, pt.extract_e(pm, sstep)) + fl.right_f(
+            vrep, pt.extract_f(pm, sstep)
+        )
+        mcc = -jnp.dot(mr, r + mr / 2.0)
+        return step, mcc, res.num_iterations
 
 
 class DenseStepOps:
@@ -1170,8 +1306,9 @@ def build_fused_minimizer(program, options: Options, tier: str, e_families=None)
             ops = CgnrStepOps(program, options)
         elif tier == "schur_iterative":
             if options.use_explicit_schur_complement:
-                return None
-            ops = IterativeSchurStepOps(program, options, e_families)
+                ops = ExplicitSchurStepOps(program, options, e_families)
+            else:
+                ops = IterativeSchurStepOps(program, options, e_families)
         elif tier == "schur_dense":
             ops = DenseSchurStepOps(program, options, e_families)
         elif tier == "dense_qr":

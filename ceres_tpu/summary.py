@@ -67,6 +67,7 @@ class Summary:
     num_residual_evaluations: int = 0
     jacobian_evaluation_time_in_seconds: float = 0.0
     num_jacobian_evaluations: int = 0
+    num_gradient_evaluations: int = 0  # line-search solves (gradient_problem_solver.h)
     inner_iteration_time_in_seconds: float = 0.0
 
     # Problem sizes (given = as added; reduced = after dropping constant

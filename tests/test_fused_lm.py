@@ -174,6 +174,34 @@ def test_fused_bounds_constrained_mgh():
     assert checked >= 7  # host loop reaches 9/9; allow minor divergence
 
 
+@pytest.mark.parametrize("pname", ["CLUSTER_JACOBI", "CLUSTER_TRIDIAGONAL"])
+def test_fused_cluster_preconditioners(pname):
+    """Visibility-clustered preconditioners inside the fused ISC loop
+    (visibility_based_preconditioner.cc restriction assembled by the
+    batched cluster assembler) track the host path."""
+    kw = dict(linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+              preconditioner_type=ct.PreconditionerType[pname],
+              max_num_iterations=10)
+    host = ct.solve(ct.Options(fused_loop="NEVER", **kw), make_ba())
+    fused = ct.solve(ct.Options(fused_loop="ALWAYS", **kw), make_ba())
+    assert fused.is_solution_usable()
+    assert fused.final_cost == pytest.approx(host.final_cost, rel=1e-4)
+
+
+def test_fused_explicit_schur_complement():
+    """use_explicit_schur_complement inside the fused loop (PCG on the
+    explicitly assembled dense S, schur_complement_solver.cc:338) tracks
+    the implicit-product fused path."""
+    opts = dict(linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+                fused_loop="ALWAYS", max_num_iterations=10)
+    implicit = ct.solve(ct.Options(**opts), make_ba())
+    explicit = ct.solve(
+        ct.Options(use_explicit_schur_complement=True, **opts), make_ba()
+    )
+    assert explicit.is_solution_usable()
+    assert explicit.final_cost == pytest.approx(implicit.final_cost, rel=1e-4)
+
+
 def test_fused_max_iterations_termination():
     fused = ct.solve(
         ct.Options(linear_solver_type=ct.LinearSolverType.CGNR,

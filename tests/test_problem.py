@@ -133,3 +133,61 @@ def test_non_float64_rejected():
     p = ct.Problem()
     with pytest.raises(TypeError):
         p.add_parameter_block(np.zeros(2, dtype=np.float32))
+
+
+# ----------------------------------------------- structure-version fast path
+
+
+def test_compiled_program_cache_reuse_and_invalidation():
+    """Repeated solves of an unmutated Problem reuse the compiled program
+    (and its jitted evaluators); any structural mutation — including bound
+    changes — invalidates the cache entry."""
+    p = ct.Problem()
+    x = np.zeros(2)
+    p.add_residual_block(quad_cost(), None, [x])
+    prog1 = CompiledProgram.cached(p, sort_rows=True)
+    prog2 = CompiledProgram.cached(p, sort_rows=True)
+    assert prog1 is prog2
+    # different key -> different program
+    prog3 = CompiledProgram.cached(p, sort_rows=False)
+    assert prog3 is not prog1
+    # structural mutation invalidates
+    y = np.zeros(2)
+    p.add_residual_block(quad_cost(), None, [y])
+    assert CompiledProgram.cached(p, sort_rows=True) is not prog1
+    # bound mutation invalidates too (bounds are baked into the jitted Plus)
+    prog4 = CompiledProgram.cached(p, sort_rows=True)
+    p.parameter_block_for(x).set_lower_bound(0, -1.0)
+    assert CompiledProgram.cached(p, sort_rows=True) is not prog4
+
+
+def test_repeated_solve_uses_cache_and_updates_values():
+    p = ct.Problem()
+    x = np.array([5.0, 5.0])
+    p.add_residual_block(quad_cost(), None, [x])
+    s1 = ct.solve(ct.Options(max_num_iterations=20), p)
+    assert s1.is_solution_usable()
+    np.testing.assert_allclose(x, 1.0, atol=1e-8)
+    prog = p._compiled_cache[(True, "float64", True)]
+    # perturb VALUES only; second solve must hit the cache and still read
+    # the fresh values
+    x[...] = [7.0, -3.0]
+    s2 = ct.solve(ct.Options(max_num_iterations=20), p)
+    assert p._compiled_cache[(True, "float64", True)] is prog
+    assert s2.is_solution_usable()
+    np.testing.assert_allclose(x, 1.0, atol=1e-8)
+    assert s2.initial_cost > 1.0  # really restarted from the new values
+
+
+def test_mutation_during_callback_raises():
+    p = ct.Problem()
+    x = np.array([5.0, 5.0])
+    p.add_residual_block(quad_cost(), None, [x])
+
+    def evil_callback(it_summary):
+        y = np.zeros(2)
+        p.add_residual_block(quad_cost(), None, [y])
+        return ct.CallbackReturnType.SOLVER_CONTINUE
+
+    with pytest.raises(RuntimeError, match="modified during Solve"):
+        ct.solve(ct.Options(max_num_iterations=5, callbacks=[evil_callback]), p)
