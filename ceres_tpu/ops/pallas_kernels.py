@@ -253,6 +253,190 @@ def segment_block_expand(
     return out_T[:t, :n].T
 
 
+def segment_spread_sum(
+    Y,  # (N, ky) per-observation lanes (ky = tp*tc), sorted by point
+    cam_ids,  # (N,) int32 camera id per observation
+    sorted_ids,  # (N,) int32 non-decreasing point ids
+    tile_starts,  # (T+1,) int32 lane-aligned per-tile row offsets
+    num_blocks: int,  # number of points
+    C: int,  # number of cameras
+    tp: int,
+    tc: int,
+    max_rows: int = 512,
+    interpret: bool = False,
+    blocks_per_tile: int = BLOCKS_PER_TILE,
+    unroll: int = 4,
+):
+    """Fused spread + segment reduction for the dense-Schur A assembly:
+
+        out[p, i*C*tc + c*tc + j] = sum_{b: point(b)==p} Y[b, i*tc+j] * [cam(b)==c]
+
+    The XLA formulation materializes T = (Y @ H1) * (onehot_cam @ H2) as an
+    (N, tp*C*tc) HBM tensor (3 passes of ~N*432*4 bytes at the BAL-16
+    shape) before the segment sum. Here the spread lives only in VMEM:
+    each tile builds T_T = (H1' Y_T) * (H2' OHcam_T) for its row window
+    (two small MXU matmuls) and reduces rows -> points with one
+    dot_general — the same tiled one-hot trick as segment_block_sum.
+    Measured on v5e at BAL-16: the A assembly drops from ~2.3 ms to the
+    DMA floor. Output (num_blocks_padded, tp*C*tc)."""
+    n, ky = Y.shape
+    assert ky == tp * tc
+    BT = blocks_per_tile
+    t_out = tp * C * tc
+    num_tiles = -(-num_blocks // BT)
+    # `unroll` tiles per grid program: all the tile DMAs are started before
+    # the first tile's compute, so transfers overlap the MXU work instead
+    # of stalling at a serial wait every 128 points
+    grid = -(-num_tiles // unroll)
+    num_tiles_pad = grid * unroll
+    nb_pad = num_tiles_pad * BT
+    n_pad = n + max_rows
+    tile_starts = jnp.concatenate([
+        jnp.asarray(tile_starts, jnp.int32),
+        jnp.full((num_tiles_pad + 1 - tile_starts.shape[0],),
+                 jnp.asarray(tile_starts)[-1], jnp.int32),
+    ]) if tile_starts.shape[0] < num_tiles_pad + 1 else tile_starts
+    ky_pad = max(8, -(-ky // 8) * 8)
+    # transposed, lane-major layouts (observations on the lane axis)
+    Y_T = jnp.concatenate([Y.T, jnp.zeros((ky_pad - ky, n), Y.dtype)], axis=0)
+    Y_T = jnp.concatenate(
+        [Y_T, jnp.zeros((ky_pad, max_rows), Y.dtype)], axis=1
+    )  # (ky_pad, n_pad)
+    pid_row = jnp.concatenate(
+        [sorted_ids.astype(jnp.int32), jnp.full((max_rows,), -1, jnp.int32)]
+    )
+    pid_T = jnp.broadcast_to(pid_row[None, :], (8, n_pad))
+    cid_row = jnp.concatenate(
+        [cam_ids.astype(jnp.int32), jnp.full((max_rows,), -1, jnp.int32)]
+    )
+    cid_T = jnp.broadcast_to(cid_row[None, :], (8, n_pad))
+    # spread constants in matmul-native orientation: (ky_pad, t_out), (C_pad, t_out)
+    C_pad = max(8, -(-C // 8) * 8)
+    H1 = np.kron(np.eye(tp), np.kron(np.ones((1, C)), np.eye(tc)))  # (ky, t_out)
+    H2 = np.kron(np.ones((1, tp)), np.kron(np.eye(C), np.ones((1, tc))))  # (C, t_out)
+    H1M = np.zeros((ky_pad, t_out), np.float32)
+    H1M[:ky, :] = H1
+    H2M = np.zeros((C_pad, t_out), np.float32)
+    H2M[:C, :] = H2
+    H1M = jnp.asarray(H1M, Y.dtype)
+    H2M = jnp.asarray(H2M, Y.dtype)
+
+    def kernel(starts_ref, pid_hbm, cid_hbm, y_hbm, h1_ref, h2_ref, out_ref):
+        g = pl.program_id(0)
+
+        def body(pid_vmem, cid_vmem, y_vmem, sem_p, sem_c, sem_y):
+            # start ALL tile DMAs up front; transfers for tile j+1..k
+            # overlap tile j's MXU work
+            copies = []
+            for j in range(unroll):
+                row0 = pl.multiple_of(starts_ref[g * unroll + j], _LANE)
+                cps = [
+                    pltpu.make_async_copy(
+                        pid_hbm.at[:, pl.ds(row0, max_rows)],
+                        pid_vmem.at[j], sem_p.at[j],
+                    ),
+                    pltpu.make_async_copy(
+                        cid_hbm.at[:, pl.ds(row0, max_rows)],
+                        cid_vmem.at[j], sem_c.at[j],
+                    ),
+                    pltpu.make_async_copy(
+                        y_hbm.at[:, pl.ds(row0, max_rows)],
+                        y_vmem.at[j], sem_y.at[j],
+                    ),
+                ]
+                for c in cps:
+                    c.start()
+                copies.append(cps)
+
+            dt = Y.dtype
+            f32 = jnp.float32
+            bf16 = jnp.bfloat16
+            # all dots in the MXU-native (M,K)@(K,N) orientation — a
+            # lane-lane contraction would relayout the 432-wide T every tile
+            dims = (((1,), (0,)), ((), ()))
+
+            def dot_bf(lhs, rhs):
+                return jax.lax.dot_general(
+                    lhs, rhs, dimension_numbers=dims,
+                    preferred_element_type=f32,
+                )
+
+            h1 = h1_ref[:, :].astype(bf16)  # (ky_pad, t_out)
+            h2 = h2_ref[:, :].astype(bf16)  # (C_pad, t_out)
+            csub = jax.lax.broadcasted_iota(jnp.int32, (C_pad, max_rows), 0)
+            sub = jax.lax.broadcasted_iota(jnp.int32, (BT, max_rows), 0)
+
+            for j in range(unroll):
+                for c in copies[j]:
+                    c.wait()
+                block0 = (g * unroll + j) * BT
+                y_tile = y_vmem[j]
+                pid_tile = pid_vmem[j]
+                cid_tile = cid_vmem[j]
+                # camera one-hot (rows, C_pad); 0/1 exact in bf16 (mask
+                # built in f32 then cast: selecting bf16 straight from the
+                # i1 compare trips a Mosaic (8,128)->(16,128) relayout)
+                cids = jnp.broadcast_to(cid_tile[:1, :],
+                                        (C_pad, max_rows))
+                ohc = jnp.transpose(jnp.where(
+                    cids == csub, jnp.ones((), f32), jnp.zeros((), f32)
+                )).astype(bf16)  # (rows, C_pad)
+                # Split the Y tile into hi+lo bf16 halves (~1e-5 rel).
+                # H1/H2 are 0/1 SELECTORS (one 1 per column), so matmuls
+                # against them permute/broadcast exact bf16 values, and
+                # one-hot products multiply by exactly 0/1 — the spread
+                # stays EXACT bf16 given the split; the final reduction
+                # dots are single-pass MXU bf16 with f32 accumulation
+                # (~5x the 6-pass f32-HIGHEST throughput).
+                y = jnp.transpose(y_tile)  # (rows, ky_pad), small
+                y_hi = y.astype(bf16)
+                y_lo = (y - y_hi.astype(f32)).astype(bf16)
+                a_hi = dot_bf(y_hi, h1).astype(bf16)  # (rows, t_out) exact
+                a_lo = dot_bf(y_lo, h1).astype(bf16)  # exact
+                bmat = dot_bf(ohc, h2).astype(bf16)  # exact 0/1
+                T_hi = a_hi * bmat
+                T_lo = a_lo * bmat
+                pids = jnp.broadcast_to(pid_tile[:1, :], (BT, max_rows))
+                ohp_T = jnp.where(
+                    pids - block0 == sub,
+                    jnp.ones((), f32), jnp.zeros((), f32),
+                ).astype(bf16)  # (BT, rows): contraction is lanes x sublanes
+                out_ref[j * BT:(j + 1) * BT, :] = (
+                    dot_bf(ohp_T, T_hi) + dot_bf(ohp_T, T_lo)
+                ).astype(dt)
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((unroll, 8, max_rows), jnp.int32),
+            pltpu.VMEM((unroll, 8, max_rows), jnp.int32),
+            pltpu.VMEM((unroll, ky_pad, max_rows), Y.dtype),
+            pltpu.SemaphoreType.DMA((unroll,)),
+            pltpu.SemaphoreType.DMA((unroll,)),
+            pltpu.SemaphoreType.DMA((unroll,)),
+        )
+
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (unroll * BT, t_out), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((nb_pad, t_out), Y.dtype),
+            interpret=interpret,
+        )(tile_starts, pid_T, cid_T, Y_T, H1M, H2M)
+    return out
+
+
 def jt_u_sorted(
     J_blocks,  # (N, r, t) sorted by target block
     u,  # (N, r)

@@ -389,6 +389,12 @@ def _point_ops(pt_idx, P, pallas_plan=None, pallas_interpret=False):
                 vals, ids32, ts, Bn, max_rows=max_rows,
                 interpret=pallas_interpret,
             )
+
+        def spread_p(Y, cam_ids, C, tp, tc):  # fused A assembly
+            return pk.segment_spread_sum(
+                Y, cam_ids.astype(jnp.int32), ids32, ts, P, C, tp, tc,
+                max_rows=max_rows, interpret=pallas_interpret,
+            )[:P]
     else:
         def reduce_p(contrib):
             return jnp.zeros(
@@ -398,7 +404,9 @@ def _point_ops(pt_idx, P, pallas_plan=None, pallas_interpret=False):
         def expand_p(vals):
             return jnp.take(vals, pt_idx, axis=0)
 
-    return reduce_p, expand_p
+        spread_p = None
+
+    return reduce_p, expand_p, spread_p
 
 
 def _evaluate_flat(cams, pts, cam_idx, obs, w, oh_gather, expand_p):
@@ -416,7 +424,7 @@ def _evaluate_flat(cams, pts, cam_idx, obs, w, oh_gather, expand_p):
 
 
 def _schur_core(J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p,
-                C, P, rr=2, tc=9, tp=3):
+                C, P, rr=2, tc=9, tp=3, spread_p=None, w=None):
     """Exact dense-Schur LM step math from a flat-lane evaluation:
     returns (step_c, step_p, sc, sp, model_cost_change)."""
     B = r.shape[0]
@@ -425,39 +433,39 @@ def _schur_core(J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p,
     def reduce_c(contrib):  # (B, k) -> (C, k) via MXU
         return jnp.einsum("bk,bc->ck", contrib, onehot, precision=_HI)
 
-    # scaling (jacobi) from unscaled reductions; ONE fused point scatter
+    dt = J.dtype
+    # ONE fused point reduction for the whole iteration: the per-point
+    # Jacobi scale sp is a per-point CONSTANT, so scaling commutes with the
+    # segment sum — reduce the UNSCALED E'r rows, diag rows, and E'E outer
+    # rows together, then scale per point (drops the second reduce pass the
+    # scaled-then-reduced formulation needed).
     jtr = _mmf(J * _mmf(r, S_sel.T), R.T)
     jsq = _mmf(J * J, R.T)
+    J_p_u = J[:, rr * tc:]  # unscaled point lanes (B, 6)
+    jptjp_u = _outer_flat(J_p_u, J_p_u, _outer_selectors(rr, tp, tp, dt))
+    red = reduce_p(
+        jnp.concatenate([jtr[:, tc:], jsq[:, tc:], jptjp_u], axis=1)
+    )  # (P, 3+3+9)
+    gp = red[:, :tp]
+    d2p = red[:, tp : 2 * tp]
+    ete_u = red[:, 2 * tp :]  # (P, 9) unscaled E'E lanes
     gc = reduce_c(jtr[:, :tc])
     d2c = reduce_c(jsq[:, :tc])
-    gp_d2p = reduce_p(jnp.concatenate([jtr[:, tc:], jsq[:, tc:]], axis=1))
-    gp, d2p = gp_d2p[:, :tp], gp_d2p[:, tp:]
     sc = 1.0 / (1.0 + jnp.sqrt(d2c))
     sp = 1.0 / (1.0 + jnp.sqrt(d2p))
-    sp_g = expand_p(sp)
-    Js = J * _mmf(
-        jnp.concatenate([_gather_cams(sc, cam_idx, oh_gather), sp_g], axis=1), R
-    )
     diag_c = jnp.clip(sc * sc * d2c, 1e-6, 1e32)
     diag_p = jnp.clip(sp * sp * d2p, 1e-6, 1e32)
     D2c = diag_c / radius
     D2p = diag_p / radius
-    Js_c = Js[:, : rr * tc]  # (B, 18)
-    Js_p = Js[:, rr * tc:]   # (B, 6)
-    dt = J.dtype
 
-    # point elimination: M_p = sum Jp'Jp + D2p (3x3) and E'r, fused into
-    # ONE point scatter. Everything stays on 2-D flat lanes — the 3x3
-    # Cholesky/inverse/solve are closed-form elementwise (batched LAPACK
-    # on (P,3,3) would re-materialize tile-padded rank-3 tensors).
-    jptjp = _outer_flat(Js_p, Js_p, _outer_selectors(rr, tp, tp, dt))  # (B,9)
-    jptr = sp_g * jtr[:, tc:]  # scaled E'r rows (col scaling identity)
-    m_etb = reduce_p(jnp.concatenate([jptjp, jptr], axis=1))
+    # point elimination: M_p = sp sp' ⊙ (sum Jp'Jp) + D2p (3x3), E'r = sp g_p
+    # — per-point algebra straight off the fused reduction, no extra pass.
+    sp_outer = _outer_flat(sp, sp, _outer_selectors(1, tp, tp, dt))  # (P, 9)
     diag_embed = np.zeros((tp, tp * tp))
     for i in range(tp):
         diag_embed[i, i * tp + i] = 1.0  # D2p -> diagonal lanes
-    M_flat = m_etb[:, : tp * tp] + _mmf(D2p, jnp.asarray(diag_embed, dt))
-    etb = m_etb[:, tp * tp:]  # (P, 3)
+    M_flat = ete_u * sp_outer + _mmf(D2p, jnp.asarray(diag_embed, dt))
+    etb = sp * gp  # (P, 3)
     # The tiny per-point factorizations are numerically delicate in f32
     # (cancellation in the Cholesky recurrences); promote them per the
     # module flags (P-sized elementwise lanes / one 9C x 9C solve).
@@ -466,18 +474,34 @@ def _schur_core(J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p,
     Kf64 = _inv_lower3(L3)  # (P, 9) = L^{-1} dense flat
     Kf = Kf64.astype(dt)
 
+    # ONE fused point expand for all per-obs point data: [Kf (9), sp (3)]
+    exp = expand_p(jnp.concatenate([Kf, sp], axis=1))  # (B, 12)
+    Kf_g = exp[:, : tp * tp]
+    sp_g = exp[:, tp * tp:]
+    Js = J * _mmf(
+        jnp.concatenate([_gather_cams(sc, cam_idx, oh_gather), sp_g], axis=1), R
+    )
+    Js_c = Js[:, : rr * tc]  # (B, 18)
+    Js_p = Js[:, rr * tc:]   # (B, 6)
+
     # A = L^{-1} W' stacked per point: rows 3p+i, cols 9c+j
     W = _outer_flat(Js_p, Js_c, _outer_selectors(rr, tp, tc, dt))  # (B,27)
     GA, GB, G3 = _matmul_selectors(tp, tp, tc, dt)
-    Y = _mmf(_mmf(expand_p(Kf), GA) * _mmf(W, GB), G3)  # (B,27)
-    H1 = jnp.asarray(
-        np.kron(np.eye(tp), np.kron(np.ones((1, C)), np.eye(tc))), dt
-    )  # (27, 3*C*9)
-    H2 = jnp.asarray(
-        np.kron(np.ones((1, tp)), np.kron(np.eye(C), np.ones((1, tc)))), dt
-    )  # (C, 3*C*9)
-    T = _mmf(Y, H1) * _mmf(onehot, H2)  # (B, tp*C*tc), lanes (i, c, j)
-    A = reduce_p(T).reshape(P * tp, C * tc)
+    Y = _mmf(_mmf(Kf_g, GA) * _mmf(W, GB), G3)  # (B,27)
+    if spread_p is not None:
+        # fused Mosaic spread+reduce: the (B, tp*C*tc) spread tensor stays
+        # in VMEM (ops/pallas_kernels.segment_spread_sum)
+        Yk = Y if w is None else Y * w[:, None]
+        A = spread_p(Yk, cam_idx, C, tp, tc).reshape(P * tp, C * tc)
+    else:
+        H1 = jnp.asarray(
+            np.kron(np.eye(tp), np.kron(np.ones((1, C)), np.eye(tc))), dt
+        )  # (27, 3*C*9)
+        H2 = jnp.asarray(
+            np.kron(np.ones((1, tp)), np.kron(np.eye(C), np.ones((1, tc)))), dt
+        )  # (C, 3*C*9)
+        T = _mmf(Y, H1) * _mmf(onehot, H2)  # (B, tp*C*tc), lanes (i, c, j)
+        A = reduce_p(T).reshape(P * tp, C * tc)
 
     # S = blockdiag(F'F) + D2c - A'A ; rhs = F'r - A' (L^{-1} E'r)
     jctjc = _outer_flat(Js_c, Js_c, _outer_selectors(rr, tc, tc, dt))  # (B,81)
@@ -508,11 +532,12 @@ def _schur_core(J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p,
     step_c = -z.reshape(C, tc)
     step_p = -y_p
 
-    seg_step = jnp.concatenate(
-        [_gather_cams(step_c, cam_idx, oh_gather), expand_p(step_p)], axis=1
-    )
-    jstep = _mmf(Js * _mmf(seg_step, R), S_sel)
-    model_cost_change = -jnp.sum(jstep * (r + jstep / 2.0))
+    # Exact-solve identity: with m(d) = g_s'd + 1/2 d'J_s'J_s d and
+    # (J_s'J_s + D^2) d = -g_s,  -m(d) = -1/2 g_s'd + 1/2 d'D^2 d — all
+    # reduced-space dot products, no B-wide J pass for the model cost.
+    g_dot = jnp.sum((sc * gc) * step_c) + jnp.sum((sp * gp) * step_p)
+    d2_dot = jnp.sum(D2c * step_c * step_c) + jnp.sum(D2p * step_p * step_p)
+    model_cost_change = -0.5 * g_dot + 0.5 * d2_dot
     return step_c, step_p, sc, sp, model_cost_change
 
 
@@ -538,12 +563,13 @@ def lm_step_schur(cams, pts, cam_idx, pt_idx, obs, radius, w=None,
     # unmasked one so padded rows still see real camera values (zeros could
     # produce NaN residuals that survive the w mask as NaN * 0).
     onehot = oh_gather if w is None else oh_gather * w[:, None]
-    reduce_p, expand_p = _point_ops(pt_idx, P, pallas_plan, pallas_interpret)
+    reduce_p, expand_p, spread_p = _point_ops(pt_idx, P, pallas_plan, pallas_interpret)
 
     r, J = _evaluate_flat(cams, pts, cam_idx, obs, w, oh_gather, expand_p)
     cost = 0.5 * jnp.sum(r * r)
     step_c, step_p, sc, sp, model_cost_change = _schur_core(
-        J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p, C, P
+        J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p, C, P,
+        spread_p=spread_p, w=w
     )
 
     new_cams = cams + step_c * sc
@@ -590,7 +616,7 @@ def lm_step_schur_init(cams, pts, cam_idx, pt_idx, obs, radius, w=None,
                        pallas_plan=None, pallas_interpret=False) -> SchurCarry:
     C = cams.shape[0]
     oh_gather = jax.nn.one_hot(cam_idx, C, dtype=cams.dtype)
-    _, expand_p = _point_ops(pt_idx, pts.shape[0], pallas_plan, pallas_interpret)
+    _, expand_p, _ = _point_ops(pt_idx, pts.shape[0], pallas_plan, pallas_interpret)
     r, J = _evaluate_flat(cams, pts, cam_idx, obs, w, oh_gather, expand_p)
     return SchurCarry(cams, pts, radius, 0.5 * jnp.sum(r * r), r, J)
 
@@ -603,10 +629,11 @@ def lm_step_schur_next(carry: SchurCarry, cam_idx, pt_idx, obs, w=None,
     P = pts.shape[0]
     oh_gather = jax.nn.one_hot(cam_idx, C, dtype=cams.dtype)
     onehot = oh_gather if w is None else oh_gather * w[:, None]
-    reduce_p, expand_p = _point_ops(pt_idx, P, pallas_plan, pallas_interpret)
+    reduce_p, expand_p, spread_p = _point_ops(pt_idx, P, pallas_plan, pallas_interpret)
 
     step_c, step_p, sc, sp, model_cost_change = _schur_core(
-        J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p, C, P
+        J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p, C, P,
+        spread_p=spread_p, w=w
     )
     new_cams = cams + step_c * sc
     new_pts = pts + step_p * sp

@@ -51,3 +51,61 @@ def test_empty_blocks_get_zero():
     np.testing.assert_allclose(out[0], [2, 2])
     np.testing.assert_allclose(out[5], [3, 3])
     np.testing.assert_allclose(out[[1, 2, 3, 4, 6, 7]], 0)
+
+
+def test_segment_spread_sum_interpret():
+    """Fused A-assembly spread+reduce kernel vs the XLA reference
+    (materialized (B, tp*C*tc) spread + scatter segment sum)."""
+    import numpy as np
+    from ceres_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(0)
+    P, C, tp, tc = 37, 5, 3, 9
+    N = 400
+    pt = np.sort(rng.integers(0, P, N)).astype(np.int32)
+    cam = rng.integers(0, C, N).astype(np.int32)
+    Y = rng.standard_normal((N, tp * tc)).astype(np.float32)
+    starts, max_rows = pk.plan_block_tiles(pt, P)
+    out = pk.segment_spread_sum(
+        jnp.asarray(Y), jnp.asarray(cam), jnp.asarray(pt),
+        jnp.asarray(starts), P, C, tp, tc, max_rows=max_rows,
+        interpret=True,
+    )[:P]
+    # reference
+    H1 = np.kron(np.eye(tp), np.kron(np.ones((1, C)), np.eye(tc)))
+    oh = np.eye(C, dtype=np.float32)[cam]
+    H2 = np.kron(np.ones((1, tp)), np.kron(np.eye(C), np.ones((1, tc))))
+    T = (Y @ H1) * (oh @ H2)
+    ref = np.zeros((P, tp * C * tc), np.float32)
+    np.add.at(ref, pt, T)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_schur_core_spread_kernel_interpret():
+    """lm_step_schur with the fused spread kernel (interpret mode) matches
+    the scatter path."""
+    import numpy as np
+    from ceres_tpu.models import bal
+    from ceres_tpu.parallel import sharded_ba as sb
+    from ceres_tpu.ops import pallas_kernels as pk
+
+    b = bal.synthetic_bal(num_cameras=5, num_points=40, visibility=0.6,
+                          noise=0.2, seed=2)
+    bp = bal.perturb(b, 0.01, 0.05, 0.05)
+    order = np.argsort(np.asarray(bp.point_index), kind="stable")
+    cams = jnp.asarray(bp.cameras, jnp.float32)
+    pts = jnp.asarray(bp.points, jnp.float32)
+    cam_idx = jnp.asarray(np.asarray(bp.camera_index)[order])
+    pt_idx = jnp.asarray(np.asarray(bp.point_index)[order])
+    obs = jnp.asarray(np.asarray(bp.observations)[order], jnp.float32)
+    radius = jnp.asarray(1e4, jnp.float32)
+    base = sb.lm_step_schur(cams, pts, cam_idx, pt_idx, obs, radius)
+    plan = pk.plan_block_tiles(np.asarray(pt_idx), bp.num_points)
+    pal = sb.lm_step_schur(cams, pts, cam_idx, pt_idx, obs, radius,
+                           pallas_plan=plan, pallas_interpret=True)
+    # the spread kernel's hi+lo bf16 split is ~1e-5 relative on A; through
+    # the f32 Cholesky that bounds the step difference around 1e-3
+    np.testing.assert_allclose(np.asarray(pal.cams), np.asarray(base.cams),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(pal.pts), np.asarray(base.pts),
+                               rtol=2e-3, atol=2e-3)
