@@ -594,11 +594,17 @@ class FusedLineSearchMinimizer:
             return (s.term == _RUNNING) & (s.it < max_iters)
 
         out = jax.lax.while_loop(cond, body, c0)
-        return (
-            out.x, out.cost, out.it, out.term,
+        # pack into three outputs: extra jit output leaves each cost a
+        # runtime round trip on tunneled backends
+        scalars = jnp.stack([
+            out.cost, out.it.astype(jnp.float64),
+            out.term.astype(jnp.float64),
+        ])
+        hist_mat = jnp.stack([
             out.hist_cost, out.hist_gnorm, out.hist_gmax, out.hist_step,
-            out.hist_evals,
-        )
+            out.hist_evals.astype(jnp.float64),
+        ])
+        return out.x, scalars, hist_mat
 
     # -- host wrapper ---------------------------------------------------------
 
@@ -606,14 +612,17 @@ class FusedLineSearchMinimizer:
         opts = self.options
         summary = self.summary
         t0 = time.monotonic()
-        (x, cost, it, term, h_cost, h_gnorm, h_gmax, h_step,
-         h_evals) = self._fn(jnp.asarray(x0))
+        x, scalars, hist_mat = self._fn(jnp.asarray(x0))
         x = jax.block_until_ready(x)
         elapsed = time.monotonic() - t0
 
-        n_it = int(it)
-        term = int(term)
-        self.x_cost = float(cost)
+        scalars = np.asarray(scalars)
+        hm = np.asarray(hist_mat)
+        h_cost, h_gnorm, h_gmax, h_step = hm[0], hm[1], hm[2], hm[3]
+        h_evals = hm[4].astype(np.int64)
+        n_it = int(scalars[1])
+        term = int(scalars[2])
+        self.x_cost = float(scalars[0])
         summary.initial_cost = float(h_cost[0])
 
         # the host loop appends a row per loop-top visit: terminal rows for

@@ -541,12 +541,33 @@ class DenseSchurStepOps:
                 Y = fo.matmul_flat(
                     K_rows, W, fo.matmul_selectors(te, te, tf, dt)
                 )
-                H1, H2 = _spread_selectors(te, tf, nv_f, f_size, off_f, dt)
-                onehot_f = jax.nn.one_hot(local_f, nv_f, dtype=dt)
-                T = fo._mm(Y, H1) * fo._mm(onehot_f, H2)
-                tables[efi] = fo._FlatOpsBase._reduce_rows(
-                    tables[efi], local_e, T, srt_e, pplan_e
-                )
+                if srt_e and fo._pallas_ok(dt, pplan_e, te * nv_f * tf):
+                    # fused Mosaic spread+reduce: the (B, te*nv_f*tf)
+                    # spread tensor stays in VMEM
+                    # (ops/pallas_kernels.segment_spread_sum)
+                    from ..ops import pallas_kernels as pk
+
+                    Afam = pk.segment_spread_sum(
+                        Y, local_f.astype(jnp.int32), local_e,
+                        pplan_e[0], nv_e, nv_f, te, tf,
+                        max_rows=pplan_e[1],
+                        interpret=fo.PALLAS_MODE == "interpret",
+                    )[:nv_e]
+                    wide = jax.lax.dynamic_update_slice(
+                        jnp.zeros((nv_e, te, f_size), dt),
+                        Afam.reshape(nv_e, te, nv_f * tf),
+                        (0, 0, off_f),
+                    )
+                    tables[efi] = tables[efi].at[:nv_e].add(
+                        wide.reshape(nv_e, te * f_size)
+                    )
+                else:
+                    H1, H2 = _spread_selectors(te, tf, nv_f, f_size, off_f, dt)
+                    onehot_f = jax.nn.one_hot(local_f, nv_f, dtype=dt)
+                    T = fo._mm(Y, H1) * fo._mm(onehot_f, H2)
+                    tables[efi] = fo._FlatOpsBase._reduce_rows(
+                        tables[efi], local_e, T, srt_e, pplan_e
+                    )
         A_parts = [
             tables[efi][:nv].reshape(nv * te, f_size)
             for efi, (off, nv, te, _) in enumerate(pm.e_fams)
@@ -672,11 +693,12 @@ class DenseSchurStepOps:
             solve = self._factor(vrep, aux, scale_c, D2_c)
             y = solve(scale_c * g)
         step = -y
-        sstep = scale_c * step
-        mr = fl.right_e(vrep, pt.extract_e(pm, sstep)) + fl.right_f(
-            vrep, pt.extract_f(pm, sstep)
-        )
-        mcc = -jnp.dot(mr, r + mr / 2.0)
+        # Exact-solve identity: with m(d) = g_s'd + 1/2 d'J_s'J_s d and
+        # (J_s'J_s + D^2) d = -g_s,  -m(d) = -1/2 g_s'd + 1/2 d'D^2 d —
+        # reduced-space dots replace the B-wide J*step pass.
+        g_dot = jnp.dot(scale_c * g, step)
+        d2_dot = jnp.dot(D2_c * step, step)
+        mcc = -0.5 * g_dot + 0.5 * d2_dot
         return step, mcc, jnp.asarray(1, jnp.int32)
 
 
@@ -1087,21 +1109,43 @@ class FusedTrustRegionMinimizer:
         # Return the minimum-cost point (trust_region_minimizer.cc epilogue).
         x_final = jnp.where(out.cost > out.min_cost, out.best_x, out.x)
         cost_final = jnp.minimum(out.cost, out.min_cost)
-        return x_final, cost_final, out.it, out.term, out.hist
+        # Pack everything into THREE arrays: each extra jit output leaf
+        # costs a runtime round trip on tunneled backends (~1.4 ms each
+        # measured on the axon TPU runtime).
+        h = out.hist
+        hist_mat = jnp.stack([
+            h.cost, h.cost_change, h.gradient_norm, h.gradient_max_norm,
+            h.step_norm, h.relative_decrease, h.radius,
+            h.lin_iters.astype(jnp.float64), h.valid.astype(jnp.float64),
+            h.successful.astype(jnp.float64),
+        ])  # (10, H)
+        scalars = jnp.stack([
+            cost_final, out.it.astype(jnp.float64),
+            out.term.astype(jnp.float64),
+        ])
+        return x_final, scalars, hist_mat
 
     # -- host wrapper ---------------------------------------------------------
 
     def minimize(self, x0, summary: Summary):
         opts = self.options
         t0 = time.monotonic()
-        x, cost, it, term, hist = self._fn(x0, self._args)
+        x, scalars, hist_mat = self._fn(x0, self._args)
         x = jax.block_until_ready(x)
         elapsed = time.monotonic() - t0
 
-        n_it = int(it)
-        term = int(term)
-        hist = jax.tree_util.tree_map(np.asarray, hist)
-        self.x_cost = float(cost)
+        scalars = np.asarray(scalars)
+        hm = np.asarray(hist_mat)
+        n_it = int(scalars[1])
+        term = int(scalars[2])
+        hist = _History(
+            cost=hm[0], cost_change=hm[1], gradient_norm=hm[2],
+            gradient_max_norm=hm[3], step_norm=hm[4],
+            relative_decrease=hm[5], radius=hm[6],
+            lin_iters=hm[7].astype(np.int64), valid=hm[8] != 0.0,
+            successful=hm[9] != 0.0,
+        )
+        self.x_cost = float(scalars[0])
 
         summary.initial_cost = float(hist.cost[0])
         for i in range(n_it + 1):
