@@ -110,19 +110,43 @@ def segment_block_sum(
                 jnp.int32, (BLOCKS_PER_TILE, max_rows), 0
             )
             idsb = jnp.broadcast_to(ids[:1, :], (BLOCKS_PER_TILE, max_rows))
-            onehot_T = jnp.where(
-                idsb - block0 == sub,
-                jnp.ones((), rows_vmem.dtype),
-                jnp.zeros((), rows_vmem.dtype),
-            )
-            # (BT, max_rows) x (t, max_rows) -> (BT, t), contracting rows.
-            out_ref[:, :] = jax.lax.dot_general(
-                onehot_T,
-                rows_vmem[:, :],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=out_ref.dtype,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            dims = (((1,), (1,)), ((), ()))
+            if rows_vmem.dtype == jnp.float32:
+                # 0/1 one-hot is exact in bf16; a 3-way hi/mid/lo bf16
+                # split of the f32 contributions reconstructs ~24 mantissa
+                # bits, so three single-pass MXU bf16 dots replace the
+                # 6-pass f32-HIGHEST dot at f32-level accuracy.
+                f32, bf16 = jnp.float32, jnp.bfloat16
+                onehot_T = jnp.where(
+                    idsb - block0 == sub, jnp.ones((), f32),
+                    jnp.zeros((), f32),
+                ).astype(bf16)
+                x = rows_vmem[:, :]
+                hi = x.astype(bf16)
+                rem = x - hi.astype(f32)
+                mid = rem.astype(bf16)
+                lo = (rem - mid.astype(f32)).astype(bf16)
+                acc = jnp.zeros((BLOCKS_PER_TILE, rows_vmem.shape[0]), f32)
+                for part in (hi, mid, lo):
+                    acc = acc + jax.lax.dot_general(
+                        onehot_T, part, dimension_numbers=dims,
+                        preferred_element_type=f32,
+                    )
+                out_ref[:, :] = acc.astype(out_ref.dtype)
+            else:
+                onehot_T = jnp.where(
+                    idsb - block0 == sub,
+                    jnp.ones((), rows_vmem.dtype),
+                    jnp.zeros((), rows_vmem.dtype),
+                )
+                # (BT, max_rows) x (t, max_rows) -> (BT, t), contract rows.
+                out_ref[:, :] = jax.lax.dot_general(
+                    onehot_T,
+                    rows_vmem[:, :],
+                    dimension_numbers=dims,
+                    preferred_element_type=out_ref.dtype,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
 
         pl.run_scoped(
             body,
