@@ -523,7 +523,15 @@ def _schur_core(J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p,
     # dense 9C x 9C solve (tiny; S can be ill-conditioned -> flag)
     dtS = jnp.float64 if PRECISE_SCHUR_SOLVE else dt
     Ls = jnp.linalg.cholesky(S.astype(dtS))
-    z = jax.scipy.linalg.cho_solve((Ls, True), rhs.astype(dtS)).astype(dt)
+    if dtS == jnp.float32:
+        # blocked explicit L^{-1} (solvers/linear/dense.tri_inverse_lower):
+        # substitution is sequential on TPU, two MXU matvecs are not
+        from ..solvers.linear.dense import tri_inverse_lower
+
+        Linv = tri_inverse_lower(Ls)
+        z = (Linv.T @ (Linv @ rhs.astype(dtS))).astype(dt)
+    else:
+        z = jax.scipy.linalg.cho_solve((Ls, True), rhs.astype(dtS)).astype(dt)
 
     # back substitution: y_p = L^{-T} (u_p - A_p z)
     Az = jnp.einsum("kf,f->k", A, z, precision=_HI).reshape(P, tp)

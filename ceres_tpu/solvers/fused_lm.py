@@ -649,13 +649,22 @@ class DenseSchurStepOps:
         pm, pt = self.pm, self.pt
         K_e, A, S = self._assemble(vrep, aux, scale_c, D2_c)
         L = jnp.linalg.cholesky(S)
+        if S.dtype == jnp.float32:
+            # two MXU matvecs against the blocked explicit L^{-1} instead
+            # of two sequential triangular solves (~0.12 ms at n=144)
+            from .linear.dense import tri_inverse_lower
+
+            Linv = tri_inverse_lower(L)
+            chol_apply = lambda b: Linv.T @ (Linv @ b)
+        else:
+            chol_apply = lambda b: jax.scipy.linalg.cho_solve((L, True), b)
 
         def solve(b):
             u_b = self._kmatvec(K_e, pt.extract_e(pm, b))
             rhs = pt.extract_f(pm, b) - jnp.einsum(
                 "kf,k->f", A, u_b, precision=jax.lax.Precision.HIGHEST
             )
-            z = jax.scipy.linalg.cho_solve((L, True), rhs)
+            z = chol_apply(rhs)
             Az = jnp.einsum(
                 "kf,f->k", A, z, precision=jax.lax.Precision.HIGHEST
             )

@@ -183,3 +183,34 @@ def test_bal_reader_roundtrip(tmp_path):
     np.testing.assert_allclose(b2.cameras, b.cameras)
     np.testing.assert_allclose(b2.points, b.points)
     np.testing.assert_allclose(b2.observations, b.observations)
+
+
+def test_tri_inverse_lower_blocked():
+    """tri_inverse_lower (recursive block doubling) matches the direct
+    inverse for non-pow2 sizes incl. the 144 = 9*16 camera case."""
+    import numpy as np
+    from ceres_tpu.solvers.linear.dense import chol_solve_mxu, tri_inverse_lower
+
+    rng = np.random.default_rng(0)
+    for n in (5, 16, 37, 144, 256):
+        A = rng.normal(size=(n, n))
+        S = A @ A.T + n * np.eye(n)
+        L = np.linalg.cholesky(S)
+        Linv = np.asarray(tri_inverse_lower(jnp.asarray(L), base=16))
+        np.testing.assert_allclose(Linv @ L, np.eye(n), atol=1e-8)
+        rhs = rng.normal(size=(n,))
+        x = np.asarray(chol_solve_mxu(jnp.asarray(L), jnp.asarray(rhs)))
+        np.testing.assert_allclose(S @ x, rhs, rtol=1e-7, atol=1e-8)
+
+
+def test_tri_inverse_lower_f32():
+    import numpy as np
+    from ceres_tpu.solvers.linear.dense import tri_inverse_lower
+
+    rng = np.random.default_rng(1)
+    A = rng.normal(size=(144, 144)).astype(np.float32)
+    S = A @ A.T + 144 * np.eye(144, dtype=np.float32)
+    L = np.linalg.cholesky(S).astype(np.float32)
+    Linv = np.asarray(tri_inverse_lower(jnp.asarray(L), base=16))
+    assert Linv.dtype == np.float32
+    np.testing.assert_allclose(Linv @ L, np.eye(144), atol=5e-5)
