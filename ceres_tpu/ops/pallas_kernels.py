@@ -290,6 +290,8 @@ def segment_spread_sum(
     interpret: bool = False,
     blocks_per_tile: int = BLOCKS_PER_TILE,
     unroll: int = 4,
+    Jc=None,  # optional (N, r*tc) scaled camera Jacobian lanes -> also F'F
+    r: int = 2,
 ):
     """Fused spread + segment reduction for the dense-Schur A assembly:
 
@@ -302,7 +304,15 @@ def segment_spread_sum(
     (two small MXU matmuls) and reduces rows -> points with one
     dot_general — the same tiled one-hot trick as segment_block_sum.
     Measured on v5e at BAL-16: the A assembly drops from ~2.3 ms to the
-    DMA floor. Output (num_blocks_padded, tp*C*tc)."""
+    DMA floor. Output (num_blocks_padded, tp*C*tc).
+
+    With `Jc` (the (N, r*tc) scaled camera-Jacobian lanes), the kernel
+    ALSO accumulates the camera Gram blocks F'F[c] = sum_{b: cam=c}
+    sum_r outer(Jc_b[r], Jc_b[r]) across all tiles and returns
+    (A, FtF (C, tc*tc)) — the (B, 162)/(B, 81) HBM intermediates of the
+    XLA outer-product formulation (measured 0.33 ms at BAL-16) never
+    exist; the outer runs as selector matmuls on the VMEM tile and reuses
+    the camera one-hot already built for the spread."""
     n, ky = Y.shape
     assert ky == tp * tc
     BT = blocks_per_tile
@@ -345,10 +355,28 @@ def segment_spread_sum(
     H1M = jnp.asarray(H1M, Y.dtype)
     H2M = jnp.asarray(H2M, Y.dtype)
 
-    def kernel(starts_ref, pid_hbm, cid_hbm, y_hbm, h1_ref, h2_ref, out_ref):
+    with_ftf = Jc is not None
+    if with_ftf:
+        rc = r * tc
+        rc_pad = max(8, -(-rc // 8) * 8)
+        Jc_T = jnp.concatenate(
+            [Jc.T, jnp.zeros((rc_pad - rc, n), Jc.dtype)], axis=0
+        )
+        Jc_T = jnp.concatenate(
+            [Jc_T, jnp.zeros((rc_pad, max_rows), Jc.dtype)], axis=1
+        )  # (rc_pad, n_pad)
+
+    def kernel(*refs):
+        if with_ftf:
+            (starts_ref, pid_hbm, cid_hbm, y_hbm, h1_ref, h2_ref,
+             jc_hbm, out_ref, ftf_ref) = refs
+        else:
+            starts_ref, pid_hbm, cid_hbm, y_hbm, h1_ref, h2_ref, out_ref = refs
+            jc_hbm = ftf_ref = None
         g = pl.program_id(0)
 
-        def body(pid_vmem, cid_vmem, y_vmem, sem_p, sem_c, sem_y):
+        def body(pid_vmem, cid_vmem, y_vmem, sem_p, sem_c, sem_y,
+                 jc_vmem=None, sem_j=None):
             # start ALL tile DMAs up front; transfers for tile j+1..k
             # overlap tile j's MXU work
             copies = []
@@ -368,6 +396,11 @@ def segment_spread_sum(
                         y_vmem.at[j], sem_y.at[j],
                     ),
                 ]
+                if with_ftf:
+                    cps.append(pltpu.make_async_copy(
+                        jc_hbm.at[:, pl.ds(row0, max_rows)],
+                        jc_vmem.at[j], sem_j.at[j],
+                    ))
                 for c in cps:
                     c.start()
                 copies.append(cps)
@@ -389,6 +422,8 @@ def segment_spread_sum(
             h2 = h2_ref[:, :].astype(bf16)  # (C_pad, t_out)
             csub = jax.lax.broadcasted_iota(jnp.int32, (C_pad, max_rows), 0)
             sub = jax.lax.broadcasted_iota(jnp.int32, (BT, max_rows), 0)
+            if with_ftf:
+                ftf_acc = jnp.zeros((C_pad * rc_pad, rc_pad), f32)
 
             for j in range(unroll):
                 for c in copies[j]:
@@ -402,9 +437,53 @@ def segment_spread_sum(
                 # i1 compare trips a Mosaic (8,128)->(16,128) relayout)
                 cids = jnp.broadcast_to(cid_tile[:1, :],
                                         (C_pad, max_rows))
-                ohc = jnp.transpose(jnp.where(
+                ohc_raw = jnp.where(
                     cids == csub, jnp.ones((), f32), jnp.zeros((), f32)
-                )).astype(bf16)  # (rows, C_pad)
+                )  # (C_pad, rows)
+                ohc = jnp.transpose(ohc_raw).astype(bf16)  # (rows, C_pad)
+                if with_ftf:
+                    # F'F tile contribution as a Khatri-Rao masked Gram:
+                    # G[(c,k), l] = sum_rows [cam=c] js[k] js[l]. The
+                    # (C_pad*rc_pad, rows) left operand is the camera
+                    # one-hot replicated per k-lane TIMES the hi/lo bf16
+                    # halves of js — every product is bf16-exact (0/1 mask
+                    # times an exact half), so four single-pass lane-
+                    # contracting MXU dots give f32-quality F'F with no
+                    # wide VPU splits (the outer-selector variant spent
+                    # ~0.45 ms/iter in split3 on (rows, 162) tiles).
+                    js_T = jc_vmem[j][:, :]  # (rc_pad, rows)
+                    js_hi = js_T.astype(bf16)
+                    js_lo = (js_T - js_hi.astype(f32)).astype(bf16)
+                    KRC = C_pad * rc_pad
+                    # tile DMA windows OVERLAP (starts floored to 128); the
+                    # spread output filters rows via the point one-hot, but
+                    # the camera reduction must mask rows to this tile's
+                    # point range or they are double counted
+                    csel = jax.lax.broadcasted_iota(
+                        jnp.int32, (KRC, max_rows), 0) // rc_pad
+                    cidk = jnp.broadcast_to(cid_tile[:1, :], (KRC, max_rows))
+                    pidk = jnp.broadcast_to(pid_tile[:1, :], (KRC, max_rows))
+                    ohm = jnp.where(
+                        (cidk == csel) & (pidk >= block0)
+                        & (pidk < block0 + BT),
+                        jnp.ones((), f32), jnp.zeros((), f32),
+                    ).astype(bf16)  # (KRC, rows)
+                    tile_hi = jnp.concatenate([js_hi] * C_pad, axis=0)
+                    tile_lo = jnp.concatenate([js_lo] * C_pad, axis=0)
+                    KR_h = tile_hi * ohm
+                    KR_l = tile_lo * ohm
+                    dims_ll = (((1,), (1,)), ((), ()))
+
+                    def dot_ll(a, b):
+                        return jax.lax.dot_general(
+                            a, b, dimension_numbers=dims_ll,
+                            preferred_element_type=f32,
+                        )
+
+                    ftf_acc = ftf_acc + (
+                        dot_ll(KR_h, js_hi) + dot_ll(KR_h, js_lo)
+                        + dot_ll(KR_l, js_hi) + dot_ll(KR_l, js_lo)
+                    )  # (KRC, rc_pad)
                 # Split the Y tile into hi+lo bf16 halves (~1e-5 rel).
                 # H1/H2 are 0/1 SELECTORS (one 1 per column), so matmuls
                 # against them permute/broadcast exact bf16 values, and
@@ -429,33 +508,79 @@ def segment_spread_sum(
                     dot_bf(ohp_T, T_hi) + dot_bf(ohp_T, T_lo)
                 ).astype(dt)
 
-        pl.run_scoped(
-            body,
+            if with_ftf:
+                # accumulate the grid-wide F'F: sequential grid revisits
+                # the same output block, so read-modify-write is ordered
+                @pl.when(g == 0)
+                def _init():
+                    ftf_ref[:, :] = ftf_acc.astype(ftf_ref.dtype)
+
+                @pl.when(g > 0)
+                def _acc():
+                    ftf_ref[:, :] = ftf_ref[:, :] + ftf_acc.astype(
+                        ftf_ref.dtype)
+
+        scratch = [
             pltpu.VMEM((unroll, 8, max_rows), jnp.int32),
             pltpu.VMEM((unroll, 8, max_rows), jnp.int32),
             pltpu.VMEM((unroll, ky_pad, max_rows), Y.dtype),
             pltpu.SemaphoreType.DMA((unroll,)),
             pltpu.SemaphoreType.DMA((unroll,)),
             pltpu.SemaphoreType.DMA((unroll,)),
-        )
+        ]
+        if with_ftf:
+            scratch += [
+                pltpu.VMEM((unroll, rc_pad, max_rows), Jc.dtype),
+                pltpu.SemaphoreType.DMA((unroll,)),
+            ]
+        pl.run_scoped(body, *scratch)
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    a_spec = pl.BlockSpec(
+        (unroll * BT, t_out), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    a_shape = jax.ShapeDtypeStruct((nb_pad, t_out), Y.dtype)
     with jax.enable_x64(False):
+        if with_ftf:
+            out, ftf = pl.pallas_call(
+                kernel,
+                grid=(grid,),
+                in_specs=in_specs + [
+                    pl.BlockSpec(memory_space=pltpu.ANY),  # Jc in HBM
+                ],
+                out_specs=(
+                    a_spec,
+                    pl.BlockSpec((C_pad * rc_pad, rc_pad),
+                                 lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ),
+                out_shape=(
+                    a_shape,
+                    jax.ShapeDtypeStruct((C_pad * rc_pad, rc_pad),
+                                         Y.dtype),
+                ),
+                interpret=interpret,
+            )(tile_starts, pid_T, cid_T, Y_T, H1M, H2M, Jc_T)
+            # G[(c,k), l] -> F'F[c, i*tc+j] = sum_r G[c, r*tc+i, r*tc+j]
+            G = ftf[: C * rc_pad].reshape(C, rc_pad, rc_pad)
+            FtF = sum(
+                G[:, q * tc:(q + 1) * tc, q * tc:(q + 1) * tc]
+                for q in range(r)
+            )
+            return out, FtF.reshape(C, tc * tc)
         out = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (unroll * BT, t_out), lambda i: (i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct((nb_pad, t_out), Y.dtype),
+            in_specs=in_specs,
+            out_specs=a_spec,
+            out_shape=a_shape,
             interpret=interpret,
         )(tile_starts, pid_T, cid_T, Y_T, H1M, H2M)
     return out

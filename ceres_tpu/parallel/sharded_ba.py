@@ -390,11 +390,14 @@ def _point_ops(pt_idx, P, pallas_plan=None, pallas_interpret=False):
                 interpret=pallas_interpret,
             )
 
-        def spread_p(Y, cam_ids, C, tp, tc):  # fused A assembly
-            return pk.segment_spread_sum(
+        def spread_p(Y, cam_ids, C, tp, tc, Jc=None):  # fused A assembly
+            out = pk.segment_spread_sum(
                 Y, cam_ids.astype(jnp.int32), ids32, ts, P, C, tp, tc,
-                max_rows=max_rows, interpret=pallas_interpret,
-            )[:P]
+                max_rows=max_rows, interpret=pallas_interpret, Jc=Jc,
+            )
+            if Jc is not None:
+                return out[0][:P], out[1]
+            return out[:P]
     else:
         def reduce_p(contrib):
             return jnp.zeros(
@@ -490,9 +493,14 @@ def _schur_core(J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p,
     Y = _mmf(_mmf(Kf_g, GA) * _mmf(W, GB), G3)  # (B,27)
     if spread_p is not None:
         # fused Mosaic spread+reduce: the (B, tp*C*tc) spread tensor stays
-        # in VMEM (ops/pallas_kernels.segment_spread_sum)
+        # in VMEM (ops/pallas_kernels.segment_spread_sum), and the same
+        # kernel accumulates F'F from the scaled camera lanes (no (B, 162)
+        # outer-product intermediates in HBM)
         Yk = Y if w is None else Y * w[:, None]
-        A = spread_p(Yk, cam_idx, C, tp, tc).reshape(P * tp, C * tc)
+        Jck = Js_c if w is None else Js_c * w[:, None]
+        A, ftf_flat = spread_p(Yk, cam_idx, C, tp, tc, Jc=Jck)
+        A = A.reshape(P * tp, C * tc)
+        FtF = ftf_flat.reshape(C, tc, tc)
     else:
         H1 = jnp.asarray(
             np.kron(np.eye(tp), np.kron(np.ones((1, C)), np.eye(tc))), dt
@@ -502,10 +510,9 @@ def _schur_core(J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p,
         )  # (C, 3*C*9)
         T = _mmf(Y, H1) * _mmf(onehot, H2)  # (B, tp*C*tc), lanes (i, c, j)
         A = reduce_p(T).reshape(P * tp, C * tc)
-
-    # S = blockdiag(F'F) + D2c - A'A ; rhs = F'r - A' (L^{-1} E'r)
-    jctjc = _outer_flat(Js_c, Js_c, _outer_selectors(rr, tc, tc, dt))  # (B,81)
-    FtF = reduce_c(jctjc).reshape(C, tc, tc)
+        # S = blockdiag(F'F) + D2c - A'A ; rhs = F'r - A' (L^{-1} E'r)
+        jctjc = _outer_flat(Js_c, Js_c, _outer_selectors(rr, tc, tc, dt))
+        FtF = reduce_c(jctjc).reshape(C, tc, tc)
     S = jnp.einsum("cij,cd->cidj", FtF, jnp.eye(C, dtype=dt)).reshape(
         C * tc, C * tc
     )

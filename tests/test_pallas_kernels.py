@@ -109,3 +109,35 @@ def test_schur_core_spread_kernel_interpret():
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(pal.pts), np.asarray(base.pts),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_segment_spread_sum_ftf_interpret():
+    """The kernel's in-VMEM F'F accumulation matches the XLA outer+reduce
+    formulation (camera Gram blocks of the scaled Jacobian)."""
+    import numpy as np
+    from ceres_tpu.ops import pallas_kernels as pk
+    from ceres_tpu.parallel import sharded_ba as sb
+
+    rng = np.random.default_rng(7)
+    P, C, B, r, tc, tp = 300, 5, 1100, 2, 9, 3
+    pt_idx = np.sort(rng.integers(0, P, B)).astype(np.int32)
+    cam_idx = rng.integers(0, C, B).astype(np.int32)
+    Y = rng.normal(size=(B, tp * tc)).astype(np.float32)
+    Jc = rng.normal(size=(B, r * tc)).astype(np.float32)
+    ts, max_rows = pk.plan_block_tiles(pt_idx, P)
+    A, ftf = pk.segment_spread_sum(
+        jnp.asarray(Y), jnp.asarray(cam_idx), jnp.asarray(pt_idx),
+        jnp.asarray(ts), P, C, tp, tc, max_rows=max_rows, interpret=True,
+        Jc=jnp.asarray(Jc), r=r,
+    )
+    # XLA reference
+    import jax
+    oh = jax.nn.one_hot(jnp.asarray(cam_idx), C, dtype=jnp.float32)
+    jctjc = sb._outer_flat(
+        jnp.asarray(Jc), jnp.asarray(Jc),
+        sb._outer_selectors(r, tc, tc, jnp.float32),
+    )
+    ref = jnp.einsum("bk,bc->ck", jctjc, oh,
+                     precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(ftf), np.asarray(ref),
+                               rtol=2e-5, atol=2e-4)
