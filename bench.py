@@ -60,7 +60,7 @@ def main():
     # k LM iterations fused per jit call (the evaluation carry keeps the
     # flat J compiler-internal between iterations). Fall back to the
     # scatter path off-TPU.
-    K = 10
+    K = 20
     step = jax.jit(functools.partial(sharded_ba.lm_step_schur_k, k=K,
                                      pallas_plan=plan))
     st = sharded_ba.BAState(cams, pts, radius, jnp.asarray(0.0, dtype))

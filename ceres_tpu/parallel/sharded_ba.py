@@ -412,17 +412,27 @@ def _point_ops(pt_idx, P, pallas_plan=None, pallas_interpret=False):
     return reduce_p, expand_p, spread_p
 
 
+def _residual_and_flat_row(cam, pt, ob):
+    """Per-observation residual (2,) + FLAT Jacobian lanes (24,): the
+    reshape/concat happens inside the vmapped function so the batched
+    output is 2-D from the start — XLA never materializes the rank-3
+    (B, 2, 9)/(B, 2, 3) block tensors of _residual_and_blocks."""
+    def f(c, p):
+        return snavely_reprojection_residual(c, p, ob)
+
+    r = f(cam, pt)
+    Jc, Jp = jax.jacfwd(f, argnums=(0, 1))(cam, pt)
+    return r, jnp.concatenate([Jc.reshape(-1), Jp.reshape(-1)])
+
+
 def _evaluate_flat(cams, pts, cam_idx, obs, w, oh_gather, expand_p):
     """(r, J): residuals + the flat (B, r*(tc+tp)) Jacobian."""
-    r, Jc, Jp = jax.vmap(_residual_and_blocks)(
+    r, J = jax.vmap(_residual_and_flat_row)(
         _gather_cams(cams, cam_idx, oh_gather), expand_p(pts), obs
     )
     if w is not None:
         r = r * w[:, None]
-        Jc = Jc * w[:, None, None]
-        Jp = Jp * w[:, None, None]
-    B = r.shape[0]
-    J = jnp.concatenate([Jc.reshape(B, -1), Jp.reshape(B, -1)], axis=1)
+        J = J * w[:, None]
     return r, J
 
 
