@@ -325,8 +325,11 @@ class _FlatOpsBase:
 
     @staticmethod
     def _reduce_rows(table, local, contrib, srt, pplan=None):
-        """table (+=) segment reduction of contrib by local row ids. Three
-        tiers: Mosaic tiled one-hot MXU kernel (sorted, f32, TPU), XLA
+        """table (+=) segment reduction of contrib by local row ids. Four
+        tiers: Mosaic tiled one-hot MXU kernel (sorted, f32, TPU), one-hot
+        MXU matmul (few target blocks, any order — the camera-side
+        reduction of BA programs; a (B,) scatter-add costs ~1 ms at 84k
+        rows on v5e while the (B, nv) one-hot einsum is ~0.1 ms), XLA
         sorted segment-sum, scatter-add."""
         if _pallas_ok(contrib.dtype, pplan, contrib.shape[1]):
             from . import pallas_kernels as pk
@@ -336,6 +339,16 @@ class _FlatOpsBase:
                 max_rows=pplan[1], interpret=PALLAS_MODE == "interpret",
             )
             return table + out[: table.shape[0]]
+        if (
+            contrib.dtype == jnp.float32
+            and table.shape[0] <= 257
+            and local.shape[0] >= 4 * table.shape[0]
+            and jax.default_backend() != "cpu"
+        ):
+            oh = jax.nn.one_hot(local, table.shape[0], dtype=contrib.dtype)
+            return table + jnp.einsum(
+                "bt,bn->nt", contrib, oh, precision=_HI
+            )
         if srt:
             return table + jax.ops.segment_sum(
                 contrib, local, num_segments=table.shape[0],
