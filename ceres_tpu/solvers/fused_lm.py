@@ -1132,19 +1132,26 @@ class FusedTrustRegionMinimizer:
             cost_final, out.it.astype(jnp.float64),
             out.term.astype(jnp.float64),
         ])
-        return x_final, scalars, hist_mat
+        # ONE f64 output leaf: every extra jit output costs a runtime
+        # round trip on tunneled backends (~1.4 ms per leaf, plus ~25 ms
+        # per separate host fetch measured on axon).
+        return jnp.concatenate(
+            [x_final.astype(jnp.float64), scalars, hist_mat.reshape(-1)]
+        )
 
     # -- host wrapper ---------------------------------------------------------
 
     def minimize(self, x0, summary: Summary):
         opts = self.options
         t0 = time.monotonic()
-        x, scalars, hist_mat = self._fn(x0, self._args)
-        x = jax.block_until_ready(x)
+        packed = np.asarray(self._fn(x0, self._args))  # one fetch
         elapsed = time.monotonic() - t0
 
-        scalars = np.asarray(scalars)
-        hm = np.asarray(hist_mat)
+        n = int(x0.shape[0])
+        H = int(self.options.max_num_iterations) + 1
+        x = packed[:n].astype(x0.dtype)
+        scalars = packed[n:n + 3]
+        hm = packed[n + 3:].reshape(10, H)
         n_it = int(scalars[1])
         term = int(scalars[2])
         hist = _History(
