@@ -614,6 +614,52 @@ class _FlatOpsBase:
         return jnp.concatenate(outs) if outs else v
 
 
+    # -- fused one-kernel matvecs (ops/pallas_kernels.implicit_schur_matvec)
+
+    def _kernel_slots(self, plans_e, plans_f, e_fams, f_fams):
+        """Qualification for the fused Pallas matvec: ONE kind, one sorted
+        e-slot (point-aligned tiles), one f-slot, single family per side,
+        f32, camera count that fits the in-VMEM one-hot. Returns the
+        (pe, pf) plan pair or None."""
+        if PALLAS_MODE == "off":
+            return None
+        if PALLAS_MODE != "interpret" and jax.default_backend() == "cpu":
+            return None
+        active = [k for k, _ in enumerate(self.kinds)
+                  if plans_e[k] or plans_f[k]]
+        if len(self.kinds) != 1 or len(active) != 1:
+            return None
+        k = active[0]
+        if len(plans_e[k]) != 1 or len(plans_f[k]) != 1:
+            return None
+        if len(e_fams) != 1 or len(f_fams) != 1:
+            return None
+        pe, pf = plans_e[k][0], plans_f[k][0]
+        if not pe.srt or pe.pplan is None:
+            return None
+        if pf.nv > 1920:  # one-hot MXU cost O(rows * C_pad) per tile
+            return None
+        return pe, pf
+
+    def _kernel_scaled_rows(self, vflat, pe, pf, se, sf):
+        """Transposed scaled lanes + id planes for the fused matvec,
+        built once per evaluation (loop-invariant across CG iterations)."""
+        from . import pallas_kernels as pk
+
+        k = 0
+        kind = self.kinds[k]
+        Jf = vflat[k][pf.s]
+        Je = vflat[k][pe.s]
+        sf_rows = self._gather(sf, pf.off, pf.nv, pf.t, pf.local)
+        se_rows = self._gather(se, pe.off, pe.nv, pe.t, pe.local, pe.pplan)
+        Js_f = Jf * _mm(sf_rows, self.sel.get("rep_t", kind.r, pf.t, Jf.dtype))
+        Js_e = Je * _mm(se_rows, self.sel.get("rep_t", kind.r, pe.t, Je.dtype))
+        max_rows = pe.pplan[1]
+        JT, pid_T, cid_T = pk.prep_matvec_rows(
+            Js_f, Js_e, pe.local, pf.local, max_rows, kind.r, pf.t, pe.t)
+        return JT, pid_T, cid_T, kind.r, max_rows
+
+
 class FlatSchurOps(_FlatOpsBase):
     """Flattened products over the e/f partition (ITERATIVE_SCHUR)."""
 
@@ -683,6 +729,31 @@ class FlatSchurOps(_FlatOpsBase):
         out = self.left_f(vflat, fz - e_part)
         return out + (D_f * D_f) * z
 
+    def make_kernel_matvec(self, vflat, se, sf):
+        """Fused one-Pallas-kernel S·z over SCALED lanes (J pre-multiplied
+        by se/sf): returns matvec(z, minv_flat) -> (S_wo_diag z, u) or None
+        when the structure does not qualify. u = Minv E_s'F_s z gives the
+        back-substitution y_e = minv(etb) - u(z_final) for free."""
+        qual = self._kernel_slots(self.plans_e, self.plans_f,
+                                  self.pm.e_fams, self.pm.f_fams)
+        if qual is None or vflat[0][qual[0].s].dtype != jnp.float32:
+            return None
+        pe, pf = qual
+        from . import pallas_kernels as pk
+
+        JT, pid_T, cid_T, r, max_rows = self._kernel_scaled_rows(
+            vflat, pe, pf, se, sf)
+        interp = PALLAS_MODE == "interpret"
+
+        def matvec(z, minv_flat):
+            cam, u = pk.isc_matvec(
+                JT, pid_T, cid_T, z, minv_flat, pe.pplan[0], pe.nv, pf.nv,
+                r, pf.t, pe.t, max_rows=max_rows, interpret=interp)
+            return cam, u.reshape(-1)
+
+        return matvec
+
+
 
 class FlatJacobianOps(_FlatOpsBase):
     """Flattened J / J' products over the full tangent (CGNR path:
@@ -740,3 +811,38 @@ class FlatJacobianOps(_FlatOpsBase):
     def normal_multiply(self, vflat, D, x):
         """(J'J + D^2) x, loop-resident tensors all 2-D."""
         return self.left(vflat, self.right(vflat, x)) + (D * D) * x
+
+    def make_kernel_matvec(self, vflat, scale):
+        """Fused one-Pallas-kernel (J_s'J_s)x for two-family programs with
+        one sorted (point-like) family — the CGNR hot op. Returns
+        matvec(x) in the full tangent layout, or None."""
+        if len(self.kinds) != 1 or len(self.plans[0]) != 2:
+            return None
+        a, b = self.plans[0]
+        pe = a if (a.srt and a.pplan is not None) else b
+        pf = b if pe is a else a
+        qual = self._kernel_slots(
+            [[pe]], [[pf]], [self.fams[pe.fi]], [self.fams[pf.fi]])
+        if qual is None or vflat[0][pe.s].dtype != jnp.float32:
+            return None
+        from . import pallas_kernels as pk
+
+        JT, pid_T, cid_T, r, max_rows = self._kernel_scaled_rows(
+            vflat, pe, pf, scale, scale)
+        interp = PALLAS_MODE == "interpret"
+        size = self.meta.tangent_size
+
+        def matvec(x):
+            xc = jax.lax.dynamic_slice(x, (pf.off,), (pf.nv * pf.t,))
+            xp = jax.lax.dynamic_slice(
+                x, (pe.off,), (pe.nv * pe.t,)).reshape(pe.nv, pe.t)
+            cam, pt = pk.normal_matvec(
+                JT, pid_T, cid_T, xc, xp, pe.pplan[0], pe.nv, pf.nv,
+                r, pf.t, pe.t, max_rows=max_rows, interpret=interp)
+            out = jnp.zeros((size,), x.dtype)
+            out = jax.lax.dynamic_update_slice(out, cam, (pf.off,))
+            out = jax.lax.dynamic_update_slice(
+                out, pt.reshape(-1), (pe.off,))
+            return out
+
+        return matvec

@@ -586,6 +586,343 @@ def segment_spread_sum(
     return out
 
 
+def _sel01(shape, fn):
+    """Small 0/1 selector constant built in-kernel from iota comparisons
+    (no VMEM input per constant; the compiler hoists them out of the
+    tile loop). fn(row_idx, col_idx) -> bool."""
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return jnp.where(fn(r, c), jnp.ones((), jnp.float32),
+                     jnp.zeros((), jnp.float32))
+
+
+def implicit_schur_matvec(
+    JT,  # (r*gf + r*ge, n_pad) transposed scaled GROUPED J lanes [Jf | Je]
+    pid_T,  # (8, n_pad) int32 point ids (sorted; sentinel >= num_points)
+    cid_T,  # (8, n_pad) int32 camera ids (sentinel >= C)
+    z_T,  # (gf, C_pad) transposed camera vector, zero-padded past C / tf
+    minv_p,  # (>= nb_pad, tete_pad) per-point (E'E+D_e^2)^{-1} flat rows (mode isc)
+    tile_starts,  # (T+1,) int32 lane-aligned per-tile row offsets
+    num_points: int,
+    C: int,
+    r: int,
+    tf: int,
+    te: int,
+    max_rows: int = 512,
+    unroll: int = 4,
+    interpret: bool = False,
+    mode: str = "isc",
+    x_pt=None,  # mode normal: (>= nb_pad, ge) point vector rows
+):
+    """The whole implicit-Schur product S·z in ONE Pallas kernel
+    (implicit_schur_complement.cc:106 on TPU). Per observation tile:
+
+        fz   = F_s z                   (camera gather = in-VMEM one-hot matmul)
+        etfz = E_s' fz                 (point-segment reduce)
+        u    = (E'E+D_e^2)^{-1} etfz   (per-point block matvec, flat lanes)
+        q    = fz - E_s u              (point expand via the SAME one-hot)
+        cam += F_s' q                  (masked camera one-hot accumulate)
+
+    Returns (cam (C_pad, gf), u (nb_pad, ge)); the caller adds d2f*z. The
+    u output doubles as back-substitution: y_e = minv(etb) - u(z_final).
+    mode="normal" computes (J'J)x instead (the CGNR hot op,
+    cgnr_solver.cc role): jv = F_s x_c + E_s x_p; returns
+    (cam = F_s'jv, pt = E_s'jv).
+
+    Performance structure (v5e measurements):
+     - J lanes are packed in 8-ALIGNED GROUPS per residual row (gf =
+       ceil(tf/8)*8 lanes per row of Jf, ge for Je) so ALL row algebra —
+       fz, E'fz contributions, E u, F'q — is exact-f32 VPU elementwise +
+       sublane reductions (jnp.sum over a group) + (1, rows) broadcasts.
+       The selector-matmul formulation paid ~10 MXU dots x 6
+       f32-HIGHEST passes per tile; this leaves exactly FOUR one-hot MXU
+       dots (zg, etfz-reduce, u-expand, cam-reduce).
+     - The 4 remaining dots use the exact hi/mid/lo bf16 3-way split of
+       the DATA operand against the bf16-exact 0/1 one-hot: 3 single-pass
+       dots ~ f32 accuracy at 2x the 6-pass HIGHEST throughput.
+     - J is read from HBM ONCE per matvec (the XLA flat-ops chain pays
+       ~15 B-wide HBM passes).
+
+    Why one kernel suffices: plan_block_tiles tiles are point-aligned —
+    every row of a point lives in exactly one tile's DMA window — so the
+    segment reduction completes inside the tile and the per-point solve +
+    expand follow immediately. Window rows belonging to other tiles'
+    points are masked out of both reductions (pid outside
+    [block0, block0+BT)) and handled by their own tile."""
+    lanes_pad, n_pad = JT.shape
+    BT = BLOCKS_PER_TILE
+    num_tiles = -(-num_points // BT)
+    grid = -(-num_tiles // unroll)
+    num_tiles_pad = grid * unroll
+    nb_pad = num_tiles_pad * BT
+    gf = max(8, -(-tf // 8) * 8)
+    ge = max(8, -(-te // 8) * 8)
+    assert z_T.shape[0] == gf
+    C_pad = z_T.shape[1]
+    tete_pad = max(8, -(-te * te // 8) * 8)
+    normal = mode == "normal"
+    assert lanes_pad == r * gf + r * ge
+    if tile_starts.shape[0] < num_tiles_pad + 1:
+        tile_starts = jnp.concatenate([
+            jnp.asarray(tile_starts, jnp.int32),
+            jnp.full((num_tiles_pad + 1 - tile_starts.shape[0],),
+                     jnp.asarray(tile_starts)[-1], jnp.int32),
+        ])
+    dt = JT.dtype
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    blk_rows = x_pt if normal else minv_p
+    if blk_rows.shape[0] < nb_pad:
+        blk_rows = jnp.concatenate([
+            blk_rows,
+            jnp.zeros((nb_pad - blk_rows.shape[0], blk_rows.shape[1]),
+                      blk_rows.dtype),
+        ])
+
+    def split3(x):
+        hi = x.astype(bf16)
+        rem = x - hi.astype(f32)
+        mid = rem.astype(bf16)
+        lo = (rem - mid.astype(f32)).astype(bf16)
+        return hi, mid, lo
+
+    def kernel(starts_ref, pid_hbm, cid_hbm, jt_hbm, z_ref, blk_ref,
+               cam_out, pt_out):
+        g = pl.program_id(0)
+
+        def body(pid_vmem, cid_vmem, jt_vmem, sem_p, sem_c, sem_j):
+            copies = []
+            for j in range(unroll):
+                row0 = pl.multiple_of(starts_ref[g * unroll + j], _LANE)
+                cps = [
+                    pltpu.make_async_copy(
+                        pid_hbm.at[:, pl.ds(row0, max_rows)],
+                        pid_vmem.at[j], sem_p.at[j]),
+                    pltpu.make_async_copy(
+                        cid_hbm.at[:, pl.ds(row0, max_rows)],
+                        cid_vmem.at[j], sem_c.at[j]),
+                    pltpu.make_async_copy(
+                        jt_hbm.at[:, pl.ds(row0, max_rows)],
+                        jt_vmem.at[j], sem_j.at[j]),
+                ]
+                for c in cps:
+                    c.start()
+                copies.append(cps)
+
+            d_mm = (((1,), (0,)), ((), ()))
+            d_ll = (((1,), (1,)), ((), ()))
+            HI = jax.lax.Precision.HIGHEST
+
+            def dot3(data, oh_b, d):
+                """Exact-split data (f32) x 0/1 one-hot (bf16): 3
+                single-pass bf16 dots with f32 accumulation."""
+                out = None
+                for part in split3(data):
+                    t = jax.lax.dot_general(
+                        part, oh_b, dimension_numbers=d,
+                        preferred_element_type=f32)
+                    out = t if out is None else out + t
+                return out
+
+            def dot3l(oh_b, data, d):
+                out = None
+                for part in split3(data):
+                    t = jax.lax.dot_general(
+                        oh_b, part, dimension_numbers=d,
+                        preferred_element_type=f32)
+                    out = t if out is None else out + t
+                return out
+
+            if not normal:
+                REPm = _sel01((ge, tete_pad),
+                              lambda a, b: (b % te == a) & (b < te * te))
+                REDm = _sel01((tete_pad, ge),
+                              lambda a, b: (a // te == b) & (a < te * te))
+
+            cam_acc = jnp.zeros((C_pad, gf), f32)
+            csub = jax.lax.broadcasted_iota(jnp.int32, (C_pad, max_rows), 0)
+            sub = jax.lax.broadcasted_iota(jnp.int32, (BT, max_rows), 0)
+            one = jnp.ones((), f32)
+            zero = jnp.zeros((), f32)
+
+            for j in range(unroll):
+                for c in copies[j]:
+                    c.wait()
+                block0 = (g * unroll + j) * BT
+                jt = jt_vmem[j]
+                pid1 = pid_vmem[j][:1, :]
+                pid = jnp.broadcast_to(pid1, (BT, max_rows))
+                cid = jnp.broadcast_to(cid_vmem[j][:1, :], (C_pad, max_rows))
+                ohc_b = jnp.where(cid == csub, one, zero).astype(bf16)
+                ohp_b = jnp.where(
+                    (pid - block0 == sub) & (pid < num_points), one, zero
+                ).astype(bf16)
+                Jf_g = [jt[i * gf:(i + 1) * gf, :] for i in range(r)]
+                off_e = r * gf
+                Je_g = [jt[off_e + i * ge: off_e + (i + 1) * ge, :]
+                        for i in range(r)]
+                # fz rows: per residual row i, a grouped sublane reduction
+                zg = dot3(z_ref[:, :], ohc_b, d_mm)  # (gf, rows)
+                fz = [jnp.sum(Jf_g[i] * zg, axis=0, keepdims=True)
+                      for i in range(r)]  # r x (1, rows)
+                blk = blk_ref[j * BT:(j + 1) * BT, :]
+                if normal:
+                    xp_rows = dot3(jnp.transpose(blk), ohp_b, d_mm)
+                    jv = [fz[i] + jnp.sum(Je_g[i] * xp_rows, axis=0,
+                                          keepdims=True) for i in range(r)]
+                    ce = sum(
+                        Je_g[i] * jnp.broadcast_to(jv[i], (ge, max_rows))
+                        for i in range(r))
+                    pt_out[j * BT:(j + 1) * BT, :] = dot3l(
+                        ohp_b, ce, d_ll).astype(pt_out.dtype)
+                    q = jv
+                else:
+                    ce = sum(
+                        Je_g[i] * jnp.broadcast_to(fz[i], (ge, max_rows))
+                        for i in range(r))
+                    etfz = dot3l(ohp_b, ce, d_ll)  # (BT, ge)
+                    rep = jax.lax.dot_general(
+                        etfz, REPm, dimension_numbers=d_mm,
+                        preferred_element_type=f32, precision=HI)
+                    u_tile = jax.lax.dot_general(
+                        blk * rep, REDm, dimension_numbers=d_mm,
+                        preferred_element_type=f32, precision=HI)
+                    pt_out[j * BT:(j + 1) * BT, :] = u_tile.astype(
+                        pt_out.dtype)
+                    u_rows = dot3(jnp.transpose(u_tile), ohp_b, d_mm)
+                    q = [fz[i] - jnp.sum(Je_g[i] * u_rows, axis=0,
+                                         keepdims=True) for i in range(r)]
+                # mask boundary rows on the narrow cf tile (gf sublanes)
+                # instead of rebuilding a masked (C_pad, rows) one-hot
+                in_tile = jnp.where(
+                    (pid1 >= block0) & (pid1 < block0 + BT), one, zero)
+                cf = sum(
+                    Jf_g[i] * jnp.broadcast_to(q[i], (gf, max_rows))
+                    for i in range(r)) * jnp.broadcast_to(
+                        in_tile, (gf, max_rows))
+                cam_acc = cam_acc + dot3l(ohc_b, cf, d_ll)
+
+            @pl.when(g == 0)
+            def _init():
+                cam_out[:, :] = cam_acc.astype(cam_out.dtype)
+
+            @pl.when(g > 0)
+            def _acc():
+                cam_out[:, :] = cam_out[:, :] + cam_acc.astype(cam_out.dtype)
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((unroll, 8, max_rows), jnp.int32),
+            pltpu.VMEM((unroll, 8, max_rows), jnp.int32),
+            pltpu.VMEM((unroll, lanes_pad, max_rows), dt),
+            pltpu.SemaphoreType.DMA((unroll,)),
+            pltpu.SemaphoreType.DMA((unroll,)),
+            pltpu.SemaphoreType.DMA((unroll,)),
+        )
+
+    blk_width = blk_rows.shape[1]
+    with jax.enable_x64(False):
+        cam_out, pt_out = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # z_T
+                pl.BlockSpec((unroll * BT, blk_width), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((C_pad, gf), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((unroll * BT, ge), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((C_pad, gf), dt),
+                jax.ShapeDtypeStruct((nb_pad, ge), dt),
+            ),
+            interpret=interpret,
+        )(tile_starts, pid_T, cid_T, JT, z_T, blk_rows)
+    return cam_out, pt_out
+
+
+def prep_matvec_rows(Jf, Je, pt_ids, cam_ids, max_rows, r, tf, te):
+    """Host/jit-side prep for implicit_schur_matvec, once per evaluation
+    (loop-invariant across CG iterations): transposed GROUPED J lanes —
+    each residual row's tf/te lanes padded to an 8-aligned sublane group
+    (gf/ge) so the kernel's row algebra slices at aligned offsets — plus
+    sublane-replicated id planes. Padding rows get id -1."""
+    B = Jf.shape[0]
+    dt = Jf.dtype
+    n_pad = B + max_rows
+
+    def group(J, t):
+        g = max(8, -(-t // 8) * 8)
+        if g == t:
+            return J
+        Jg = jnp.zeros((B, r, g), dt)
+        Jg = jax.lax.dynamic_update_slice(Jg, J.reshape(B, r, t), (0, 0, 0))
+        return Jg.reshape(B, r * g)
+
+    JT = jnp.concatenate([group(Jf, tf).T, group(Je, te).T], axis=0)
+    JT = jnp.concatenate(
+        [JT, jnp.zeros((JT.shape[0], max_rows), dt)], axis=1)
+    pid_row = jnp.concatenate(
+        [pt_ids.astype(jnp.int32), jnp.full((max_rows,), -1, jnp.int32)])
+    cid_row = jnp.concatenate(
+        [cam_ids.astype(jnp.int32), jnp.full((max_rows,), -1, jnp.int32)])
+    pid_T = jnp.broadcast_to(pid_row[None, :], (8, n_pad))
+    cid_T = jnp.broadcast_to(cid_row[None, :], (8, n_pad))
+    return JT, pid_T, cid_T
+
+
+def isc_matvec(JT, pid_T, cid_T, z, minv_flat, tile_starts, num_points, C,
+               r, tf, te, max_rows=512, unroll=4, interpret=False):
+    """Fused S·z (see implicit_schur_matvec): z (C*tf,) camera vector,
+    minv_flat (num_points, te*te). Returns (Sz_wo_diag (C*tf,),
+    u (num_points, te)) — caller adds d2f*z."""
+    dt = JT.dtype
+    C_pad = max(_LANE, -(-(C + 1) // _LANE) * _LANE)
+    tf_pad = max(8, -(-tf // 8) * 8)
+    tete_pad = max(8, -(-te * te // 8) * 8)
+    z_T = jnp.zeros((tf_pad, C_pad), dt)
+    z_T = jax.lax.dynamic_update_slice(z_T, z.reshape(C, tf).T, (0, 0))
+    P = minv_flat.shape[0]
+    minv_p = jnp.concatenate([
+        minv_flat,
+        jnp.zeros((P, tete_pad - minv_flat.shape[1]), dt),
+    ], axis=1) if minv_flat.shape[1] < tete_pad else minv_flat
+    cam, u = implicit_schur_matvec(
+        JT, pid_T, cid_T, z_T, minv_p, tile_starts, num_points, C,
+        r, tf, te, max_rows=max_rows, unroll=unroll, interpret=interpret,
+        mode="isc")
+    return cam[:C, :tf].reshape(-1), u[:num_points, :te]
+
+
+def normal_matvec(JT, pid_T, cid_T, xc, xp, tile_starts, num_points, C,
+                  r, tf, te, max_rows=512, unroll=4, interpret=False):
+    """Fused (J'J)x for the e/f split (CGNR hot op): xc (C*tf,),
+    xp (num_points, te). Returns (cam (C*tf,), pt (num_points, te)) —
+    caller adds D² x."""
+    dt = JT.dtype
+    C_pad = max(_LANE, -(-(C + 1) // _LANE) * _LANE)
+    tf_pad = max(8, -(-tf // 8) * 8)
+    te_pad = max(8, -(-te // 8) * 8)
+    z_T = jnp.zeros((tf_pad, C_pad), dt)
+    z_T = jax.lax.dynamic_update_slice(z_T, xc.reshape(C, tf).T, (0, 0))
+    xp_p = jnp.concatenate([
+        xp, jnp.zeros((xp.shape[0], te_pad - te), dt)], axis=1
+    ) if te < te_pad else xp
+    cam, pt = implicit_schur_matvec(
+        JT, pid_T, cid_T, z_T, None, tile_starts, num_points, C,
+        r, tf, te, max_rows=max_rows, unroll=unroll, interpret=interpret,
+        mode="normal", x_pt=xp_p)
+    return cam[:C, :tf].reshape(-1), pt[:num_points, :te]
+
+
 def jt_u_sorted(
     J_blocks,  # (N, r, t) sorted by target block
     u,  # (N, r)

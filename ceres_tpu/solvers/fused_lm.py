@@ -172,8 +172,16 @@ class CgnrStepOps:
         flat = self.flat
         rhs = scale_c * g
 
-        def lhs(x):
-            return scale_c * flat.left(vrep, flat.right(vrep, scale_c * x)) + D2_c * x
+        # Fused one-Pallas-kernel (J_s'J_s)x when the structure qualifies
+        # (J read once per matvec); falls back to the flat-ops chain.
+        kern = flat.make_kernel_matvec(vrep, scale_c)
+        if kern is not None:
+            def lhs(x):
+                return kern(x) + D2_c * x
+        else:
+            def lhs(x):
+                return scale_c * flat.left(
+                    vrep, flat.right(vrep, scale_c * x)) + D2_c * x
 
         precond = None
         if self.precond:
@@ -373,11 +381,22 @@ class IterativeSchurStepOps:
         tmp = fl.right_e(vrep, se * minv(etb))
         rhs = sf * fl.left_f(vrep, r - tmp)
 
-        def lhs(z):
-            fz = fl.right_f(vrep, sf * z)
-            etfz = se * fl.left_e(vrep, fz)
-            e_part = fl.right_e(vrep, se * minv(etfz))
-            return sf * fl.left_f(vrep, fz - e_part) + d2f * z
+        # Fused one-Pallas-kernel S·z when the structure qualifies (J read
+        # once per matvec; ops/pallas_kernels.implicit_schur_matvec) —
+        # identical math to the flat-ops product chain below.
+        kern = fl.make_kernel_matvec(vrep, se, sf)
+        if kern is not None:
+            minv0 = minv_e[0]
+
+            def lhs(z):
+                cam, _ = kern(z, minv0)
+                return cam + d2f * z
+        else:
+            def lhs(z):
+                fz = fl.right_f(vrep, sf * z)
+                etfz = se * fl.left_e(vrep, fz)
+                e_part = fl.right_e(vrep, se * minv(etfz))
+                return sf * fl.left_f(vrep, fz - e_part) + d2f * z
 
         precond = None
         x0 = jnp.zeros_like(rhs)
@@ -416,8 +435,12 @@ class IterativeSchurStepOps:
         )
         z = res.x
         # back substitution: y_e = Minv (E_s'b - E_s'F_s z)
-        fz = fl.right_f(vrep, sf * z)
-        y_e = minv(etb - se * fl.left_e(vrep, fz))
+        if kern is not None:
+            _, u_fin = kern(z, minv0)
+            y_e = minv(etb) - u_fin
+        else:
+            fz = fl.right_f(vrep, sf * z)
+            y_e = minv(etb - se * fl.left_e(vrep, fz))
         step = -pt.combine(pm, y_e, z)
         mr = fl.right_e(vrep, se * (-y_e)) + fl.right_f(vrep, sf * (-z))
         mcc = -jnp.dot(mr, r + mr / 2.0)

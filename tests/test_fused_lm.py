@@ -257,3 +257,32 @@ def test_fused_dense_schur_mixed_precision():
     )
     assert mixed.is_solution_usable()
     assert mixed.final_cost == pytest.approx(full.final_cost, rel=1e-5)
+
+
+@pytest.mark.parametrize("lst,pre", [
+    ("ITERATIVE_SCHUR", "SCHUR_JACOBI"),
+    ("ITERATIVE_SCHUR", "SCHUR_POWER_SERIES_EXPANSION"),
+    ("CGNR", "JACOBI"),
+])
+def test_fused_kernel_matvec_matches_flatops(lst, pre):
+    """The one-Pallas-kernel CG matvec (implicit_schur_matvec) reproduces
+    the flat-ops product chain through the whole fused solve, exercised
+    via interpret mode on CPU."""
+    from ceres_tpu.ops import flatops as fo
+
+    opts = dict(linear_solver_type=ct.LinearSolverType[lst],
+                preconditioner_type=ct.PreconditionerType[pre],
+                fused_loop="ALWAYS", evaluation_dtype="float32",
+                max_num_iterations=6, max_linear_solver_iterations=8)
+    base = ct.solve(ct.Options(**opts), make_ba())
+    old = fo.PALLAS_MODE
+    fo.PALLAS_MODE = "interpret"
+    try:
+        pal = ct.solve(ct.Options(**opts), make_ba())
+    finally:
+        fo.PALLAS_MODE = old
+    assert pal.is_solution_usable()
+    # f32 rounding differs between the kernel and the product chain; the
+    # SPSE Neumann series amplifies it into slightly different (equally
+    # valid) CG trajectories -> compare costs at trajectory tolerance.
+    assert pal.final_cost == pytest.approx(base.final_cost, rel=1e-3)

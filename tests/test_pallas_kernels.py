@@ -111,6 +111,100 @@ def test_schur_core_spread_kernel_interpret():
                                rtol=2e-3, atol=2e-3)
 
 
+def _isc_ref(Jf, Je, pt, cam, P, C, z=None, minv=None, xp=None):
+    """Naive numpy reference for the fused matvec kernels."""
+    B, r, tf = Jf.shape
+    te = Je.shape[2]
+    zc = z.reshape(C, tf)
+    fz = np.einsum("brf,bf->br", Jf, zc[np.clip(cam, 0, C - 1)])
+    fz[cam >= C] = np.einsum(
+        "brf,f->br", Jf[cam >= C], np.zeros(tf))  # sentinel camera -> 0
+    if xp is not None:  # normal mode
+        xpb = np.zeros((B, te))
+        ok = pt < P
+        xpb[ok] = xp[pt[ok]]
+        jv = fz + np.einsum("bre,be->br", Je, xpb)
+        ptout = np.zeros((P, te))
+        np.add.at(ptout, np.clip(pt, 0, P - 1),
+                  np.where(ok[:, None], np.einsum("bre,br->be", Je, jv), 0.0))
+        camout = np.zeros((C, tf))
+        okc = cam < C
+        np.add.at(camout, np.clip(cam, 0, C - 1),
+                  np.where(okc[:, None], np.einsum("brf,br->bf", Jf, jv), 0.0))
+        return camout, ptout
+    etfz = np.zeros((P, te))
+    ok = pt < P
+    np.add.at(etfz, np.clip(pt, 0, P - 1),
+              np.where(ok[:, None], np.einsum("bre,br->be", Je, fz), 0.0))
+    u = np.einsum("pij,pj->pi", minv.reshape(P, te, te), etfz)
+    ub = np.zeros((B, te))
+    ub[ok] = u[pt[ok]]
+    q = fz - np.einsum("bre,be->br", Je, ub)
+    camout = np.zeros((C, tf))
+    okc = cam < C
+    np.add.at(camout, np.clip(cam, 0, C - 1),
+              np.where(okc[:, None], np.einsum("brf,br->bf", Jf, q), 0.0))
+    return camout, u
+
+
+@pytest.mark.parametrize("P,C,B,r,tf,te", [
+    (300, 13, 2000, 2, 9, 3),
+    (40, 140, 700, 2, 9, 3),   # C spills past one 128 lane tile
+    (130, 5, 900, 3, 4, 2),    # non-BA block shapes
+])
+def test_isc_matvec_kernel_interpret(P, C, B, r, tf, te):
+    rng = np.random.default_rng(P + C)
+    pt = np.sort(rng.integers(0, P, B)).astype(np.int32)
+    cam = rng.integers(0, C, B).astype(np.int32)
+    # sentinel rows: constant point block (pt == P) and constant camera
+    pt[-3:] = P
+    cam[5] = C
+    Jf = rng.standard_normal((B, r, tf)).astype(np.float32)
+    Je = rng.standard_normal((B, r, te)).astype(np.float32)
+    Je[pt == P] = 0.0  # constant point: e lanes vanish from the tangent
+    Jf[cam >= C] = 0.0
+    z = rng.standard_normal(C * tf).astype(np.float32)
+    minv = rng.standard_normal((P, te * te)).astype(np.float32)
+    ts, max_rows = pk.plan_block_tiles(pt, P)
+    JT, pid_T, cid_T = pk.prep_matvec_rows(
+        jnp.asarray(Jf.reshape(B, -1)), jnp.asarray(Je.reshape(B, -1)),
+        jnp.asarray(pt), jnp.asarray(cam), max_rows, r, tf, te)
+    camv, u = pk.isc_matvec(
+        JT, pid_T, cid_T, jnp.asarray(z), jnp.asarray(minv),
+        jnp.asarray(ts), P, C, r, tf, te, max_rows=max_rows, interpret=True)
+    cam_ref, u_ref = _isc_ref(Jf, Je, pt, cam, P, C, z=z, minv=minv)
+    np.testing.assert_allclose(np.asarray(u), u_ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(camv), cam_ref.reshape(-1),
+                               rtol=2e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("P,C,B,r,tf,te", [
+    (300, 13, 2000, 2, 9, 3),
+    (64, 200, 800, 1, 6, 5),
+])
+def test_normal_matvec_kernel_interpret(P, C, B, r, tf, te):
+    rng = np.random.default_rng(P * 7 + C)
+    pt = np.sort(rng.integers(0, P, B)).astype(np.int32)
+    cam = rng.integers(0, C, B).astype(np.int32)
+    pt[-2:] = P
+    Jf = rng.standard_normal((B, r, tf)).astype(np.float32)
+    Je = rng.standard_normal((B, r, te)).astype(np.float32)
+    Je[pt == P] = 0.0
+    xc = rng.standard_normal(C * tf).astype(np.float32)
+    xp = rng.standard_normal((P, te)).astype(np.float32)
+    ts, max_rows = pk.plan_block_tiles(pt, P)
+    JT, pid_T, cid_T = pk.prep_matvec_rows(
+        jnp.asarray(Jf.reshape(B, -1)), jnp.asarray(Je.reshape(B, -1)),
+        jnp.asarray(pt), jnp.asarray(cam), max_rows, r, tf, te)
+    camv, ptv = pk.normal_matvec(
+        JT, pid_T, cid_T, jnp.asarray(xc), jnp.asarray(xp),
+        jnp.asarray(ts), P, C, r, tf, te, max_rows=max_rows, interpret=True)
+    cam_ref, pt_ref = _isc_ref(Jf, Je, pt, cam, P, C, z=xc, xp=xp)
+    np.testing.assert_allclose(np.asarray(ptv), pt_ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(camv), cam_ref.reshape(-1),
+                               rtol=2e-4, atol=5e-4)
+
+
 def test_segment_spread_sum_ftf_interpret():
     """The kernel's in-VMEM F'F accumulation matches the XLA outer+reduce
     formulation (camera Gram blocks of the scaled Jacobian)."""
