@@ -259,6 +259,7 @@ class SlotPlanFlat(NamedTuple):
     local: jax.Array  # (B,) local block ids (sentinel == nv)
     srt: bool  # ids nondecreasing (program built with sort_rows)
     pplan: "Optional[Tuple]"  # (tile_starts, max_rows) Mosaic segment plan
+    rplan: "Optional[Tuple]" = None  # (starts, block0, max_rows) row-balanced
 
 
 # Pallas usage for sorted segment reductions/gathers: "auto" = on TPU-like
@@ -312,14 +313,17 @@ class _FlatOpsBase:
             if not np.array_equal(idx[var], want[var]):
                 self.supported = False
             srt = bool(np.all(local[1:] >= local[:-1]))
-            pplan = None
+            pplan = rplan = None
             if srt and local.size:
                 from . import pallas_kernels as pk
 
                 ts, max_rows = pk.plan_block_tiles(local, nv + 1)
                 pplan = (jnp.asarray(ts), max_rows)
+                rs, rb, rmax = pk.plan_row_tiles(local, nv + 1)
+                rplan = (jnp.asarray(rs), jnp.asarray(rb), rmax)
             plans[k].append(
-                SlotPlanFlat(s, fi, off, nv, t, jnp.asarray(local), srt, pplan)
+                SlotPlanFlat(s, fi, off, nv, t, jnp.asarray(local), srt,
+                             pplan, rplan)
             )
         return plans
 
@@ -382,7 +386,8 @@ class _FlatOpsBase:
         def remap(plans):
             return [
                 [
-                    pe._replace(local=locs[(k, pe.s)], srt=False, pplan=None)
+                    pe._replace(local=locs[(k, pe.s)], srt=False, pplan=None,
+                                rplan=None)
                     for pe in pl
                 ]
                 for k, pl in enumerate(plans)
@@ -635,7 +640,7 @@ class _FlatOpsBase:
         if len(e_fams) != 1 or len(f_fams) != 1:
             return None
         pe, pf = plans_e[k][0], plans_f[k][0]
-        if not pe.srt or pe.pplan is None:
+        if not pe.srt or pe.pplan is None or pe.rplan is None:
             return None
         if pf.nv > 1920:  # one-hot MXU cost O(rows * C_pad) per tile
             return None
@@ -654,7 +659,7 @@ class _FlatOpsBase:
         se_rows = self._gather(se, pe.off, pe.nv, pe.t, pe.local, pe.pplan)
         Js_f = Jf * _mm(sf_rows, self.sel.get("rep_t", kind.r, pf.t, Jf.dtype))
         Js_e = Je * _mm(se_rows, self.sel.get("rep_t", kind.r, pe.t, Je.dtype))
-        max_rows = pe.pplan[1]
+        max_rows = pe.rplan[2]
         JT, pid_T, cid_T = pk.prep_matvec_rows(
             Js_f, Js_e, pe.local, pf.local, max_rows, kind.r, pf.t, pe.t)
         return JT, pid_T, cid_T, kind.r, max_rows
@@ -747,8 +752,9 @@ class FlatSchurOps(_FlatOpsBase):
 
         def matvec(z, minv_flat):
             cam, u = pk.isc_matvec(
-                JT, pid_T, cid_T, z, minv_flat, pe.pplan[0], pe.nv, pf.nv,
-                r, pf.t, pe.t, max_rows=max_rows, interpret=interp)
+                JT, pid_T, cid_T, z, minv_flat, pe.rplan[0], pe.rplan[1],
+                pe.nv, pf.nv, r, pf.t, pe.t, max_rows=max_rows,
+                interpret=interp)
             return cam, u.reshape(-1)
 
         return matvec
@@ -837,8 +843,9 @@ class FlatJacobianOps(_FlatOpsBase):
             xp = jax.lax.dynamic_slice(
                 x, (pe.off,), (pe.nv * pe.t,)).reshape(pe.nv, pe.t)
             cam, pt = pk.normal_matvec(
-                JT, pid_T, cid_T, xc, xp, pe.pplan[0], pe.nv, pf.nv,
-                r, pf.t, pe.t, max_rows=max_rows, interpret=interp)
+                JT, pid_T, cid_T, xc, xp, pe.rplan[0], pe.rplan[1],
+                pe.nv, pf.nv, r, pf.t, pe.t, max_rows=max_rows,
+                interpret=interp)
             out = jnp.zeros((size,), x.dtype)
             out = jax.lax.dynamic_update_slice(out, cam, (pf.off,))
             out = jax.lax.dynamic_update_slice(

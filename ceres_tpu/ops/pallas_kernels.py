@@ -58,6 +58,56 @@ def plan_block_tiles(sorted_ids: np.ndarray, num_blocks: int,
     return starts.astype(np.int32), max_rows
 
 
+def plan_row_tiles(sorted_ids: np.ndarray, num_blocks: int,
+                   target_rows: int = 512,
+                   blocks_per_tile: int = BLOCKS_PER_TILE):
+    """Row-BALANCED tile plan: each tile covers a contiguous block range
+    of up to `blocks_per_tile` blocks whose (lane-aligned) row window fits
+    `target_rows`. plan_block_tiles' fixed 128-block tiles pay for the
+    heaviest tile everywhere (BAL-16: max_rows 768 vs 487 mean rows/tile
+    = 1.6x wasted VPU/MXU/DMA); balancing makes every tile ~target_rows.
+
+    Block starts are floored to 8 so per-tile block-row DMA slices
+    (minv / x_pt windows) are sublane-aligned. Returns (tile_starts
+    (T+1,) int32 row offsets, tile_block0 (T+1,) int32 first block per
+    tile with tile_block0[T] == num_blocks, max_rows). A single block
+    with more rows than target_rows gets its own tile (max_rows grows)."""
+    sorted_ids = np.asarray(sorted_ids)
+    counts = np.bincount(sorted_ids, minlength=num_blocks)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    starts, block0 = [], []
+    p = 0
+    max_rows = _LANE
+    while p < num_blocks:
+        row0 = (offsets[p] // _LANE) * _LANE
+        # largest q in (p, p+BT], q multiple of 8 (or == num_blocks), with
+        # rows in budget
+        q_hi = min(p + blocks_per_tile, num_blocks)
+        q = p + 1
+        best = q
+        while q <= q_hi:
+            if offsets[q] - row0 <= target_rows and (
+                    q % 8 == 0 or q == num_blocks):
+                best = q
+            q += 1
+        if best == p + 1 and not (best % 8 == 0 or best == num_blocks):
+            # fall forward to the next aligned boundary regardless of budget
+            best = min(((p + 8) // 8) * 8, num_blocks)
+            while offsets[best] - row0 > target_rows and best - p > 8:
+                best -= 8
+            if best <= p:
+                best = min(p + 8, num_blocks)
+        starts.append(row0)
+        block0.append(p)
+        max_rows = max(max_rows, int(offsets[best] - row0))
+        p = best
+    starts.append((offsets[num_blocks] // _LANE) * _LANE)
+    block0.append(num_blocks)
+    max_rows = -(-max_rows // _LANE) * _LANE
+    return (np.asarray(starts, np.int32), np.asarray(block0, np.int32),
+            max_rows)
+
+
 def segment_block_sum(
     contrib,  # (N, t) per-observation contributions, sorted by target block
     sorted_ids,  # (N,) int32 non-decreasing target block ids
@@ -598,11 +648,12 @@ def _sel01(shape, fn):
 
 def implicit_schur_matvec(
     JT,  # (r*gf + r*ge, n_pad) transposed scaled GROUPED J lanes [Jf | Je]
-    pid_T,  # (8, n_pad) int32 point ids (sorted; sentinel >= num_points)
+    pid_T,  # (8, n_pad) int32 point ids (sorted; sentinel == num_points)
     cid_T,  # (8, n_pad) int32 camera ids (sentinel >= C)
     z_T,  # (gf, C_pad) transposed camera vector, zero-padded past C / tf
-    minv_p,  # (>= nb_pad, tete_pad) per-point (E'E+D_e^2)^{-1} flat rows (mode isc)
+    blk_hbm,  # (>= num_points+1+BT, w) per-point rows: minv (isc) / x (normal)
     tile_starts,  # (T+1,) int32 lane-aligned per-tile row offsets
+    tile_block0,  # (T+1,) int32 first point of each tile; [T] == num_points+1
     num_points: int,
     C: int,
     r: int,
@@ -612,7 +663,6 @@ def implicit_schur_matvec(
     unroll: int = 4,
     interpret: bool = False,
     mode: str = "isc",
-    x_pt=None,  # mode normal: (>= nb_pad, ge) point vector rows
 ):
     """The whole implicit-Schur product S·z in ONE Pallas kernel
     (implicit_schur_complement.cc:106 on TPU). Per observation tile:
@@ -623,61 +673,63 @@ def implicit_schur_matvec(
         q    = fz - E_s u              (point expand via the SAME one-hot)
         cam += F_s' q                  (masked camera one-hot accumulate)
 
-    Returns (cam (C_pad, gf), u (nb_pad, ge)); the caller adds d2f*z. The
-    u output doubles as back-substitution: y_e = minv(etb) - u(z_final).
-    mode="normal" computes (J'J)x instead (the CGNR hot op,
-    cgnr_solver.cc role): jv = F_s x_c + E_s x_p; returns
-    (cam = F_s'jv, pt = E_s'jv).
+    Returns (cam (C_pad, gf), u (num_points+1+BT, ge)); the caller adds
+    d2f*z. The u output doubles as back-substitution: y_e = minv(etb) -
+    u(z_final). mode="normal" computes (J'J)x instead (the CGNR hot op,
+    cgnr_solver.cc role): jv = F_s x_c + E_s x_p over x rows from
+    blk_hbm; returns (cam = F_s'jv, pt = E_s'jv).
 
     Performance structure (v5e measurements):
+     - ROW-BALANCED tiles (plan_row_tiles): each tile covers a variable
+       point range sized to ~target_rows observations, vs fixed
+       128-point tiles paying everywhere for the heaviest tile (BAL-16:
+       768 budget vs 487 mean rows). Per-tile point bases come from SMEM;
+       per-point rows (minv / x) are DMA'd per tile at the 8-aligned
+       point base; the u/pt output is written per tile with overlapping
+       128-row windows where the sequential grid makes the last writer
+       win (same trick as segment_block_expand).
      - J lanes are packed in 8-ALIGNED GROUPS per residual row (gf =
        ceil(tf/8)*8 lanes per row of Jf, ge for Je) so ALL row algebra —
        fz, E'fz contributions, E u, F'q — is exact-f32 VPU elementwise +
-       sublane reductions (jnp.sum over a group) + (1, rows) broadcasts.
-       The selector-matmul formulation paid ~10 MXU dots x 6
-       f32-HIGHEST passes per tile; this leaves exactly FOUR one-hot MXU
-       dots (zg, etfz-reduce, u-expand, cam-reduce).
-     - The 4 remaining dots use the exact hi/mid/lo bf16 3-way split of
-       the DATA operand against the bf16-exact 0/1 one-hot: 3 single-pass
-       dots ~ f32 accuracy at 2x the 6-pass HIGHEST throughput.
+       sublane reductions + (1, rows) broadcasts. The selector-matmul
+       formulation paid ~10 MXU dots x 6 f32-HIGHEST passes per tile;
+       this leaves exactly FOUR one-hot MXU dots.
+     - The 4 dots use the exact hi/mid/lo bf16 3-way split of the DATA
+       operand against the bf16-exact 0/1 one-hot: 3 single-pass dots at
+       ~f32 accuracy, 2x the 6-pass HIGHEST throughput.
      - J is read from HBM ONCE per matvec (the XLA flat-ops chain pays
        ~15 B-wide HBM passes).
 
-    Why one kernel suffices: plan_block_tiles tiles are point-aligned —
-    every row of a point lives in exactly one tile's DMA window — so the
-    segment reduction completes inside the tile and the per-point solve +
-    expand follow immediately. Window rows belonging to other tiles'
-    points are masked out of both reductions (pid outside
-    [block0, block0+BT)) and handled by their own tile."""
+    Why one kernel suffices: tiles own complete points — every row of a
+    point lives in exactly one tile's DMA window — so the segment
+    reduction completes in-tile and the per-point solve + expand follow
+    immediately. Window rows belonging to other tiles' points are masked
+    out of both reductions and handled by their own tile."""
     lanes_pad, n_pad = JT.shape
     BT = BLOCKS_PER_TILE
-    num_tiles = -(-num_points // BT)
+    num_tiles = tile_block0.shape[0] - 1
     grid = -(-num_tiles // unroll)
     num_tiles_pad = grid * unroll
-    nb_pad = num_tiles_pad * BT
     gf = max(8, -(-tf // 8) * 8)
     ge = max(8, -(-te // 8) * 8)
     assert z_T.shape[0] == gf
     C_pad = z_T.shape[1]
-    tete_pad = max(8, -(-te * te // 8) * 8)
     normal = mode == "normal"
     assert lanes_pad == r * gf + r * ge
-    if tile_starts.shape[0] < num_tiles_pad + 1:
-        tile_starts = jnp.concatenate([
-            jnp.asarray(tile_starts, jnp.int32),
-            jnp.full((num_tiles_pad + 1 - tile_starts.shape[0],),
-                     jnp.asarray(tile_starts)[-1], jnp.int32),
-        ])
+    if num_tiles_pad > num_tiles:
+        pad = num_tiles_pad - num_tiles
+        tile_starts = jnp.concatenate(
+            [jnp.asarray(tile_starts, jnp.int32),
+             jnp.broadcast_to(jnp.asarray(tile_starts)[-1:], (pad,))])
+        tile_block0 = jnp.concatenate(
+            [jnp.asarray(tile_block0, jnp.int32),
+             jnp.broadcast_to(jnp.asarray(tile_block0)[-1:], (pad,))])
     dt = JT.dtype
     f32 = jnp.float32
     bf16 = jnp.bfloat16
-    blk_rows = x_pt if normal else minv_p
-    if blk_rows.shape[0] < nb_pad:
-        blk_rows = jnp.concatenate([
-            blk_rows,
-            jnp.zeros((nb_pad - blk_rows.shape[0], blk_rows.shape[1]),
-                      blk_rows.dtype),
-        ])
+    w_blk = blk_hbm.shape[1]
+    nb_out = num_points + 1 + BT
+    assert blk_hbm.shape[0] >= nb_out
 
     def split3(x):
         hi = x.astype(bf16)
@@ -686,14 +738,16 @@ def implicit_schur_matvec(
         lo = (rem - mid.astype(f32)).astype(bf16)
         return hi, mid, lo
 
-    def kernel(starts_ref, pid_hbm, cid_hbm, jt_hbm, z_ref, blk_ref,
-               cam_out, pt_out):
+    def kernel(starts_ref, block0_ref, pid_hbm, cid_hbm, jt_hbm, z_ref,
+               blk_hbm_ref, cam_out, pt_hbm):
         g = pl.program_id(0)
 
-        def body(pid_vmem, cid_vmem, jt_vmem, sem_p, sem_c, sem_j):
+        def body(pid_vmem, cid_vmem, jt_vmem, blk_vmem, out_vmem,
+                 sem_p, sem_c, sem_j, sem_b, sem_o):
             copies = []
             for j in range(unroll):
                 row0 = pl.multiple_of(starts_ref[g * unroll + j], _LANE)
+                b0 = pl.multiple_of(block0_ref[g * unroll + j], 8)
                 cps = [
                     pltpu.make_async_copy(
                         pid_hbm.at[:, pl.ds(row0, max_rows)],
@@ -704,6 +758,9 @@ def implicit_schur_matvec(
                     pltpu.make_async_copy(
                         jt_hbm.at[:, pl.ds(row0, max_rows)],
                         jt_vmem.at[j], sem_j.at[j]),
+                    pltpu.make_async_copy(
+                        blk_hbm_ref.at[pl.ds(b0, BT), :],
+                        blk_vmem.at[j], sem_b.at[j]),
                 ]
                 for c in cps:
                     c.start()
@@ -734,9 +791,10 @@ def implicit_schur_matvec(
                 return out
 
             if not normal:
-                REPm = _sel01((ge, tete_pad),
+                te2p = max(8, -(-te * te // 8) * 8)
+                REPm = _sel01((ge, te2p),
                               lambda a, b: (b % te == a) & (b < te * te))
-                REDm = _sel01((tete_pad, ge),
+                REDm = _sel01((te2p, ge),
                               lambda a, b: (a // te == b) & (a < te * te))
 
             cam_acc = jnp.zeros((C_pad, gf), f32)
@@ -744,37 +802,37 @@ def implicit_schur_matvec(
             sub = jax.lax.broadcasted_iota(jnp.int32, (BT, max_rows), 0)
             one = jnp.ones((), f32)
             zero = jnp.zeros((), f32)
+            out_cp = None
 
             for j in range(unroll):
                 for c in copies[j]:
                     c.wait()
-                block0 = (g * unroll + j) * BT
+                b0 = block0_ref[g * unroll + j]
+                b1 = block0_ref[g * unroll + j + 1]
                 jt = jt_vmem[j]
                 pid1 = pid_vmem[j][:1, :]
                 pid = jnp.broadcast_to(pid1, (BT, max_rows))
                 cid = jnp.broadcast_to(cid_vmem[j][:1, :], (C_pad, max_rows))
                 ohc_b = jnp.where(cid == csub, one, zero).astype(bf16)
                 ohp_b = jnp.where(
-                    (pid - block0 == sub) & (pid < num_points), one, zero
-                ).astype(bf16)
+                    (pid - b0 == sub) & (pid < b1) & (pid < num_points),
+                    one, zero).astype(bf16)
                 Jf_g = [jt[i * gf:(i + 1) * gf, :] for i in range(r)]
                 off_e = r * gf
                 Je_g = [jt[off_e + i * ge: off_e + (i + 1) * ge, :]
                         for i in range(r)]
-                # fz rows: per residual row i, a grouped sublane reduction
                 zg = dot3(z_ref[:, :], ohc_b, d_mm)  # (gf, rows)
                 fz = [jnp.sum(Jf_g[i] * zg, axis=0, keepdims=True)
                       for i in range(r)]  # r x (1, rows)
-                blk = blk_ref[j * BT:(j + 1) * BT, :]
+                blk = blk_vmem[j][:, :]
                 if normal:
-                    xp_rows = dot3(jnp.transpose(blk), ohp_b, d_mm)
+                    xp_rows = dot3(jnp.transpose(blk[:, :ge]), ohp_b, d_mm)
                     jv = [fz[i] + jnp.sum(Je_g[i] * xp_rows, axis=0,
                                           keepdims=True) for i in range(r)]
                     ce = sum(
                         Je_g[i] * jnp.broadcast_to(jv[i], (ge, max_rows))
                         for i in range(r))
-                    pt_out[j * BT:(j + 1) * BT, :] = dot3l(
-                        ohp_b, ce, d_ll).astype(pt_out.dtype)
+                    tile_out = dot3l(ohp_b, ce, d_ll)  # (BT, ge)
                     q = jv
                 else:
                     ce = sum(
@@ -784,23 +842,32 @@ def implicit_schur_matvec(
                     rep = jax.lax.dot_general(
                         etfz, REPm, dimension_numbers=d_mm,
                         preferred_element_type=f32, precision=HI)
-                    u_tile = jax.lax.dot_general(
+                    tile_out = jax.lax.dot_general(
                         blk * rep, REDm, dimension_numbers=d_mm,
                         preferred_element_type=f32, precision=HI)
-                    pt_out[j * BT:(j + 1) * BT, :] = u_tile.astype(
-                        pt_out.dtype)
-                    u_rows = dot3(jnp.transpose(u_tile), ohp_b, d_mm)
+                    u_rows = dot3(jnp.transpose(tile_out), ohp_b, d_mm)
                     q = [fz[i] - jnp.sum(Je_g[i] * u_rows, axis=0,
                                          keepdims=True) for i in range(r)]
+                # u/pt write: overlapping windows; the sequential grid makes
+                # the LAST writer win, and every point's final writer is the
+                # tile that owns it (segment_block_expand's trick)
+                if out_cp is not None:
+                    out_cp.wait()
+                out_vmem[j, :, :] = tile_out.astype(out_vmem.dtype)
+                b0a = pl.multiple_of(block0_ref[g * unroll + j], 8)
+                out_cp = pltpu.make_async_copy(
+                    out_vmem.at[j], pt_hbm.at[pl.ds(b0a, BT), :], sem_o)
+                out_cp.start()
                 # mask boundary rows on the narrow cf tile (gf sublanes)
-                # instead of rebuilding a masked (C_pad, rows) one-hot
                 in_tile = jnp.where(
-                    (pid1 >= block0) & (pid1 < block0 + BT), one, zero)
+                    (pid1 >= b0) & (pid1 < b1), one, zero)
                 cf = sum(
                     Jf_g[i] * jnp.broadcast_to(q[i], (gf, max_rows))
                     for i in range(r)) * jnp.broadcast_to(
                         in_tile, (gf, max_rows))
                 cam_acc = cam_acc + dot3l(ohc_b, cf, d_ll)
+            if out_cp is not None:
+                out_cp.wait()
 
             @pl.when(g == 0)
             def _init():
@@ -815,37 +882,40 @@ def implicit_schur_matvec(
             pltpu.VMEM((unroll, 8, max_rows), jnp.int32),
             pltpu.VMEM((unroll, 8, max_rows), jnp.int32),
             pltpu.VMEM((unroll, lanes_pad, max_rows), dt),
+            pltpu.VMEM((unroll, BT, w_blk), blk_hbm.dtype),
+            pltpu.VMEM((unroll, BT, ge), dt),
             pltpu.SemaphoreType.DMA((unroll,)),
             pltpu.SemaphoreType.DMA((unroll,)),
             pltpu.SemaphoreType.DMA((unroll,)),
+            pltpu.SemaphoreType.DMA((unroll,)),
+            pltpu.SemaphoreType.DMA(()),
         )
 
-    blk_width = blk_rows.shape[1]
     with jax.enable_x64(False):
         cam_out, pt_out = pl.pallas_call(
             kernel,
             grid=(grid,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # z_T
-                pl.BlockSpec((unroll * BT, blk_width), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),   # per-point rows
             ],
             out_specs=(
                 pl.BlockSpec((C_pad, gf), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((unroll * BT, ge), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),   # manual DMA
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((C_pad, gf), dt),
-                jax.ShapeDtypeStruct((nb_pad, ge), dt),
+                jax.ShapeDtypeStruct((nb_out, ge), dt),
             ),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
-        )(tile_starts, pid_T, cid_T, JT, z_T, blk_rows)
+        )(tile_starts, tile_block0, pid_T, cid_T, JT, z_T, blk_hbm)
     return cam_out, pt_out
 
 
@@ -879,47 +949,48 @@ def prep_matvec_rows(Jf, Je, pt_ids, cam_ids, max_rows, r, tf, te):
     return JT, pid_T, cid_T
 
 
-def isc_matvec(JT, pid_T, cid_T, z, minv_flat, tile_starts, num_points, C,
-               r, tf, te, max_rows=512, unroll=4, interpret=False):
+def isc_matvec(JT, pid_T, cid_T, z, minv_flat, tile_starts, tile_block0,
+               num_points, C, r, tf, te, max_rows=512, unroll=4,
+               interpret=False):
     """Fused S·z (see implicit_schur_matvec): z (C*tf,) camera vector,
     minv_flat (num_points, te*te). Returns (Sz_wo_diag (C*tf,),
     u (num_points, te)) — caller adds d2f*z."""
     dt = JT.dtype
     C_pad = max(_LANE, -(-(C + 1) // _LANE) * _LANE)
-    tf_pad = max(8, -(-tf // 8) * 8)
+    gf = max(8, -(-tf // 8) * 8)
     tete_pad = max(8, -(-te * te // 8) * 8)
-    z_T = jnp.zeros((tf_pad, C_pad), dt)
+    z_T = jnp.zeros((gf, C_pad), dt)
     z_T = jax.lax.dynamic_update_slice(z_T, z.reshape(C, tf).T, (0, 0))
     P = minv_flat.shape[0]
-    minv_p = jnp.concatenate([
-        minv_flat,
-        jnp.zeros((P, tete_pad - minv_flat.shape[1]), dt),
-    ], axis=1) if minv_flat.shape[1] < tete_pad else minv_flat
+    nb = num_points + 1 + BLOCKS_PER_TILE
+    blk = jnp.zeros((nb, tete_pad), dt)
+    blk = jax.lax.dynamic_update_slice(blk, minv_flat, (0, 0))
     cam, u = implicit_schur_matvec(
-        JT, pid_T, cid_T, z_T, minv_p, tile_starts, num_points, C,
-        r, tf, te, max_rows=max_rows, unroll=unroll, interpret=interpret,
+        JT, pid_T, cid_T, z_T, blk, tile_starts, tile_block0, num_points,
+        C, r, tf, te, max_rows=max_rows, unroll=unroll, interpret=interpret,
         mode="isc")
     return cam[:C, :tf].reshape(-1), u[:num_points, :te]
 
 
-def normal_matvec(JT, pid_T, cid_T, xc, xp, tile_starts, num_points, C,
-                  r, tf, te, max_rows=512, unroll=4, interpret=False):
+def normal_matvec(JT, pid_T, cid_T, xc, xp, tile_starts, tile_block0,
+                  num_points, C, r, tf, te, max_rows=512, unroll=4,
+                  interpret=False):
     """Fused (J'J)x for the e/f split (CGNR hot op): xc (C*tf,),
     xp (num_points, te). Returns (cam (C*tf,), pt (num_points, te)) —
     caller adds D² x."""
     dt = JT.dtype
     C_pad = max(_LANE, -(-(C + 1) // _LANE) * _LANE)
-    tf_pad = max(8, -(-tf // 8) * 8)
-    te_pad = max(8, -(-te // 8) * 8)
-    z_T = jnp.zeros((tf_pad, C_pad), dt)
+    gf = max(8, -(-tf // 8) * 8)
+    ge = max(8, -(-te // 8) * 8)
+    z_T = jnp.zeros((gf, C_pad), dt)
     z_T = jax.lax.dynamic_update_slice(z_T, xc.reshape(C, tf).T, (0, 0))
-    xp_p = jnp.concatenate([
-        xp, jnp.zeros((xp.shape[0], te_pad - te), dt)], axis=1
-    ) if te < te_pad else xp
+    nb = num_points + 1 + BLOCKS_PER_TILE
+    blk = jnp.zeros((nb, ge), dt)
+    blk = jax.lax.dynamic_update_slice(blk, xp, (0, 0))
     cam, pt = implicit_schur_matvec(
-        JT, pid_T, cid_T, z_T, None, tile_starts, num_points, C,
-        r, tf, te, max_rows=max_rows, unroll=unroll, interpret=interpret,
-        mode="normal", x_pt=xp_p)
+        JT, pid_T, cid_T, z_T, blk, tile_starts, tile_block0, num_points,
+        C, r, tf, te, max_rows=max_rows, unroll=unroll, interpret=interpret,
+        mode="normal")
     return cam[:C, :tf].reshape(-1), pt[:num_points, :te]
 
 

@@ -165,13 +165,14 @@ def test_isc_matvec_kernel_interpret(P, C, B, r, tf, te):
     Jf[cam >= C] = 0.0
     z = rng.standard_normal(C * tf).astype(np.float32)
     minv = rng.standard_normal((P, te * te)).astype(np.float32)
-    ts, max_rows = pk.plan_block_tiles(pt, P)
+    ts, tb, max_rows = pk.plan_row_tiles(pt, P + 1, target_rows=256)
     JT, pid_T, cid_T = pk.prep_matvec_rows(
         jnp.asarray(Jf.reshape(B, -1)), jnp.asarray(Je.reshape(B, -1)),
         jnp.asarray(pt), jnp.asarray(cam), max_rows, r, tf, te)
     camv, u = pk.isc_matvec(
         JT, pid_T, cid_T, jnp.asarray(z), jnp.asarray(minv),
-        jnp.asarray(ts), P, C, r, tf, te, max_rows=max_rows, interpret=True)
+        jnp.asarray(ts), jnp.asarray(tb), P, C, r, tf, te,
+        max_rows=max_rows, interpret=True)
     cam_ref, u_ref = _isc_ref(Jf, Je, pt, cam, P, C, z=z, minv=minv)
     np.testing.assert_allclose(np.asarray(u), u_ref, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(camv), cam_ref.reshape(-1),
@@ -192,13 +193,14 @@ def test_normal_matvec_kernel_interpret(P, C, B, r, tf, te):
     Je[pt == P] = 0.0
     xc = rng.standard_normal(C * tf).astype(np.float32)
     xp = rng.standard_normal((P, te)).astype(np.float32)
-    ts, max_rows = pk.plan_block_tiles(pt, P)
+    ts, tb, max_rows = pk.plan_row_tiles(pt, P + 1, target_rows=256)
     JT, pid_T, cid_T = pk.prep_matvec_rows(
         jnp.asarray(Jf.reshape(B, -1)), jnp.asarray(Je.reshape(B, -1)),
         jnp.asarray(pt), jnp.asarray(cam), max_rows, r, tf, te)
     camv, ptv = pk.normal_matvec(
         JT, pid_T, cid_T, jnp.asarray(xc), jnp.asarray(xp),
-        jnp.asarray(ts), P, C, r, tf, te, max_rows=max_rows, interpret=True)
+        jnp.asarray(ts), jnp.asarray(tb), P, C, r, tf, te,
+        max_rows=max_rows, interpret=True)
     cam_ref, pt_ref = _isc_ref(Jf, Je, pt, cam, P, C, z=xc, xp=xp)
     np.testing.assert_allclose(np.asarray(ptv), pt_ref, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(camv), cam_ref.reshape(-1),
