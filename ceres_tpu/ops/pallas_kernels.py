@@ -212,8 +212,8 @@ def segment_block_sum(
             grid=(num_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),  # ids stay in HBM
-                pl.BlockSpec(memory_space=pltpu.ANY),  # contrib stays in HBM
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # ids stay in HBM
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # contrib stays in HBM
             ],
             out_specs=pl.BlockSpec(
                 (BLOCKS_PER_TILE, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -316,10 +316,10 @@ def segment_block_expand(
             grid=(num_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             out_shape=jax.ShapeDtypeStruct((t_pad, n_pad), block_vals.dtype),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
@@ -587,9 +587,9 @@ def segment_spread_sum(
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
     ]
@@ -603,7 +603,7 @@ def segment_spread_sum(
                 kernel,
                 grid=(grid,),
                 in_specs=in_specs + [
-                    pl.BlockSpec(memory_space=pltpu.ANY),  # Jc in HBM
+                    pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # Jc in HBM
                 ],
                 out_specs=(
                     a_spec,
@@ -898,16 +898,16 @@ def implicit_schur_matvec(
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # z_T
-                pl.BlockSpec(memory_space=pltpu.ANY),   # per-point rows
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # per-point rows
             ],
             out_specs=(
                 pl.BlockSpec((C_pad, gf), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),   # manual DMA
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # manual DMA
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((C_pad, gf), dt),

@@ -22,11 +22,15 @@ beta, LBFGS two-loop with approximate-eigenvalue scaling, dense BFGS
 update), descent-direction restarts, initial-step rules, Armijo
 sufficient-decrease and strong-Wolfe curvature conditions, the
 bracketing/zoom state machine, function/parameter/gradient tolerances,
-termination taxonomy.  One documented deviation: polynomial
-interpolation uses the closed-form two-point cubic (or quadratic /
-bisection per line_search_interpolation_type) on (previous, current)
-samples, where the host path fits the trailing-3 sample window — the
-accepted steps satisfy the same conditions either way.
+termination taxonomy.  Interpolation parity: the Armijo search fits the
+reference's exact {lowerbound, current, previous} polynomial window
+(line_search.cc:245-267) via _interp_minimum3 (polynomial minimization
+by grid+Newton instead of companion-matrix eigenvalues, which XLA lacks
+on TPU); Wolfe bracketing/zoom use two-point interpolation exactly as
+the reference does (line_search.cc:645-657, 800-813 pad the 3-sample
+API with an invalid `previous`).  Remaining deviation: the zoom interval
+is shrunk by a 1% margin before interpolation to avoid endpoint
+stagnation, where the reference relies on its sample-comparison step.
 
 LBFGS history buffers are fixed-size (max_lbfgs_rank, T) arrays with a
 count — the XLA-static mirror of the reference's deque of vectors.
@@ -69,12 +73,14 @@ class _Sample(NamedTuple):
 
 def _interp_minimum(interp, s0: _Sample, s1: _Sample, lower, upper):
     """Minimizer of the interpolant through (s0: value+gradient,
-    s1: value[+gradient]) clamped to [lower, upper]; falls back to
-    bisection whenever the closed form is undefined (the
-    minimize_interpolating_polynomial fallback)."""
-    mid = 0.5 * (lower + upper)
+    s1: value[+gradient]) clamped to [lower, upper]. Invalid samples /
+    undefined closed forms fall back to the reference's contraction rule
+    clip(0.5 * current.x) (line_search.cc:217-221), which is also the
+    BISECTION behavior."""
+    # current = the larger-x sample (the reference's upper_bound_step)
+    half = jnp.clip(0.5 * jnp.maximum(s0.s, s1.s), lower, upper)
     if interp == LineSearchInterpolationType.BISECTION:
-        return mid
+        return half
     x0, f0, g0 = s0.s, s0.f, s0.dphi
     x1, f1, g1 = s1.s, s1.f, s1.dphi
     dx = x1 - x0
@@ -91,7 +97,78 @@ def _interp_minimum(interp, s0: _Sample, s1: _Sample, lower, upper):
         ok = (disc >= 0.0) & (denom != 0.0) & jnp.isfinite(cand)
     ok = ok & s1.valid & jnp.isfinite(f1)
     cand = jnp.clip(cand, lower, upper)
-    return jnp.where(ok, cand, mid)
+    return jnp.where(ok, cand, half)
+
+
+def _min_poly(coeffs, lower, upper, sample_xs):
+    """Global minimizer of the polynomial (descending coeffs) on
+    [lower, upper]: dense-grid seed + Newton polish on p', compared
+    against the interval ends and the sample positions (the reference's
+    MinimizePolynomial + sample comparison, polynomial.cc:374-392 —
+    root isolation by grid+Newton instead of companion eigenvalues,
+    which XLA lacks on TPU)."""
+    d1 = jnp.polyder(coeffs)
+    d2 = jnp.polyder(d1)
+    ts = jnp.linspace(0.0, 1.0, 33)
+    xs = lower + (upper - lower) * ts
+    x = xs[jnp.argmin(jnp.polyval(coeffs, xs))]
+    for _ in range(4):
+        p1 = jnp.polyval(d1, x)
+        p2 = jnp.polyval(d2, x)
+        x = jnp.clip(
+            jnp.where(jnp.abs(p2) > 0.0, x - p1 / p2, x), lower, upper)
+    cands = jnp.concatenate([
+        jnp.stack([x, lower, upper]),
+        jnp.clip(sample_xs, lower, upper),
+    ])
+    vals = jnp.polyval(coeffs, cands)
+    vals = jnp.where(jnp.isfinite(vals), vals, np.inf)
+    return cands[jnp.argmin(vals)]
+
+
+def _interp_minimum3(interp, s0: _Sample, s_prev: _Sample, s_cur: _Sample,
+                     lower, upper):
+    """Reference Armijo interpolation (line_search.cc:210-277): fit the
+    exact degree-(#constraints-1) polynomial through {lowerbound
+    (value+gradient), current, previous-if-valid} and minimize it on
+    [lower, upper]. QUADRATIC uses values only for current/previous;
+    CUBIC uses values+gradients. Falls back to the two-point closed form
+    when previous is invalid or the Vandermonde solve degenerates."""
+    two_pt = _interp_minimum(interp, s0, s_cur, lower, upper)
+    if interp == LineSearchInterpolationType.BISECTION:
+        return two_pt
+
+    def fit(rows_x, rows_f, rows_g, use_grad):
+        # constraints: value rows for every x, gradient rows where used
+        n_val = len(rows_x)
+        n = n_val + sum(use_grad)
+        deg = n - 1
+        A = []
+        b = []
+        for x, f in zip(rows_x, rows_f):
+            A.append(jnp.stack([x ** (deg - j) for j in range(n)]))
+            b.append(f)
+        for x, g, u in zip(rows_x, rows_g, use_grad):
+            if not u:
+                continue
+            A.append(jnp.stack(
+                [(deg - j) * x ** jnp.maximum(deg - j - 1, 0)
+                 if j < deg else jnp.zeros_like(x) for j in range(n)]))
+            b.append(g)
+        A = jnp.stack(A)
+        b = jnp.stack(b)
+        return jnp.linalg.solve(A, b)
+
+    x0, xp, xc = s0.s, s_prev.s, s_cur.s
+    if interp == LineSearchInterpolationType.QUADRATIC:
+        coeffs = fit([x0, xc, xp], [s0.f, s_cur.f, s_prev.f],
+                     [s0.dphi, 0.0, 0.0], [True, False, False])
+    else:  # CUBIC
+        coeffs = fit([x0, xc, xp], [s0.f, s_cur.f, s_prev.f],
+                     [s0.dphi, s_cur.dphi, s_prev.dphi], [True, True, True])
+    three_pt = _min_poly(coeffs, lower, upper, jnp.stack([x0, xc, xp]))
+    ok = s_prev.valid & jnp.all(jnp.isfinite(coeffs)) & jnp.isfinite(three_pt)
+    return jnp.where(ok, three_pt, two_pt)
 
 
 class FusedLineSearchMinimizer:
@@ -134,35 +211,45 @@ class FusedLineSearchMinimizer:
             s=jnp.asarray(0.0, jnp.float64), f=f0, dphi=dphi0,
             valid=jnp.asarray(True),
         )
+        no_prev = _Sample(
+            s=jnp.asarray(0.0, jnp.float64),
+            f=jnp.asarray(np.inf, jnp.float64),
+            dphi=jnp.asarray(0.0, jnp.float64), valid=jnp.asarray(False),
+        )
         cur, grad = self._probe(x, d, step0)
 
         def needs_backtrack(c):
             return (~c.valid) | (c.f > f0 + c1 * c.s * c.dphi)
 
         def cond(st):
-            i, cur, grad, fail = st
+            i, prev, cur, grad, fail = st
             return (~fail) & needs_backtrack(cur)
 
         def body(st):
-            i, cur, grad, fail = st
+            i, prev, cur, grad, fail = st
             i = i + 1
             fail = i >= max_it
             lower = o.max_line_search_step_contraction * cur.s
             upper = o.min_line_search_step_contraction * cur.s
-            new_s = _interp_minimum(
-                o.line_search_interpolation_type, initial, cur, lower, upper
+            # trailing-3 sample window (line_search.cc:325-336)
+            new_s = _interp_minimum3(
+                o.line_search_interpolation_type, initial, prev, cur,
+                lower, upper
             )
             fail = fail | (new_s < o.min_line_search_step_size)
             nxt, ngrad = self._probe(x, d, jnp.maximum(new_s, 0.0))
             keep = fail
+            prev = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(keep, a, b), prev, cur
+            )
             cur = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(keep, a, b), cur, nxt
             )
             grad = jnp.where(keep, grad, ngrad)
-            return (i, cur, grad, fail)
+            return (i, prev, cur, grad, fail)
 
-        i, cur, grad, fail = jax.lax.while_loop(
-            cond, body, (jnp.asarray(0, jnp.int32), cur, grad,
+        i, _, cur, grad, fail = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), no_prev, cur, grad,
                          jnp.asarray(False))
         )
         ok = (~fail) & (~needs_backtrack(cur))

@@ -89,7 +89,9 @@ def _interpolate(
     upper: float,
 ) -> float:
     if interpolation == LineSearchInterpolationType.BISECTION:
-        return 0.5 * (lower + upper)
+        # reference contraction rule min(max(0.5*current.x, min), max)
+        # (line_search.cc:217-221)
+        return float(np.clip(0.5 * hi_x, lower, upper))
     usable = [s for s in samples if s.value_is_valid]
     if interpolation == LineSearchInterpolationType.QUADRATIC:
         # Drop gradient info except at the first point (reference semantics).
@@ -117,7 +119,7 @@ class ArmijoLineSearch:
     def search(self, fn: LineSearchFunction, step0: float, initial: FunctionSample):
         o = self.o
         current = fn.value_and_gradient(step0)
-        samples = [initial, current]
+        previous = None
         descent = initial.gradient
         it = 0
         while (
@@ -130,13 +132,17 @@ class ArmijoLineSearch:
                 return None, it
             lower = o.max_line_search_step_contraction * current.x
             upper = o.min_line_search_step_contraction * current.x
+            # reference window {lowerbound, current, previous-if-valid}
+            # (line_search.cc:245-267) — NOT a trailing window of all probes
+            window = [initial, current]
+            if previous is not None and previous.value_is_valid:
+                window.append(previous)
             new_x = _interpolate(
-                o.line_search_interpolation_type, initial, current.x, samples, lower, upper
+                o.line_search_interpolation_type, initial, current.x, window, lower, upper
             )
             if new_x < o.min_line_search_step_size:
                 return None, it
-            current = fn.value_and_gradient(new_x)
-            samples.append(current)
+            previous, current = current, fn.value_and_gradient(new_x)
         return current, it
 
 
@@ -183,7 +189,7 @@ class WolfeLineSearch:
             new_x = _interpolate(
                 o.line_search_interpolation_type,
                 lo,
-                hi.x,
+                max(lo.x, hi.x),
                 [s for s in (lo, hi) if s.value_is_valid],
                 lower + 0.01 * (upper - lower),
                 upper - 0.01 * (upper - lower),

@@ -147,3 +147,33 @@ def test_fused_termination_messages():
     _, s = _solve_gp("ALWAYS")
     assert s.termination_type == ct.TerminationType.CONVERGENCE
     assert s.message
+
+
+@pytest.mark.parametrize("interp", ["CUBIC", "QUADRATIC", "BISECTION"])
+def test_armijo_three_point_interpolation_parity(interp):
+    """The fused Armijo trailing-3 interpolation (line_search.cc:245-267
+    window {lowerbound, current, previous}) tracks the host loop
+    iteration-by-iteration on a smooth convex problem."""
+    def cost(v):
+        x, y = v[0], v[1]
+        return (x - 1.0) ** 4 + 10.0 * (y + 2.0) ** 4 + 0.5 * x * x + y * y
+
+    kw = dict(
+        minimizer_type=ct.MinimizerType.LINE_SEARCH,
+        line_search_direction_type=(
+            ct.LineSearchDirectionType.NONLINEAR_CONJUGATE_GRADIENT),
+        line_search_type=ct.LineSearchType.ARMIJO,
+        line_search_interpolation_type=(
+            ct.LineSearchInterpolationType[interp]),
+        max_num_iterations=25,
+    )
+    xh = np.asarray([4.0, 3.0])
+    host = solve_gradient_problem(
+        ct.Options(fused_loop="NEVER", **kw), GradientProblem(cost, 2), xh)
+    xf = np.asarray([4.0, 3.0])
+    fused = solve_gradient_problem(
+        ct.Options(fused_loop="ALWAYS", **kw), GradientProblem(cost, 2), xf)
+    n = min(len(host.iterations), len(fused.iterations), 12)
+    for ih, if_ in zip(host.iterations[:n], fused.iterations[:n]):
+        assert if_.cost == pytest.approx(ih.cost, rel=1e-6, abs=1e-10), (
+            f"iter {ih.iteration}: host {ih.cost} fused {if_.cost}")
