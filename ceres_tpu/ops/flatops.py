@@ -660,9 +660,9 @@ class _FlatOpsBase:
         Js_f = Jf * _mm(sf_rows, self.sel.get("rep_t", kind.r, pf.t, Jf.dtype))
         Js_e = Je * _mm(se_rows, self.sel.get("rep_t", kind.r, pe.t, Je.dtype))
         max_rows = pe.rplan[2]
-        JT, pid_T, cid_T = pk.prep_matvec_rows(
+        JT, ids_T = pk.prep_matvec_rows(
             Js_f, Js_e, pe.local, pf.local, max_rows, kind.r, pf.t, pe.t)
-        return JT, pid_T, cid_T, kind.r, max_rows
+        return JT, ids_T, kind.r, max_rows
 
 
 class FlatSchurOps(_FlatOpsBase):
@@ -746,16 +746,16 @@ class FlatSchurOps(_FlatOpsBase):
         pe, pf = qual
         from . import pallas_kernels as pk
 
-        JT, pid_T, cid_T, r, max_rows = self._kernel_scaled_rows(
+        JT, ids_T, r, max_rows = self._kernel_scaled_rows(
             vflat, pe, pf, se, sf)
         interp = PALLAS_MODE == "interpret"
 
-        def matvec(z, minv_flat):
+        def matvec(z, minv_flat, emit_u=False):
             cam, u = pk.isc_matvec(
-                JT, pid_T, cid_T, z, minv_flat, pe.rplan[0], pe.rplan[1],
+                JT, ids_T, z, minv_flat, pe.rplan[0], pe.rplan[1],
                 pe.nv, pf.nv, r, pf.t, pe.t, max_rows=max_rows,
-                interpret=interp)
-            return cam, u.reshape(-1)
+                interpret=interp, emit_u=emit_u)
+            return cam, (u.reshape(-1) if emit_u else None)
 
         return matvec
 
@@ -833,7 +833,7 @@ class FlatJacobianOps(_FlatOpsBase):
             return None
         from . import pallas_kernels as pk
 
-        JT, pid_T, cid_T, r, max_rows = self._kernel_scaled_rows(
+        JT, ids_T, r, max_rows = self._kernel_scaled_rows(
             vflat, pe, pf, scale, scale)
         interp = PALLAS_MODE == "interpret"
         size = self.meta.tangent_size
@@ -843,7 +843,7 @@ class FlatJacobianOps(_FlatOpsBase):
             xp = jax.lax.dynamic_slice(
                 x, (pe.off,), (pe.nv * pe.t,)).reshape(pe.nv, pe.t)
             cam, pt = pk.normal_matvec(
-                JT, pid_T, cid_T, xc, xp, pe.rplan[0], pe.rplan[1],
+                JT, ids_T, xc, xp, pe.rplan[0], pe.rplan[1],
                 pe.nv, pf.nv, r, pf.t, pe.t, max_rows=max_rows,
                 interpret=interp)
             out = jnp.zeros((size,), x.dtype)

@@ -648,8 +648,8 @@ def _sel01(shape, fn):
 
 def implicit_schur_matvec(
     JT,  # (r*gf + r*ge, n_pad) transposed scaled GROUPED J lanes [Jf | Je]
-    pid_T,  # (8, n_pad) int32 point ids (sorted; sentinel == num_points)
-    cid_T,  # (8, n_pad) int32 camera ids (sentinel >= C)
+    ids_T,  # (8, n_pad) int32: sublane 0 = point ids (sorted; sentinel ==
+    #         num_points), sublane 1 = camera ids (sentinel >= C)
     z_T,  # (gf, C_pad) transposed camera vector, zero-padded past C / tf
     blk_hbm,  # (>= num_points+1+BT, w) per-point rows: minv (isc) / x (normal)
     tile_starts,  # (T+1,) int32 lane-aligned per-tile row offsets
@@ -663,6 +663,7 @@ def implicit_schur_matvec(
     unroll: int = 4,
     interpret: bool = False,
     mode: str = "isc",
+    emit_u: bool = True,
 ):
     """The whole implicit-Schur product S·z in ONE Pallas kernel
     (implicit_schur_complement.cc:106 on TPU). Per observation tile:
@@ -738,23 +739,26 @@ def implicit_schur_matvec(
         lo = (rem - mid.astype(f32)).astype(bf16)
         return hi, mid, lo
 
-    def kernel(starts_ref, block0_ref, pid_hbm, cid_hbm, jt_hbm, z_ref,
-               blk_hbm_ref, cam_out, pt_hbm):
+    def kernel(*refs):
+        if emit_u:
+            (starts_ref, block0_ref, ids_hbm, jt_hbm, z_ref,
+             blk_hbm_ref, cam_out, pt_hbm) = refs
+        else:
+            (starts_ref, block0_ref, ids_hbm, jt_hbm, z_ref,
+             blk_hbm_ref, cam_out) = refs
+            pt_hbm = None
         g = pl.program_id(0)
 
-        def body(pid_vmem, cid_vmem, jt_vmem, blk_vmem, out_vmem,
-                 sem_p, sem_c, sem_j, sem_b, sem_o):
+        def body(ids_vmem, jt_vmem, blk_vmem, out_vmem,
+                 sem_i, sem_j, sem_b, sem_o):
             copies = []
             for j in range(unroll):
                 row0 = pl.multiple_of(starts_ref[g * unroll + j], _LANE)
                 b0 = pl.multiple_of(block0_ref[g * unroll + j], 8)
                 cps = [
                     pltpu.make_async_copy(
-                        pid_hbm.at[:, pl.ds(row0, max_rows)],
-                        pid_vmem.at[j], sem_p.at[j]),
-                    pltpu.make_async_copy(
-                        cid_hbm.at[:, pl.ds(row0, max_rows)],
-                        cid_vmem.at[j], sem_c.at[j]),
+                        ids_hbm.at[:, pl.ds(row0, max_rows)],
+                        ids_vmem.at[j], sem_i.at[j]),
                     pltpu.make_async_copy(
                         jt_hbm.at[:, pl.ds(row0, max_rows)],
                         jt_vmem.at[j], sem_j.at[j]),
@@ -810,9 +814,10 @@ def implicit_schur_matvec(
                 b0 = block0_ref[g * unroll + j]
                 b1 = block0_ref[g * unroll + j + 1]
                 jt = jt_vmem[j]
-                pid1 = pid_vmem[j][:1, :]
+                pid1 = ids_vmem[j][0:1, :]
                 pid = jnp.broadcast_to(pid1, (BT, max_rows))
-                cid = jnp.broadcast_to(cid_vmem[j][:1, :], (C_pad, max_rows))
+                cid = jnp.broadcast_to(ids_vmem[j][1:2, :],
+                                       (C_pad, max_rows))
                 ohc_b = jnp.where(cid == csub, one, zero).astype(bf16)
                 ohp_b = jnp.where(
                     (pid - b0 == sub) & (pid < b1) & (pid < num_points),
@@ -843,21 +848,27 @@ def implicit_schur_matvec(
                         etfz, REPm, dimension_numbers=d_mm,
                         preferred_element_type=f32, precision=HI)
                     tile_out = jax.lax.dot_general(
-                        blk * rep, REDm, dimension_numbers=d_mm,
+                        blk[:, :te2p] * rep, REDm, dimension_numbers=d_mm,
                         preferred_element_type=f32, precision=HI)
                     u_rows = dot3(jnp.transpose(tile_out), ohp_b, d_mm)
                     q = [fz[i] - jnp.sum(Je_g[i] * u_rows, axis=0,
                                          keepdims=True) for i in range(r)]
-                # u/pt write: overlapping windows; the sequential grid makes
-                # the LAST writer win, and every point's final writer is the
-                # tile that owns it (segment_block_expand's trick)
-                if out_cp is not None:
-                    out_cp.wait()
-                out_vmem[j, :, :] = tile_out.astype(out_vmem.dtype)
-                b0a = pl.multiple_of(block0_ref[g * unroll + j], 8)
-                out_cp = pltpu.make_async_copy(
-                    out_vmem.at[j], pt_hbm.at[pl.ds(b0a, BT), :], sem_o)
-                out_cp.start()
+                # u/pt write (emit_u only — the CG loop skips it and only
+                # the final back-substitution call pays for it):
+                # overlapping windows; the sequential grid makes the LAST
+                # writer win, and every point's final writer is the tile
+                # that owns it (segment_block_expand's trick)
+                if emit_u:
+                    if out_cp is not None:
+                        out_cp.wait()
+                    out_vmem[j, :, :] = jnp.concatenate([
+                        tile_out,
+                        jnp.zeros((BT, _LANE - tile_out.shape[1]), f32),
+                    ], axis=1).astype(out_vmem.dtype)
+                    b0a = pl.multiple_of(block0_ref[g * unroll + j], 8)
+                    out_cp = pltpu.make_async_copy(
+                        out_vmem.at[j], pt_hbm.at[pl.ds(b0a, BT), :], sem_o)
+                    out_cp.start()
                 # mask boundary rows on the narrow cf tile (gf sublanes)
                 in_tile = jnp.where(
                     (pid1 >= b0) & (pid1 < b1), one, zero)
@@ -880,43 +891,49 @@ def implicit_schur_matvec(
         pl.run_scoped(
             body,
             pltpu.VMEM((unroll, 8, max_rows), jnp.int32),
-            pltpu.VMEM((unroll, 8, max_rows), jnp.int32),
             pltpu.VMEM((unroll, lanes_pad, max_rows), dt),
             pltpu.VMEM((unroll, BT, w_blk), blk_hbm.dtype),
-            pltpu.VMEM((unroll, BT, ge), dt),
-            pltpu.SemaphoreType.DMA((unroll,)),
+            pltpu.VMEM((unroll, BT, _LANE), dt),
             pltpu.SemaphoreType.DMA((unroll,)),
             pltpu.SemaphoreType.DMA((unroll,)),
             pltpu.SemaphoreType.DMA((unroll,)),
             pltpu.SemaphoreType.DMA(()),
         )
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # z_T
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # per-point rows
+    ]
+    cam_spec = pl.BlockSpec((C_pad, gf), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    cam_shape = jax.ShapeDtypeStruct((C_pad, gf), dt)
     with jax.enable_x64(False):
-        cam_out, pt_out = pl.pallas_call(
+        if emit_u:
+            cam_out, pt_out = pl.pallas_call(
+                kernel,
+                grid=(grid,),
+                in_specs=in_specs,
+                out_specs=(cam_spec,
+                           pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)),
+                out_shape=(cam_shape,
+                           jax.ShapeDtypeStruct((nb_out, _LANE), dt)),
+                compiler_params=pltpu.CompilerParams(has_side_effects=True),
+                interpret=interpret,
+            )(tile_starts, tile_block0, ids_T, JT, z_T, blk_hbm)
+            return cam_out, pt_out
+        cam_out = pl.pallas_call(
             kernel,
             grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
-                pl.BlockSpec(memory_space=pltpu.VMEM),  # z_T
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # per-point rows
-            ],
-            out_specs=(
-                pl.BlockSpec((C_pad, gf), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),   # manual DMA
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((C_pad, gf), dt),
-                jax.ShapeDtypeStruct((nb_out, ge), dt),
-            ),
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            in_specs=in_specs,
+            out_specs=cam_spec,
+            out_shape=cam_shape,
             interpret=interpret,
-        )(tile_starts, tile_block0, pid_T, cid_T, JT, z_T, blk_hbm)
-    return cam_out, pt_out
+        )(tile_starts, tile_block0, ids_T, JT, z_T, blk_hbm)
+        return cam_out, None
 
 
 def prep_matvec_rows(Jf, Je, pt_ids, cam_ids, max_rows, r, tf, te):
@@ -944,35 +961,38 @@ def prep_matvec_rows(Jf, Je, pt_ids, cam_ids, max_rows, r, tf, te):
         [pt_ids.astype(jnp.int32), jnp.full((max_rows,), -1, jnp.int32)])
     cid_row = jnp.concatenate(
         [cam_ids.astype(jnp.int32), jnp.full((max_rows,), -1, jnp.int32)])
-    pid_T = jnp.broadcast_to(pid_row[None, :], (8, n_pad))
-    cid_T = jnp.broadcast_to(cid_row[None, :], (8, n_pad))
-    return JT, pid_T, cid_T
+    # ONE id plane: pid on sublane 0, cid on sublane 1 (halves the id DMA)
+    ids_T = jnp.concatenate([
+        pid_row[None, :], cid_row[None, :],
+        jnp.zeros((6, n_pad), jnp.int32)], axis=0)
+    return JT, ids_T
 
 
-def isc_matvec(JT, pid_T, cid_T, z, minv_flat, tile_starts, tile_block0,
+def isc_matvec(JT, ids_T, z, minv_flat, tile_starts, tile_block0,
                num_points, C, r, tf, te, max_rows=512, unroll=4,
-               interpret=False):
+               interpret=False, emit_u=True):
     """Fused S·z (see implicit_schur_matvec): z (C*tf,) camera vector,
     minv_flat (num_points, te*te). Returns (Sz_wo_diag (C*tf,),
-    u (num_points, te)) — caller adds d2f*z."""
+    u (num_points, te) or None when emit_u=False) — caller adds d2f*z."""
     dt = JT.dtype
     C_pad = max(_LANE, -(-(C + 1) // _LANE) * _LANE)
     gf = max(8, -(-tf // 8) * 8)
     tete_pad = max(8, -(-te * te // 8) * 8)
     z_T = jnp.zeros((gf, C_pad), dt)
     z_T = jax.lax.dynamic_update_slice(z_T, z.reshape(C, tf).T, (0, 0))
-    P = minv_flat.shape[0]
     nb = num_points + 1 + BLOCKS_PER_TILE
-    blk = jnp.zeros((nb, tete_pad), dt)
+    # HBM->VMEM copies need 128-aligned minor dims: pad the per-point rows
+    blk = jnp.zeros((nb, _LANE), dt)
     blk = jax.lax.dynamic_update_slice(blk, minv_flat, (0, 0))
     cam, u = implicit_schur_matvec(
-        JT, pid_T, cid_T, z_T, blk, tile_starts, tile_block0, num_points,
+        JT, ids_T, z_T, blk, tile_starts, tile_block0, num_points,
         C, r, tf, te, max_rows=max_rows, unroll=unroll, interpret=interpret,
-        mode="isc")
-    return cam[:C, :tf].reshape(-1), u[:num_points, :te]
+        mode="isc", emit_u=emit_u)
+    return (cam[:C, :tf].reshape(-1),
+            u[:num_points, :te] if emit_u else None)
 
 
-def normal_matvec(JT, pid_T, cid_T, xc, xp, tile_starts, tile_block0,
+def normal_matvec(JT, ids_T, xc, xp, tile_starts, tile_block0,
                   num_points, C, r, tf, te, max_rows=512, unroll=4,
                   interpret=False):
     """Fused (J'J)x for the e/f split (CGNR hot op): xc (C*tf,),
@@ -985,12 +1005,12 @@ def normal_matvec(JT, pid_T, cid_T, xc, xp, tile_starts, tile_block0,
     z_T = jnp.zeros((gf, C_pad), dt)
     z_T = jax.lax.dynamic_update_slice(z_T, xc.reshape(C, tf).T, (0, 0))
     nb = num_points + 1 + BLOCKS_PER_TILE
-    blk = jnp.zeros((nb, ge), dt)
+    blk = jnp.zeros((nb, _LANE), dt)
     blk = jax.lax.dynamic_update_slice(blk, xp, (0, 0))
     cam, pt = implicit_schur_matvec(
-        JT, pid_T, cid_T, z_T, blk, tile_starts, tile_block0, num_points,
+        JT, ids_T, z_T, blk, tile_starts, tile_block0, num_points,
         C, r, tf, te, max_rows=max_rows, unroll=unroll, interpret=interpret,
-        mode="normal")
+        mode="normal", emit_u=True)
     return cam[:C, :tf].reshape(-1), pt[:num_points, :te]
 
 

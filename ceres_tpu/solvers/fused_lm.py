@@ -436,7 +436,7 @@ class IterativeSchurStepOps:
         z = res.x
         # back substitution: y_e = Minv (E_s'b - E_s'F_s z)
         if kern is not None:
-            _, u_fin = kern(z, minv0)
+            _, u_fin = kern(z, minv0, emit_u=True)
             y_e = minv(etb) - u_fin
         else:
             fz = fl.right_f(vrep, sf * z)

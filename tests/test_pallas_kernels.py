@@ -166,13 +166,20 @@ def test_isc_matvec_kernel_interpret(P, C, B, r, tf, te):
     z = rng.standard_normal(C * tf).astype(np.float32)
     minv = rng.standard_normal((P, te * te)).astype(np.float32)
     ts, tb, max_rows = pk.plan_row_tiles(pt, P + 1, target_rows=256)
-    JT, pid_T, cid_T = pk.prep_matvec_rows(
+    JT, ids_T = pk.prep_matvec_rows(
         jnp.asarray(Jf.reshape(B, -1)), jnp.asarray(Je.reshape(B, -1)),
         jnp.asarray(pt), jnp.asarray(cam), max_rows, r, tf, te)
     camv, u = pk.isc_matvec(
-        JT, pid_T, cid_T, jnp.asarray(z), jnp.asarray(minv),
+        JT, ids_T, jnp.asarray(z), jnp.asarray(minv),
         jnp.asarray(ts), jnp.asarray(tb), P, C, r, tf, te,
         max_rows=max_rows, interpret=True)
+    camv2, u2 = pk.isc_matvec(
+        JT, ids_T, jnp.asarray(z), jnp.asarray(minv),
+        jnp.asarray(ts), jnp.asarray(tb), P, C, r, tf, te,
+        max_rows=max_rows, interpret=True, emit_u=False)
+    assert u2 is None
+    np.testing.assert_allclose(np.asarray(camv2), np.asarray(camv),
+                               rtol=1e-5, atol=1e-4)
     cam_ref, u_ref = _isc_ref(Jf, Je, pt, cam, P, C, z=z, minv=minv)
     np.testing.assert_allclose(np.asarray(u), u_ref, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(camv), cam_ref.reshape(-1),
@@ -194,11 +201,11 @@ def test_normal_matvec_kernel_interpret(P, C, B, r, tf, te):
     xc = rng.standard_normal(C * tf).astype(np.float32)
     xp = rng.standard_normal((P, te)).astype(np.float32)
     ts, tb, max_rows = pk.plan_row_tiles(pt, P + 1, target_rows=256)
-    JT, pid_T, cid_T = pk.prep_matvec_rows(
+    JT, ids_T = pk.prep_matvec_rows(
         jnp.asarray(Jf.reshape(B, -1)), jnp.asarray(Je.reshape(B, -1)),
         jnp.asarray(pt), jnp.asarray(cam), max_rows, r, tf, te)
     camv, ptv = pk.normal_matvec(
-        JT, pid_T, cid_T, jnp.asarray(xc), jnp.asarray(xp),
+        JT, ids_T, jnp.asarray(xc), jnp.asarray(xp),
         jnp.asarray(ts), jnp.asarray(tb), P, C, r, tf, te,
         max_rows=max_rows, interpret=True)
     cam_ref, pt_ref = _isc_ref(Jf, Je, pt, cam, P, C, z=xc, xp=xp)
