@@ -39,12 +39,19 @@ def main():
 
     # Observations sorted by point: the point-side segment reductions and
     # gathers then run as the Mosaic tiled one-hot kernels
-    # (ops/pallas_kernels.py) instead of XLA scatter/gather.
-    order = np.argsort(np.asarray(b.point_index), kind="stable")
+    # (ops/pallas_kernels.py) instead of XLA scatter/gather. Points are
+    # RENUMBERED so each 128-point tile carries ~equal rows (LPT deal,
+    # pallas_kernels.balanced_block_order) — the kernels' static row
+    # budget then sits at the mean instead of the heaviest tile.
+    from ceres_tpu.ops import pallas_kernels as pk
+
+    new_id = pk.balanced_block_order(np.asarray(b.point_index), n_pts)
+    pt_idx_new = new_id[np.asarray(b.point_index)]
+    order = np.argsort(pt_idx_new, kind="stable")
     cams = jnp.asarray(b.cameras, dtype)
-    pts = jnp.asarray(b.points, dtype)
+    pts = jnp.asarray(np.asarray(b.points)[np.argsort(new_id)], dtype)
     cam_idx = jnp.asarray(np.asarray(b.camera_index)[order])
-    pt_idx = jnp.asarray(np.asarray(b.point_index)[order])
+    pt_idx = jnp.asarray(pt_idx_new[order])
     obs = jnp.asarray(np.asarray(b.observations)[order], dtype)
 
     import functools

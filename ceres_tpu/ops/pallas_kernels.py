@@ -58,6 +58,42 @@ def plan_block_tiles(sorted_ids: np.ndarray, num_blocks: int,
     return starts.astype(np.int32), max_rows
 
 
+def balanced_block_order(ids: np.ndarray, num_blocks: int,
+                         blocks_per_tile: int = BLOCKS_PER_TILE) -> np.ndarray:
+    """Renumber blocks so every 128-block tile has ~equal total rows.
+
+    plan_block_tiles' static row budget pays for the HEAVIEST tile
+    everywhere; with power-law track lengths (BAL) that is ~1.6x the mean.
+    Dealing blocks round-robin over tiles in descending row-count order
+    (LPT scheduling) flattens per-tile totals to mean + O(max_count), so
+    max_rows ~= mean rows/tile — a free ~1.5x on every segment kernel.
+
+    Returns new_id (num_blocks,) int: new_id[old_block] = new block id.
+    Callers renumber ids as new_id[ids], re-sort rows, and permute any
+    per-block arrays by old_of_new = argsort(new_id)."""
+    counts = np.bincount(np.asarray(ids), minlength=num_blocks)
+    order = np.argsort(-counts, kind="stable")  # heaviest first
+    ngroups = -(-num_blocks // blocks_per_tile)
+    cap = np.full(ngroups, blocks_per_tile, np.int64)
+    cap[-1] = num_blocks - (ngroups - 1) * blocks_per_tile
+    fill = np.zeros(ngroups, np.int64)
+    load = np.zeros(ngroups, np.float64)
+    new_id = np.empty(num_blocks, np.int64)
+    g = 0
+    for ob in order:
+        # next group with capacity, round-robin (greedy balance: the deal
+        # order is descending so round-robin ~= least-loaded)
+        for _ in range(ngroups):
+            if fill[g] < cap[g]:
+                break
+            g = (g + 1) % ngroups
+        new_id[ob] = g * blocks_per_tile + fill[g]
+        fill[g] += 1
+        load[g] += counts[ob]
+        g = (g + 1) % ngroups
+    return new_id
+
+
 def plan_row_tiles(sorted_ids: np.ndarray, num_blocks: int,
                    target_rows: int = 512,
                    blocks_per_tile: int = BLOCKS_PER_TILE):
