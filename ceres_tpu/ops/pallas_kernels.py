@@ -152,21 +152,31 @@ def segment_block_sum(
     blocks_per_tile: int = BLOCKS_PER_TILE,
     max_rows: int = 512,
     interpret: bool = False,
+    contrib_T=None,  # (t, N) pre-transposed alternative to `contrib`
 ):
     """out[b] = sum_{i: sorted_ids[i]==b} contrib[i]. Output padded to a
-    multiple of BLOCKS_PER_TILE rows."""
+    multiple of BLOCKS_PER_TILE rows. Pass `contrib_T` (t, N) instead of
+    `contrib` when the producer already lives in the lane-major layout —
+    (N, t) arrays with small t are 128-lane padded in HBM, so the
+    transpose here costs a padded read."""
     assert blocks_per_tile == BLOCKS_PER_TILE, "tile width is fixed at 128"
-    n, t = contrib.shape
+    if contrib_T is not None:
+        t, n = contrib_T.shape
+        dtype = contrib_T.dtype
+    else:
+        n, t = contrib.shape
+        dtype = contrib.dtype
+        contrib_T = contrib.T
     num_tiles = -(-num_blocks // blocks_per_tile)
     nb_pad = num_tiles * blocks_per_tile
     n_pad = n + max_rows
     t_pad = max(8, -(-t // 8) * 8)  # sublane-aligned component rows
     # Transposed, lane-major layouts (observations on the lane axis).
     contrib_T = jnp.concatenate(
-        [contrib.T, jnp.zeros((t_pad - t, n), contrib.dtype)], axis=0
+        [contrib_T, jnp.zeros((t_pad - t, n), dtype)], axis=0
     )
     contrib_T = jnp.concatenate(
-        [contrib_T, jnp.zeros((t_pad, max_rows), contrib.dtype)], axis=1
+        [contrib_T, jnp.zeros((t_pad, max_rows), dtype)], axis=1
     )  # (t_pad, n_pad)
     ids_row = jnp.concatenate(
         [sorted_ids.astype(jnp.int32), jnp.full((max_rows,), -1, jnp.int32)]
@@ -237,7 +247,7 @@ def segment_block_sum(
         pl.run_scoped(
             body,
             pltpu.VMEM((8, max_rows), jnp.int32),
-            pltpu.VMEM((t_pad, max_rows), contrib.dtype),
+            pltpu.VMEM((t_pad, max_rows), dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         )
@@ -254,7 +264,7 @@ def segment_block_sum(
             out_specs=pl.BlockSpec(
                 (BLOCKS_PER_TILE, t_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((nb_pad, t_pad), contrib.dtype),
+            out_shape=jax.ShapeDtypeStruct((nb_pad, t_pad), dtype),
             interpret=interpret,
         )(tile_starts, ids_T, contrib_T)
     return out[:, :t]
@@ -267,10 +277,13 @@ def segment_block_expand(
     n: int,
     max_rows: int = 512,
     interpret: bool = False,
+    transposed_out: bool = False,
 ):
     """out[i] = block_vals[sorted_ids[i]] — the gather direction of the
     same tiled one-hot trick (expand = vals^T @ onehot on the MXU; no
-    per-row gather). Output (n, t).
+    per-row gather). Output (n, t), or (t, n) lane-major with
+    transposed_out=True (free: the kernel computes that layout anyway,
+    and (n, t) costs a padded-layout transpose).
 
     Tile k's aligned write window can overlap tile k+1's; every tile
     therefore matches against a TWO-tile block range [block0-128, block0+128)
@@ -360,6 +373,8 @@ def segment_block_expand(
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             interpret=interpret,
         )(tile_starts, ids_T, vals_p)
+    if transposed_out:
+        return out_T[:t, :n]
     return out_T[:t, :n].T
 
 

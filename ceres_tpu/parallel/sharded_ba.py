@@ -436,6 +436,27 @@ def _evaluate_flat(cams, pts, cam_idx, obs, w, oh_gather, expand_p):
     return r, J
 
 
+def _evaluate_flat_T(cams, pts, cam_idx, obs_T, w, oh_gather, expand_p_T):
+    """Transposed-layout evaluation: residuals (2, B) + flat Jacobian
+    lanes (24, B). (B, k) arrays with k < 128 are padded to 128 lanes in
+    TPU HBM (up to 64x real bytes for (B, 2)); producing the evaluation
+    lane-major via vmap(out_axes=1) keeps every array at its logical
+    size. obs_T is (2, B); expand_p_T returns (3, B)."""
+    camg_T = jnp.einsum("bc,ck->kb", oh_gather, cams, precision=_HI)
+    pts_T = expand_p_T(pts)
+
+    def per_obs(cam, pt, ob):
+        return _residual_and_flat_row(cam, pt, ob)
+
+    r_T, J_T = jax.vmap(per_obs, in_axes=(1, 1, 1), out_axes=1)(
+        camg_T, pts_T, obs_T
+    )
+    if w is not None:
+        r_T = r_T * w[None, :]
+        J_T = J_T * w[None, :]
+    return r_T, J_T
+
+
 def _schur_core(J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p,
                 C, P, rr=2, tc=9, tp=3, spread_p=None, w=None):
     """Exact dense-Schur LM step math from a flat-lane evaluation:
