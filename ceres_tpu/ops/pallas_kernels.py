@@ -987,6 +987,267 @@ def implicit_schur_matvec(
         return cam_out, None
 
 
+def schur_assembly(
+    JT,  # (r*gf + r*ge, n_pad) UNscaled grouped J lanes [Jf | Je]
+    ids_T,  # (8, n_pad) int32: row 0 point ids (sorted), row 1 camera ids
+    sc_T,  # (gf, C_pad) camera Jacobi scales, zero-padded
+    pw_hbm,  # (>= P+1+BT, 128) per-point rows: [0:8)=sp, [8:24)=Kf, [24:32)=u
+    tile_starts,  # (T+1,) int32 row offsets (plan_row_tiles)
+    tile_block0,  # (T+1,) int32 first point per tile
+    num_points: int,
+    C: int,
+    r: int,
+    tf: int,
+    te: int,
+    max_rows: int = 512,
+    unroll: int = 4,
+    interpret: bool = False,
+):
+    """The ENTIRE dense-Schur reduced-system assembly in ONE kernel.
+
+    Per observation tile (point-aligned, row-balanced):
+
+        Js_f = J_f * sc[cam]          (camera one-hot scale gather)
+        Js_p = J_p * sp[point]        (point-window scale)
+        W_b  = Js_p' Js_c             (per-row VPU outer, grouped lanes)
+        Y_b  = Kf[point] W_b          (L^{-1} W', the eliminator's y-block)
+        A    = point-reduce of the (C-spread of Y)      [in VMEM only]
+        S   -= A'A      FtF[cam] += Js_c' Js_c     rhs -= (u-weighted T)
+
+    Returns (AtA (t_full, t_full), FtF (C_pad, tf*gf), U (8, t_full))
+    with t_full = C*tf; the caller assembles S = blockdiag(FtF) + D² -
+    AtA and rhs = ftb - U[0] (U[0] == A'u).
+
+    vs the staged pipeline (expand + W/Y selector algebra + spread kernel
+    + FtF Khatri-Rao + (P*te, t_full) A materialization + A'A einsum):
+    the (B, te*t_full) spread tensor, W, Y, AND A itself never exist in
+    HBM — the only kernel outputs are the tiny accumulators (measured
+    1.25 ms of the 2.0 ms step collapse into this kernel).
+    reference: schur_complement_solver.cc:101 (DENSE_SCHUR assembly),
+    schur_eliminator_impl.h:184 (chunk outer products)."""
+    lanes_pad, n_pad = JT.shape
+    BT = BLOCKS_PER_TILE
+    num_tiles = tile_block0.shape[0] - 1
+    grid = -(-num_tiles // unroll)
+    num_tiles_pad = grid * unroll
+    gf = max(8, -(-tf // 8) * 8)
+    ge = max(8, -(-te // 8) * 8)
+    assert lanes_pad == r * gf + r * ge
+    assert sc_T.shape[0] == gf
+    C_pad = sc_T.shape[1]
+    t_full = C * tf
+    if num_tiles_pad > num_tiles:
+        pad = num_tiles_pad - num_tiles
+        tile_starts = jnp.concatenate([
+            jnp.asarray(tile_starts, jnp.int32),
+            jnp.broadcast_to(jnp.asarray(tile_starts)[-1:], (pad,))])
+        tile_block0 = jnp.concatenate([
+            jnp.asarray(tile_block0, jnp.int32),
+            jnp.broadcast_to(jnp.asarray(tile_block0)[-1:], (pad,))])
+    dt = JT.dtype
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+
+    def split3(x):
+        hi = x.astype(bf16)
+        rem = x - hi.astype(f32)
+        mid = rem.astype(bf16)
+        lo = (rem - mid.astype(f32)).astype(bf16)
+        return hi, mid, lo
+
+    def kernel(starts_ref, block0_ref, ids_hbm, jt_hbm, sc_ref, pw_hbm_ref,
+               ata_out, ftf_out, u_out):
+        g = pl.program_id(0)
+
+        def body(ids_vmem, jt_vmem, pw_vmem, sem_i, sem_j, sem_p):
+            copies = []
+            for j in range(unroll):
+                row0 = pl.multiple_of(starts_ref[g * unroll + j], _LANE)
+                b0 = pl.multiple_of(block0_ref[g * unroll + j], 8)
+                cps = [
+                    pltpu.make_async_copy(
+                        ids_hbm.at[:, pl.ds(row0, max_rows)],
+                        ids_vmem.at[j], sem_i.at[j]),
+                    pltpu.make_async_copy(
+                        jt_hbm.at[:, pl.ds(row0, max_rows)],
+                        jt_vmem.at[j], sem_j.at[j]),
+                    pltpu.make_async_copy(
+                        pw_hbm_ref.at[pl.ds(b0, BT), :],
+                        pw_vmem.at[j], sem_p.at[j]),
+                ]
+                for c in cps:
+                    c.start()
+                copies.append(cps)
+
+            d_mm = (((1,), (0,)), ((), ()))
+            d_ll = (((1,), (1,)), ((), ()))
+            HI = jax.lax.Precision.HIGHEST
+
+            def dot3(data, oh_b, d):
+                out = None
+                for part in split3(data):
+                    t = jax.lax.dot_general(
+                        part, oh_b, dimension_numbers=d,
+                        preferred_element_type=f32)
+                    out = t if out is None else out + t
+                return out
+
+            def dot3l(oh_b, data, d):
+                out = None
+                for part in split3(data):
+                    t = jax.lax.dot_general(
+                        oh_b, part, dimension_numbers=d,
+                        preferred_element_type=f32)
+                    out = t if out is None else out + t
+                return out
+
+            # spread selectors over ONE grouped Y component (gf lanes)
+            H1f = _sel01((gf, t_full),
+                         lambda a, b: a == (b % tf)).astype(bf16)
+            H2f = _sel01((C_pad, t_full),
+                         lambda c, b: (b // tf) == c).astype(bf16)
+
+            ata_acc = jnp.zeros((t_full, t_full), f32)
+            ftf_acc = jnp.zeros((C_pad, tf * gf), f32)
+            u_acc = jnp.zeros((8, t_full), f32)
+            csub = jax.lax.broadcasted_iota(jnp.int32, (C_pad, max_rows), 0)
+            sub = jax.lax.broadcasted_iota(jnp.int32, (BT, max_rows), 0)
+            one = jnp.ones((), f32)
+            zero = jnp.zeros((), f32)
+
+            for j in range(unroll):
+                for c in copies[j]:
+                    c.wait()
+                b0 = block0_ref[g * unroll + j]
+                b1 = block0_ref[g * unroll + j + 1]
+                jt = jt_vmem[j]
+                pid1 = ids_vmem[j][0:1, :]
+                pid = jnp.broadcast_to(pid1, (BT, max_rows))
+                cid = jnp.broadcast_to(ids_vmem[j][1:2, :],
+                                       (C_pad, max_rows))
+                ohc_raw = jnp.where(cid == csub, one, zero)  # (C_pad, rows)
+                ohc_b = ohc_raw.astype(bf16)
+                ohp_b = jnp.where(
+                    (pid - b0 == sub) & (pid < b1) & (pid < num_points),
+                    one, zero).astype(bf16)
+                in_tile = jnp.where((pid1 >= b0) & (pid1 < b1), one, zero)
+                Jf_g = [jt[i * gf:(i + 1) * gf, :] for i in range(r)]
+                off_e = r * gf
+                Je_g = [jt[off_e + i * ge: off_e + (i + 1) * ge, :]
+                        for i in range(r)]
+                # scales per row
+                scg = dot3(sc_ref[:, :], ohc_b, d_mm)  # (gf, rows)
+                pw = pw_vmem[j]
+                sp_rows = dot3(jnp.transpose(pw[:, 0:8]), ohp_b, d_mm)
+                Kf_rows = dot3(jnp.transpose(pw[:, 8:24]), ohp_b, d_mm)
+                u_rows = dot3(jnp.transpose(pw[:, 24:32]), ohp_b, d_mm)
+                Jsf = [Jf_g[i] * scg for i in range(r)]
+                Jsp = [Je_g[i] * sp_rows for i in range(r)]
+                # W_k (gf, rows) = sum_r Jsp[r][k] * Jsf[r]
+                W = [sum(jnp.broadcast_to(Jsp[i][k:k + 1, :],
+                                          (gf, max_rows)) * Jsf[i]
+                         for i in range(r)) for k in range(te)]
+                # Y_i (gf, rows) = sum_k Kf[i*te+k] * W_k
+                Y = [sum(jnp.broadcast_to(Kf_rows[i * te + k:i * te + k + 1,
+                                                  :], (gf, max_rows)) * W[k]
+                         for k in range(te)) for i in range(te)]
+                def dot_bf(a, b):
+                    return jax.lax.dot_general(
+                        a, b, dimension_numbers=d_mm,
+                        preferred_element_type=f32)
+
+                ohcT = jnp.transpose(ohc_raw).astype(bf16)  # (rows, C_pad)
+                bmat = dot_bf(ohcT, H2f).astype(bf16)  # (rows, t_full) 0/1
+                # per residual component i: T_i, A_i, Gram, rhs — Mosaic
+                # cannot reshape (BT, te*t_full) -> (te*BT, t_full), and
+                # A'A = sum_i A_i'A_i splits exactly per component
+                rhs_row = None
+                for i in range(te):
+                    y_iT = jnp.transpose(Y[i])  # (rows, gf)
+                    y_hi = y_iT.astype(bf16)
+                    y_lo = (y_iT - y_hi.astype(f32)).astype(bf16)
+                    a_hi = dot_bf(y_hi, H1f).astype(bf16)  # exact perm
+                    a_lo = dot_bf(y_lo, H1f).astype(bf16)
+                    T_hi = a_hi * bmat
+                    T_lo = a_lo * bmat
+                    A_i = (dot_bf(ohp_b, T_hi)
+                           + dot_bf(ohp_b, T_lo))  # (BT, t_full) f32
+                    ata_acc = ata_acc + jax.lax.dot_general(
+                        A_i, A_i, dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=f32, precision=HI)
+                    ui = u_rows[i:i + 1, :]
+                    for su in split3(ui):
+                        contr = (jax.lax.dot_general(
+                            su, T_hi, dimension_numbers=d_mm,
+                            preferred_element_type=f32)
+                            + jax.lax.dot_general(
+                                su, T_lo, dimension_numbers=d_mm,
+                                preferred_element_type=f32))
+                        rhs_row = contr if rhs_row is None else (
+                            rhs_row + contr)
+                u_acc = u_acc + jnp.concatenate(
+                    [rhs_row, jnp.zeros((7, t_full), f32)], axis=0)
+                # FtF: per-camera Gram of the scaled camera lanes
+                O = jnp.concatenate([
+                    sum(jnp.broadcast_to(Jsf[i][k:k + 1, :],
+                                         (gf, max_rows)) * Jsf[i]
+                        for i in range(r))
+                    for k in range(tf)], axis=0)  # (tf*gf, rows)
+                O = O * jnp.broadcast_to(in_tile, (tf * gf, max_rows))
+                ftf_acc = ftf_acc + dot3l(ohc_b, O, d_ll)
+
+            @pl.when(g == 0)
+            def _init():
+                ata_out[:, :] = ata_acc.astype(ata_out.dtype)
+                ftf_out[:, :] = ftf_acc.astype(ftf_out.dtype)
+                u_out[:, :] = u_acc.astype(u_out.dtype)
+
+            @pl.when(g > 0)
+            def _acc():
+                ata_out[:, :] = ata_out[:, :] + ata_acc.astype(ata_out.dtype)
+                ftf_out[:, :] = ftf_out[:, :] + ftf_acc.astype(ftf_out.dtype)
+                u_out[:, :] = u_out[:, :] + u_acc.astype(u_out.dtype)
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((unroll, 8, max_rows), jnp.int32),
+            pltpu.VMEM((unroll, lanes_pad, max_rows), dt),
+            pltpu.VMEM((unroll, BT, _LANE), dt),
+            pltpu.SemaphoreType.DMA((unroll,)),
+            pltpu.SemaphoreType.DMA((unroll,)),
+            pltpu.SemaphoreType.DMA((unroll,)),
+        )
+
+    with jax.enable_x64(False):
+        ata, ftf, u = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # sc_T
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # pw
+            ],
+            out_specs=(
+                pl.BlockSpec((t_full, t_full), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((C_pad, tf * gf), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, t_full), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((t_full, t_full), dt),
+                jax.ShapeDtypeStruct((C_pad, tf * gf), dt),
+                jax.ShapeDtypeStruct((8, t_full), dt),
+            ),
+            interpret=interpret,
+        )(tile_starts, tile_block0, ids_T, JT, sc_T, pw_hbm)
+    return ata, ftf, u
+
+
 def prep_matvec_rows(Jf, Je, pt_ids, cam_ids, max_rows, r, tf, te):
     """Host/jit-side prep for implicit_schur_matvec, once per evaluation
     (loop-invariant across CG iterations): transposed GROUPED J lanes —

@@ -726,6 +726,284 @@ def lm_step_schur_k(cams, pts, cam_idx, pt_idx, obs, radius, k=5, w=None,
     return BAState(out.cams, out.pts, out.radius, out.cost)
 
 
+# ---------------------------------------------------------------------------
+# v2 pipeline: one-kernel dense-Schur assembly on transposed grouped lanes.
+#
+# Stage-profiled motivation (benchmarks/profile_schur_stages.py, v5e,
+# BAL-16): of the 2.0 ms/iteration v1 step, ~1.25 ms is the staged
+# assembly — point expand (0.22) + W/Y selector algebra (0.11) + Mosaic
+# A-spread + Khatri-Rao FtF (0.70) + A'A einsum & reshapes (~0.2). The
+# ops/pallas_kernels.schur_assembly kernel computes all of it per tile in
+# VMEM: W, Y, the (B, te*C*tf) spread, and A itself never exist in HBM;
+# the kernel's only outputs are S's Gram, the camera Grams, and the rhs
+# weights. The evaluation emits TRANSPOSED GROUPED lanes (48, B) via
+# vmap(out_axes=1) — (B, k<128) arrays are 128-lane padded in TPU HBM, so
+# the lane-major layout also shrinks the LM iteration's J carry ~3x.
+# ---------------------------------------------------------------------------
+
+_GF, _GE = 16, 8  # 8-aligned group widths for (tc=9, tp=3) lanes
+
+
+def _residual_and_grouped_row(cam, pt, ob):
+    """(r (2,), Jg (48,)): grouped lanes [Jf_r0 | pad | Jf_r1 | pad |
+    Je_r0 | pad | Je_r1 | pad] so kernel/XLA row algebra slices at
+    8-aligned offsets."""
+    def f(c, p):
+        return snavely_reprojection_residual(c, p, ob)
+
+    r = f(cam, pt)
+    Jc, Jp = jax.jacfwd(f, argnums=(0, 1))(cam, pt)
+    z7 = jnp.zeros(7, Jc.dtype)
+    z5 = jnp.zeros(5, Jc.dtype)
+    Jg = jnp.concatenate(
+        [Jc[0], z7, Jc[1], z7, Jp[0], z5, Jp[1], z5])
+    return r, Jg
+
+
+def _evaluate_grouped_T(cams, pts, cam_idx, obs_T, w, oh_gather, expand_p_T):
+    """Transposed grouped evaluation: (r_T (2, B), Jg_T (48, B))."""
+    camg_T = jnp.einsum("bc,ck->kb", oh_gather, cams, precision=_HI)
+    pts_T = expand_p_T(pts)
+    r_T, Jg_T = jax.vmap(_residual_and_grouped_row, in_axes=(1, 1, 1),
+                         out_axes=1)(camg_T, pts_T, obs_T)
+    if w is not None:
+        r_T = r_T * w[None, :]
+        Jg_T = Jg_T * w[None, :]
+    return r_T, Jg_T
+
+
+class AsmPlan(NamedTuple):
+    """Static per-structure prep for the assembly pipeline."""
+
+    row_ts: jax.Array  # (T+1,) row-balanced tile starts
+    row_tb: jax.Array  # (T+1,) per-tile first point
+    max_rows: int
+    blk_ts: jax.Array  # plan_block_tiles starts (segment reductions)
+    blk_max_rows: int
+    ids_T: jax.Array  # (8, B + max_rows) pid row 0, cid row 1
+    C_pad: int
+
+
+def build_asm_plan(cam_idx, pt_idx, P, C) -> AsmPlan:
+    import numpy as _np
+
+    from ..ops import pallas_kernels as pk
+
+    pt_np = _np.asarray(pt_idx)
+    ts, tb, mr = pk.plan_row_tiles(pt_np, P + 1)
+    bts, bmr = pk.plan_block_tiles(pt_np, P)
+    n_pad = pt_np.shape[0] + mr
+    pid_row = _np.concatenate(
+        [pt_np.astype(_np.int32), _np.full((mr,), -1, _np.int32)])
+    cid_row = _np.concatenate(
+        [_np.asarray(cam_idx, _np.int32), _np.full((mr,), -1, _np.int32)])
+    ids = _np.zeros((8, n_pad), _np.int32)
+    ids[0] = pid_row
+    ids[1] = cid_row
+    C_pad = max(128, -(-(C + 1) // 128) * 128)
+    return AsmPlan(jnp.asarray(ts), jnp.asarray(tb), mr,
+                   jnp.asarray(bts), bmr, jnp.asarray(ids), C_pad)
+
+
+def _schur_core_asm(Jg_T, r_T, radius, oh_gather, onehot, pt_idx,
+                    plan: AsmPlan, C, P, rr=2, tc=9, tp=3,
+                    interpret=False):
+    """v1 _schur_core semantics via the one-kernel assembly."""
+    from ..ops import pallas_kernels as pk
+
+    dt = Jg_T.dtype
+    gf, ge = _GF, _GE
+    B = r_T.shape[1]
+    off_e = rr * gf
+    Jf_g = [Jg_T[i * gf:(i + 1) * gf] for i in range(rr)]
+    Je_g = [Jg_T[off_e + i * ge: off_e + (i + 1) * ge] for i in range(rr)]
+    ids32 = pt_idx.astype(jnp.int32)
+
+    # fused point reduce: [Je'r (tp) | diag Je^2 (tp) | outer (tp*tp)]
+    jtr_e = sum(Je_g[i] * r_T[i:i + 1] for i in range(rr))
+    jsq_e = sum(Je_g[i] * Je_g[i] for i in range(rr))
+    outer_e = jnp.concatenate([
+        sum(Je_g[i][k:k + 1] * Je_g[i][:tp] for i in range(rr))
+        for k in range(tp)], axis=0)  # (tp*tp, B)
+    contrib_T = jnp.concatenate(
+        [jtr_e[:tp], jsq_e[:tp], outer_e], axis=0)  # (2*tp+tp*tp, B)
+    red = pk.segment_block_sum(
+        None, ids32, plan.blk_ts, P, max_rows=plan.blk_max_rows,
+        interpret=interpret, contrib_T=contrib_T)[:P]
+    gp = red[:, :tp]
+    d2p = red[:, tp:2 * tp]
+    ete_u = red[:, 2 * tp:]
+
+    # camera side (one-hot MXU over lanes)
+    jtr_c = sum(Jf_g[i] * r_T[i:i + 1] for i in range(rr))  # (gf, B)
+    jsq_c = sum(Jf_g[i] * Jf_g[i] for i in range(rr))
+    gc = jnp.einsum("kb,bc->ck", jtr_c, onehot, precision=_HI)[:, :tc]
+    d2c = jnp.einsum("kb,bc->ck", jsq_c, onehot, precision=_HI)[:, :tc]
+
+    sc = 1.0 / (1.0 + jnp.sqrt(d2c))
+    sp = 1.0 / (1.0 + jnp.sqrt(d2p))
+    diag_c = jnp.clip(sc * sc * d2c, 1e-6, 1e32)
+    diag_p = jnp.clip(sp * sp * d2p, 1e-6, 1e32)
+    D2c = diag_c / radius
+    D2p = diag_p / radius
+
+    # per-point elimination lanes (f64 per PRECISE_POINT_SOLVES, as v1)
+    sp_outer = _outer_flat(sp, sp, _outer_selectors(1, tp, tp, dt))
+    diag_embed = np.zeros((tp, tp * tp))
+    for i in range(tp):
+        diag_embed[i, i * tp + i] = 1.0
+    M_flat = ete_u * sp_outer + _mmf(D2p, jnp.asarray(diag_embed, dt))
+    etb = sp * gp
+    dt3 = jnp.float64 if PRECISE_POINT_SOLVES else dt
+    L3 = _chol3_flat(M_flat.astype(dt3))
+    Kf64 = _inv_lower3(L3)
+    Kf = Kf64.astype(dt)
+    u64 = jnp.stack(
+        [sum(Kf64[:, i * tp + k] * etb[:, k].astype(dt3)
+             for k in range(tp)) for i in range(tp)], axis=1)  # (P, tp)
+    u_f = u64.astype(dt)
+
+    # assembly kernel inputs
+    BT = pk.BLOCKS_PER_TILE
+    pw = jnp.zeros((P + 1 + BT, 128), dt)
+    pw = jax.lax.dynamic_update_slice(pw, sp, (0, 0))
+    pw = jax.lax.dynamic_update_slice(pw, Kf, (0, 8))
+    pw = jax.lax.dynamic_update_slice(pw, u_f, (0, 24))
+    sc_T = jnp.zeros((gf, plan.C_pad), dt)
+    sc_T = jax.lax.dynamic_update_slice(sc_T, sc.T, (0, 0))
+    JT = jnp.concatenate(
+        [Jg_T, jnp.zeros((Jg_T.shape[0], plan.max_rows), dt)], axis=1)
+    ata, ftf, U = pk.schur_assembly(
+        JT, plan.ids_T, sc_T, pw, plan.row_ts, plan.row_tb, P, C, rr, tc,
+        tp, max_rows=plan.max_rows, interpret=interpret)
+
+    t_full = C * tc
+    ftf_blocks = ftf[:C].reshape(C, tc, gf)[:, :, :tc]
+    S = jnp.einsum("cij,cd->cidj", ftf_blocks,
+                   jnp.eye(C, dtype=dt)).reshape(t_full, t_full)
+    S = S - ata + jnp.diag(D2c.reshape(-1))
+    ftb = (sc * gc).reshape(-1)
+    rhs = ftb - U[0]
+
+    dtS = jnp.float64 if PRECISE_SCHUR_SOLVE else dt
+    Ls = jnp.linalg.cholesky(S.astype(dtS))
+    if dtS == jnp.float32:
+        from ..solvers.linear.dense import tri_inverse_lower
+
+        Linv = tri_inverse_lower(Ls)
+        z = (Linv.T @ (Linv @ rhs.astype(dtS))).astype(dt)
+    else:
+        z = jax.scipy.linalg.cho_solve((Ls, True), rhs.astype(dtS)).astype(dt)
+
+    # back substitution via the implicit identity A_p z = Kf_p (E_s'F_s z)_p
+    zc_s = sc * z.reshape(C, tc)
+    zg9 = jnp.einsum("bc,ck->kb", oh_gather, zc_s, precision=_HI)  # (tc, B)
+    zg = jnp.concatenate([zg9, jnp.zeros((gf - tc, B), dt)], axis=0)
+    fz = [jnp.sum(Jf_g[i] * zg, axis=0, keepdims=True) for i in range(rr)]
+    contrib_bz = jnp.concatenate([
+        sum(Je_g[i][k:k + 1] * fz[i] for i in range(rr))
+        for k in range(tp)], axis=0)  # (tp, B)
+    etfz = sp * pk.segment_block_sum(
+        None, ids32, plan.blk_ts, P, max_rows=plan.blk_max_rows,
+        interpret=interpret, contrib_T=contrib_bz)[:P, :tp]
+    Az64 = jnp.stack(
+        [sum(Kf64[:, i * tp + k] * etfz[:, k].astype(dt3)
+             for k in range(tp)) for i in range(tp)], axis=1)
+    y_p = _solve_lower3_t(L3, u64 - Az64).astype(dt)
+
+    step_c = -z.reshape(C, tc)
+    step_p = -y_p
+    g_dot = jnp.sum((sc * gc) * step_c) + jnp.sum((sp * gp) * step_p)
+    d2_dot = jnp.sum(D2c * step_c * step_c) + jnp.sum(D2p * step_p * step_p)
+    model_cost_change = -0.5 * g_dot + 0.5 * d2_dot
+    return step_c, step_p, sc, sp, model_cost_change
+
+
+class SchurCarryT(NamedTuple):
+    """BAState + cached transposed evaluation (see SchurCarry)."""
+
+    cams: jax.Array
+    pts: jax.Array
+    radius: jax.Array
+    cost: jax.Array
+    r_T: jax.Array
+    Jg_T: jax.Array
+
+
+def _asm_env(cams, pts, cam_idx, pt_idx, plan, interpret=False):
+    from ..ops import pallas_kernels as pk
+
+    C = cams.shape[0]
+    oh_gather = jax.nn.one_hot(cam_idx, C, dtype=cams.dtype)
+    ids32 = pt_idx.astype(jnp.int32)
+    B = int(cam_idx.shape[0])
+
+    def expand_p_T(vals):
+        return pk.segment_block_expand(
+            vals, ids32, plan.blk_ts, B, max_rows=plan.blk_max_rows,
+            interpret=interpret, transposed_out=True)
+
+    return oh_gather, expand_p_T
+
+
+def lm_step_schur_v2_init(cams, pts, cam_idx, pt_idx, obs_T, radius,
+                          plan: AsmPlan, interpret=False) -> SchurCarryT:
+    oh_gather, expand_p_T = _asm_env(cams, pts, cam_idx, pt_idx, plan,
+                                     interpret)
+    r_T, Jg_T = _evaluate_grouped_T(cams, pts, cam_idx, obs_T, None,
+                                    oh_gather, expand_p_T)
+    return SchurCarryT(cams, pts, radius, 0.5 * jnp.sum(r_T * r_T), r_T,
+                       Jg_T)
+
+
+def lm_step_schur_v2_next(carry: SchurCarryT, cam_idx, pt_idx, obs_T,
+                          plan: AsmPlan, interpret=False) -> SchurCarryT:
+    cams, pts, radius, cost, r_T, Jg_T = carry
+    C, P = cams.shape[0], pts.shape[0]
+    oh_gather, expand_p_T = _asm_env(cams, pts, cam_idx, pt_idx, plan,
+                                     interpret)
+    step_c, step_p, sc, sp, mcc = _schur_core_asm(
+        Jg_T, r_T, radius, oh_gather, oh_gather, pt_idx, plan, C, P,
+        interpret=interpret)
+    new_cams = cams + step_c * sc
+    new_pts = pts + step_p * sp
+    r_new, Jg_new = _evaluate_grouped_T(new_cams, new_pts, cam_idx, obs_T,
+                                        None, oh_gather, expand_p_T)
+    new_cost = 0.5 * jnp.sum(r_new * r_new)
+    ok = jnp.isfinite(new_cost) & (mcc > 0)
+    rel = (cost - new_cost) / jnp.maximum(mcc, 1e-300)
+    accept = ok & (rel > 1e-3)
+    radius_out = jnp.where(
+        accept,
+        jnp.minimum(
+            radius / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rel - 1.0) ** 3),
+            1e16),
+        radius / 2.0)
+    return SchurCarryT(
+        jnp.where(accept, new_cams, cams),
+        jnp.where(accept, new_pts, pts),
+        radius_out,
+        jnp.where(accept, new_cost, cost),
+        jnp.where(accept, r_new, r_T),
+        jnp.where(accept, Jg_new, Jg_T),
+    )
+
+
+def lm_step_schur_v2_k(cams, pts, cam_idx, pt_idx, obs_T, radius,
+                       plan: AsmPlan, k=5, interpret=False):
+    """k LM iterations via the one-kernel assembly pipeline (see
+    lm_step_schur_k)."""
+    carry = lm_step_schur_v2_init(cams, pts, cam_idx, pt_idx, obs_T, radius,
+                                  plan, interpret)
+
+    def body(_, cr):
+        return lm_step_schur_v2_next(cr, cam_idx, pt_idx, obs_T, plan,
+                                     interpret)
+
+    out = jax.lax.fori_loop(0, k, body, carry)
+    return BAState(out.cams, out.pts, out.radius, out.cost)
+
+
 def make_sharded_lm_step(mesh: Mesh, cg_iters: int = 10, step: str = "cg"):
     """jit an LM step with observation arrays sharded over the mesh and the
     parameter state replicated; GSPMD inserts the ICI all-reduces.

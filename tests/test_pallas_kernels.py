@@ -244,3 +244,124 @@ def test_segment_spread_sum_ftf_interpret():
                      precision=jax.lax.Precision.HIGHEST)
     np.testing.assert_allclose(np.asarray(ftf), np.asarray(ref),
                                rtol=2e-5, atol=2e-4)
+
+
+@pytest.mark.parametrize("P,C,B,r,tf,te", [
+    (150, 7, 900, 2, 9, 3),
+    (64, 5, 500, 2, 4, 2),
+])
+def test_schur_assembly_kernel_interpret(P, C, B, r, tf, te):
+    """The one-kernel dense-Schur assembly (A'A, FtF, A'u weights) matches
+    the materialized-A reference."""
+    import jax
+    rng = np.random.default_rng(P * 3 + C)
+    pt = np.sort(rng.integers(0, P, B)).astype(np.int32)
+    cam = rng.integers(0, C, B).astype(np.int32)
+    pt[-2:] = P  # constant-point rows
+    cam[3] = C   # constant-camera row
+    Jf = rng.standard_normal((B, r, tf)).astype(np.float32)
+    Je = rng.standard_normal((B, r, te)).astype(np.float32)
+    Je[pt == P] = 0.0
+    Jf[cam >= C] = 0.0
+    sc = rng.uniform(0.5, 1.5, (C, tf)).astype(np.float32)
+    sp = rng.uniform(0.5, 1.5, (P, te)).astype(np.float32)
+    Kf = rng.standard_normal((P, te, te)).astype(np.float32)
+    u = rng.standard_normal((P, te)).astype(np.float32)
+    # reference
+    scb = np.zeros((B, tf), np.float32)
+    scb[cam < C] = sc[cam[cam < C]]
+    spb = np.zeros((B, te), np.float32)
+    spb[pt < P] = sp[pt[pt < P]]
+    Kfb = np.zeros((B, te, te), np.float32)
+    Kfb[pt < P] = Kf[pt[pt < P]]
+    ub = np.zeros((B, te), np.float32)
+    ub[pt < P] = u[pt[pt < P]]
+    Jsf = Jf * scb[:, None, :]
+    Jsp = Je * spb[:, None, :]
+    W = np.einsum("bri,brj->bij", Jsp, Jsf)  # (B, te, tf)
+    Y = np.einsum("bik,bkj->bij", Kfb, W)    # (B, te, tf)
+    t_full = C * tf
+    A = np.zeros((P * te, t_full), np.float64)
+    for b in range(B):
+        if pt[b] >= P:
+            continue
+        c = cam[b]
+        if c >= C:
+            # constant camera: Y still spreads into no camera column
+            continue
+        for i in range(te):
+            A[pt[b] * te + i, c * tf:(c + 1) * tf] += Y[b, i]
+    # constant-point rows still contribute F'F (their Y is zero via Je=0)
+    AtA_ref = A.T @ A
+    FtF_ref = np.zeros((C, tf, tf))
+    for b in range(B):
+        c = cam[b]
+        if c >= C:
+            continue
+        FtF_ref[c] += Jsf[b].T @ Jsf[b]
+    Atu_ref = A.T @ (
+        np.concatenate([u, np.zeros((1, te))])[
+            np.minimum(np.arange(P), P - 1)].reshape(-1)
+        if False else u.reshape(-1))
+
+    gf = max(8, -(-tf // 8) * 8)
+    ge = max(8, -(-te // 8) * 8)
+    ts, tb, max_rows = pk.plan_row_tiles(pt, P + 1, target_rows=256)
+    JT, ids_T = pk.prep_matvec_rows(
+        jnp.asarray(Jf.reshape(B, -1)), jnp.asarray(Je.reshape(B, -1)),
+        jnp.asarray(pt), jnp.asarray(cam), max_rows, r, tf, te)
+    C_pad = max(128, -(-(C + 1) // 128) * 128)
+    sc_T = np.zeros((gf, C_pad), np.float32)
+    sc_T[:tf, :C] = sc.T
+    pw = np.zeros((P + 1 + 128, 128), np.float32)
+    pw[:P, 0:te] = sp
+    pw[:P, 8:8 + te * te] = Kf.reshape(P, te * te)
+    pw[:P, 24:24 + te] = u
+    ata, ftf, U = pk.schur_assembly(
+        JT, ids_T, jnp.asarray(sc_T), jnp.asarray(pw),
+        jnp.asarray(ts), jnp.asarray(tb), P, C, r, tf, te,
+        max_rows=max_rows, interpret=True)
+    np.testing.assert_allclose(np.asarray(ata), AtA_ref, rtol=5e-4,
+                               atol=5e-3)
+    ftf_np = np.asarray(ftf)[:C].reshape(C, tf, gf)[:, :, :tf]
+    np.testing.assert_allclose(ftf_np, FtF_ref, rtol=5e-4, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(U)[0], Atu_ref, rtol=5e-4,
+                               atol=5e-3)
+
+
+def test_lm_step_schur_v2_matches_v1_interpret():
+    """The one-kernel assembly pipeline (lm_step_schur_v2_*) reproduces the
+    staged v1 trajectory over several LM iterations."""
+    import jax
+    import numpy as np
+    from ceres_tpu.models import bal
+    from ceres_tpu.parallel import sharded_ba as sb
+
+    b = bal.synthetic_bal(num_cameras=5, num_points=150, visibility=0.5,
+                          noise=0.3, seed=4)
+    bp = bal.perturb(b, 0.01, 0.05, 0.05)
+    P, C = bp.num_points, bp.num_cameras
+    order = np.argsort(np.asarray(bp.point_index), kind="stable")
+    cams = jnp.asarray(bp.cameras, jnp.float32)
+    pts = jnp.asarray(bp.points, jnp.float32)
+    cam_idx = jnp.asarray(np.asarray(bp.camera_index)[order])
+    pt_idx = jnp.asarray(np.asarray(bp.point_index)[order])
+    obs = jnp.asarray(np.asarray(bp.observations)[order], jnp.float32)
+    radius = jnp.asarray(1e4, jnp.float32)
+    blk = pk.plan_block_tiles(np.asarray(pt_idx), P)
+    # v1, 3 iterations via the carry
+    carry = sb.lm_step_schur_init(cams, pts, cam_idx, pt_idx, obs, radius,
+                                  None, blk, pallas_interpret=True)
+    for _ in range(3):
+        carry = sb.lm_step_schur_next(carry, cam_idx, pt_idx, obs, None,
+                                      blk, pallas_interpret=True)
+    # v2
+    plan = sb.build_asm_plan(cam_idx, pt_idx, P, C)
+    st2 = sb.lm_step_schur_v2_k(cams, pts, cam_idx, pt_idx,
+                                jnp.asarray(obs.T), radius, plan, k=3,
+                                interpret=True)
+    assert float(st2.cost) == pytest.approx(float(carry.cost), rel=2e-3)
+    np.testing.assert_allclose(np.asarray(st2.cams), np.asarray(carry.cams),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(st2.pts), np.asarray(carry.pts),
+                               rtol=5e-3, atol=5e-3)
