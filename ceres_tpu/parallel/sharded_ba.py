@@ -873,11 +873,15 @@ def _schur_core_asm(Jg_T, r_T, radius, oh_gather, onehot, pt_idx,
     sc_T = jax.lax.dynamic_update_slice(sc_T, sc.T, (0, 0))
     JT = jnp.concatenate(
         [Jg_T, jnp.zeros((Jg_T.shape[0], plan.max_rows), dt)], axis=1)
+    # VMEM-aware unroll: the per-tile T_i tensors are (max_rows, C*tc)
+    # bf16 x 2 parts; keep the working set under ~6 MB
+    t_full = C * tc
+    per_tile = plan.max_rows * t_full * 2 * 2 + plan.max_rows * 48 * 4
+    unroll = max(1, min(4, (2 << 20) // max(per_tile, 1)))
     ata, ftf, U = pk.schur_assembly(
         JT, plan.ids_T, sc_T, pw, plan.row_ts, plan.row_tb, P, C, rr, tc,
-        tp, max_rows=plan.max_rows, interpret=interpret)
+        tp, max_rows=plan.max_rows, unroll=unroll, interpret=interpret)
 
-    t_full = C * tc
     ftf_blocks = ftf[:C].reshape(C, tc, gf)[:, :, :tc]
     S = jnp.einsum("cij,cd->cidj", ftf_blocks,
                    jnp.eye(C, dtype=dt)).reshape(t_full, t_full)
