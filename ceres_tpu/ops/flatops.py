@@ -739,6 +739,16 @@ class FlatSchurOps(_FlatOpsBase):
         by se/sf): returns matvec(z, minv_flat) -> (S_wo_diag z, u) or None
         when the structure does not qualify. u = Minv E_s'F_s z gives the
         back-substitution y_e = minv(etb) - u(z_final) for free."""
+        suite = self.make_kernel_suite(vflat, se, sf)
+        return None if suite is None else suite[0]
+
+    def make_kernel_suite(self, vflat, se, sf):
+        """(matvec, jacobi_blocks) over ONE scaled transposed J prep, or
+        None. jacobi_blocks(minv_flat, d2f) returns the inverse flats of
+        block-diag(S) (schur_jacobi_preconditioner.h:78) computed by the
+        assembly kernel in mode='schur_jacobi' — the XLA chain builds
+        (B, te*tf) W and (B, tf*tf) corrections in HBM per LM iteration;
+        the kernel keeps them in VMEM."""
         qual = self._kernel_slots(self.plans_e, self.plans_f,
                                   self.pm.e_fams, self.pm.f_fams)
         if qual is None or vflat[0][qual[0].s].dtype != jnp.float32:
@@ -749,15 +759,39 @@ class FlatSchurOps(_FlatOpsBase):
         JT, ids_T, r, max_rows = self._kernel_scaled_rows(
             vflat, pe, pf, se, sf)
         interp = PALLAS_MODE == "interpret"
+        tf, te = pf.t, pe.t
+        gf = max(8, -(-tf // 8) * 8)
 
         def matvec(z, minv_flat, emit_u=False):
             cam, u = pk.isc_matvec(
                 JT, ids_T, z, minv_flat, pe.rplan[0], pe.rplan[1],
-                pe.nv, pf.nv, r, pf.t, pe.t, max_rows=max_rows,
+                pe.nv, pf.nv, r, tf, te, max_rows=max_rows,
                 interpret=interp, emit_u=emit_u)
             return cam, (u.reshape(-1) if emit_u else None)
 
-        return matvec
+        def jacobi_blocks(minv_flat, d2f):
+            P, C = pe.nv, pf.nv
+            BT = pk.BLOCKS_PER_TILE
+            dt = JT.dtype
+            pw = jnp.zeros((P + 1 + BT, 128), dt)
+            pw = jax.lax.dynamic_update_slice(
+                pw, jnp.ones((P, te), dt), (0, 0))  # sp slot: lanes folded
+            pw = jax.lax.dynamic_update_slice(pw, minv_flat, (0, 8))
+            C_pad = max(128, -(-(C + 1) // 128) * 128)
+            sc_T = jnp.zeros((gf, C_pad), dt)
+            sc_T = jax.lax.dynamic_update_slice(
+                sc_T, jnp.ones((tf, C), dt), (0, 0))
+            corr, ftf, _ = pk.schur_assembly(
+                JT, ids_T, sc_T, pw, pe.rplan[0], pe.rplan[1], P, C, r,
+                tf, te, max_rows=max_rows, interpret=interp,
+                mode="schur_jacobi")
+            blocks = (ftf - corr)[:C].reshape(C, tf, gf)[:, :, :tf]
+            d_rows = d2f.reshape(C, tf)
+            M = blocks.reshape(C, tf * tf) + _mm(
+                d_rows, diag_embed_selector(tf, dt))
+            return [spd_inverse_flat(M, tf)]
+
+        return matvec, jacobi_blocks
 
 
 

@@ -1002,6 +1002,7 @@ def schur_assembly(
     max_rows: int = 512,
     unroll: int = 4,
     interpret: bool = False,
+    mode: str = "dense",
 ):
     """The ENTIRE dense-Schur reduced-system assembly in ONE kernel.
 
@@ -1024,7 +1025,14 @@ def schur_assembly(
     HBM — the only kernel outputs are the tiny accumulators (measured
     1.25 ms of the 2.0 ms step collapse into this kernel).
     reference: schur_complement_solver.cc:101 (DENSE_SCHUR assembly),
-    schur_eliminator_impl.h:184 (chunk outer products)."""
+    schur_eliminator_impl.h:184 (chunk outer products).
+
+    mode="schur_jacobi" computes block-diag(S) instead
+    (schur_jacobi_preconditioner.h:78): pw carries Minv in the Kf slot
+    and the kernel returns (corr (C_pad, tf*gf) = per-camera reduce of
+    W' Minv W, FtF (C_pad, tf*gf), zeros) — the caller forms
+    blocks[c] = scaled F'F + D_f^2 - corr. The A spread / Gram / rhs
+    stages are skipped entirely."""
     lanes_pad, n_pad = JT.shape
     BT = BLOCKS_PER_TILE
     num_tiles = tile_block0.shape[0] - 1
@@ -1107,7 +1115,11 @@ def schur_assembly(
             H2f = _sel01((C_pad, t_full),
                          lambda c, b: (b // tf) == c).astype(bf16)
 
-            ata_acc = jnp.zeros((t_full, t_full), f32)
+            jacobi = mode == "schur_jacobi"
+            if jacobi:
+                ata_acc = jnp.zeros((C_pad, tf * gf), f32)  # W'MinvW reduce
+            else:
+                ata_acc = jnp.zeros((t_full, t_full), f32)
             ftf_acc = jnp.zeros((C_pad, tf * gf), f32)
             u_acc = jnp.zeros((8, t_full), f32)
             csub = jax.lax.broadcasted_iota(jnp.int32, (C_pad, max_rows), 0)
@@ -1155,6 +1167,25 @@ def schur_assembly(
                     return jax.lax.dot_general(
                         a, b, dimension_numbers=d_mm,
                         preferred_element_type=f32)
+
+                if jacobi:
+                    # corr[c][a,b] = sum_{rows: cam=c} sum_i W_i[a] Y_i[b]
+                    Ocorr = jnp.concatenate([
+                        sum(jnp.broadcast_to(W[k][a:a + 1, :],
+                                             (gf, max_rows)) * Y[k]
+                            for k in range(te))
+                        for a in range(tf)], axis=0)  # (tf*gf, rows)
+                    Ocorr = Ocorr * jnp.broadcast_to(
+                        in_tile, (tf * gf, max_rows))
+                    ata_acc = ata_acc + dot3l(ohc_b, Ocorr, d_ll)
+                    O = jnp.concatenate([
+                        sum(jnp.broadcast_to(Jsf[i][k:k + 1, :],
+                                             (gf, max_rows)) * Jsf[i]
+                            for i in range(r))
+                        for k in range(tf)], axis=0)
+                    O = O * jnp.broadcast_to(in_tile, (tf * gf, max_rows))
+                    ftf_acc = ftf_acc + dot3l(ohc_b, O, d_ll)
+                    continue
 
                 ohcT = jnp.transpose(ohc_raw).astype(bf16)  # (rows, C_pad)
                 bmat = dot_bf(ohcT, H2f).astype(bf16)  # (rows, t_full) 0/1
@@ -1218,6 +1249,8 @@ def schur_assembly(
             pltpu.SemaphoreType.DMA((unroll,)),
         )
 
+    ata_shape = ((C_pad, tf * gf) if mode == "schur_jacobi"
+                 else (t_full, t_full))
     with jax.enable_x64(False):
         ata, ftf, u = pl.pallas_call(
             kernel,
@@ -1231,7 +1264,7 @@ def schur_assembly(
                 pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # pw
             ],
             out_specs=(
-                pl.BlockSpec((t_full, t_full), lambda i: (0, 0),
+                pl.BlockSpec(ata_shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((C_pad, tf * gf), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -1239,7 +1272,7 @@ def schur_assembly(
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((t_full, t_full), dt),
+                jax.ShapeDtypeStruct(ata_shape, dt),
                 jax.ShapeDtypeStruct((C_pad, tf * gf), dt),
                 jax.ShapeDtypeStruct((8, t_full), dt),
             ),

@@ -384,7 +384,8 @@ class IterativeSchurStepOps:
         # Fused one-Pallas-kernel S·z when the structure qualifies (J read
         # once per matvec; ops/pallas_kernels.implicit_schur_matvec) —
         # identical math to the flat-ops product chain below.
-        kern = fl.make_kernel_matvec(vrep, se, sf)
+        suite = fl.make_kernel_suite(vrep, se, sf)
+        kern = suite[0] if suite is not None else None
         if kern is not None:
             minv0 = minv_e[0]
 
@@ -403,7 +404,11 @@ class IterativeSchurStepOps:
         if self.precond in ("SCHUR_JACOBI", "SCHUR_POWER_SERIES_EXPANSION") or (
             self.spse_init
         ):
-            inv_f = self._schur_jacobi_inverses(vrep, ftf, minv_e, se, sf, d2f)
+            if suite is not None and len(pm.f_fams) == 1:
+                inv_f = suite[1](minv_e[0], d2f)
+            else:
+                inv_f = self._schur_jacobi_inverses(vrep, ftf, minv_e, se,
+                                                    sf, d2f)
 
             def p_inv(v):
                 return base.apply_inverse_rows(pm.f_fams, inv_f, v)
