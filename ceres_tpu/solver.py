@@ -128,7 +128,8 @@ def _maybe_build_fused(options: Options, program: CompiledProgram, tier, kernel,
         return None
     if mode == "AUTO" and program.num_residuals < options.fused_loop_min_residuals:
         return None
-    if options.trust_region_strategy_type.name != "LEVENBERG_MARQUARDT":
+    if options.trust_region_strategy_type.name not in (
+            "LEVENBERG_MARQUARDT", "DOGLEG"):
         return None
     if (
         options.use_inner_iterations

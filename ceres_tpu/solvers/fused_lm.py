@@ -130,6 +130,7 @@ class _Carry(NamedTuple):
     se: _SEState
     num_invalid: jax.Array  # int32
     any_success: jax.Array  # bool
+    mu: jax.Array  # dogleg GN regularization (unused for LM)
     it: jax.Array  # int32 — completed iterations
     term: jax.Array  # int32 reason code
     min_cost: jax.Array
@@ -849,6 +850,111 @@ class DenseStepOps:
         return step, mcc, jnp.asarray(1, jnp.int32)
 
 
+class DoglegOpsWrapper:
+    """TRADITIONAL_DOGLEG inside the fused loop (dogleg_strategy.cc:56 on
+    exact-solve step adapters): the wrapped ops' compute_step provides the
+    mu-regularized Gauss-Newton point; the Cauchy alpha uses one J·v
+    product; the piecewise dogleg path, mu escalation on numerically
+    failed GN solves, and the reference's radius/mu bookkeeping all run
+    inside the jit (the host DoglegStrategy in solvers/dogleg.py keeps
+    the scalar geometry on the host). SUBSPACE stays host-loop (its
+    boundary problem needs quartic root isolation per iteration)."""
+
+    strategy = "dogleg"
+    _K_MIN_MU = 1e-8
+    _K_MAX_MU = 1.0
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.program = inner.program
+
+    def evaluate(self, x, args=None):
+        return self.inner.evaluate(x, args)
+
+    def post_eval(self, vrep, r, args=None):
+        return self.inner.post_eval(vrep, r, args)
+
+    def _jv_norm2(self, vrep, v):
+        """|J v|^2 for the Cauchy alpha / model cost."""
+        inner = self.inner
+        if isinstance(inner, DenseStepOps):
+            (J,) = vrep
+            jv = J @ v
+            return jnp.dot(jv, jv)
+        fl, pm, pt = inner.flat, inner.pm, inner.pt
+        jv = fl.right_e(vrep, pt.extract_e(pm, v)) + fl.right_f(
+            vrep, pt.extract_f(pm, v))
+        return jnp.dot(jv, jv)
+
+    def compute_dogleg_step(self, vrep, aux, g, r, escale_c, diag64, radius,
+                            mu):
+        """(step, mcc, lin_iters, dogleg_step_norm, mu_out). All math in
+        the escale coordinates; the ellipse substitution y = D x uses
+        D = sqrt(clip(diag(J_s'J_s)))."""
+        cdt = g.dtype
+        D = jnp.sqrt(diag64)
+        D_c = D.astype(cdt)
+        g_t = escale_c * g  # gradient of the scaled problem
+        g_s = (g_t.astype(jnp.float64) / D)  # scaled space
+        g_s_norm2 = jnp.dot(g_s, g_s)
+        jgd = self._jv_norm2(
+            vrep, (escale_c * (g_s / D).astype(cdt)))  # |J_s D^-1 g_s|^2
+        alpha = g_s_norm2 / jnp.maximum(jgd.astype(jnp.float64), 1e-300)
+
+        # Gauss-Newton point with in-jit mu escalation (x10 on non-finite
+        # solves, dogleg_strategy.cc ComputeGaussNewtonStep)
+        def gn_solve(m):
+            step, _, _ = self.inner.compute_step(
+                vrep, aux, g, r, escale_c,
+                (m * diag64).astype(cdt), None)
+            return step
+
+        def cond(st):
+            m, gn, ok = st
+            return (~ok) & (m < self._K_MAX_MU)
+
+        def body(st):
+            m, gn, ok = st
+            m = m * 10.0
+            gn = gn_solve(m)
+            return m, gn, jnp.all(jnp.isfinite(gn))
+
+        gn0 = gn_solve(mu)
+        mu_out, gn, gn_ok = jax.lax.while_loop(
+            cond, body, (mu, gn0, jnp.all(jnp.isfinite(gn0))))
+        gn64 = gn.astype(jnp.float64)
+        gn_s = gn64 * D  # scaled space
+        gn_norm = jnp.linalg.norm(gn_s)
+        g_norm = jnp.sqrt(g_s_norm2)
+
+        # piecewise dogleg path (dogleg_strategy.cc ComputeTraditional...)
+        case_gn = gn_norm <= radius
+        case_cauchy = alpha * g_norm >= radius
+        a_dot_b = -alpha * jnp.dot(g_s, gn_s)
+        a2 = (alpha * g_norm) ** 2
+        b_minus_a2 = jnp.maximum(a2 - 2.0 * a_dot_b + gn_norm ** 2, 1e-300)
+        c = a_dot_b - a2
+        disc = jnp.sqrt(jnp.maximum(
+            c * c + b_minus_a2 * (radius ** 2 - a2), 0.0))
+        beta = jnp.where(
+            c <= 0.0, (disc - c) / b_minus_a2,
+            (radius ** 2 - a2) / jnp.maximum(disc + c, 1e-300))
+        blend = (-alpha * (1.0 - beta)) * g_s + beta * gn_s
+        step_s = jnp.where(
+            case_gn, gn_s,
+            jnp.where(case_cauchy, -(radius / jnp.maximum(g_norm, 1e-300))
+                      * g_s, blend))
+        dl_norm = jnp.where(
+            case_gn, gn_norm,
+            jnp.where(case_cauchy, radius, jnp.linalg.norm(blend)))
+        step = (step_s / D).astype(cdt)
+        # model cost change: -(g'd + 1/2 |J_s d|^2)
+        jd2 = self._jv_norm2(vrep, escale_c * step)
+        mcc = -(jnp.dot(g_t, step) + 0.5 * jd2)
+        mcc = jnp.where(gn_ok, mcc, jnp.asarray(-1.0, mcc.dtype))
+        return step, mcc, jnp.asarray(1, jnp.int32), dl_norm, mu_out
+
+
 # ----------------------------------------------------------------------------
 # The fused loop.
 # ----------------------------------------------------------------------------
@@ -964,6 +1070,7 @@ class FusedTrustRegionMinimizer:
             se=_se_init(cost0),
             num_invalid=jnp.asarray(0, jnp.int32),
             any_success=jnp.asarray(False),
+            mu=jnp.asarray(1e-8, jnp.float64),
             it=jnp.asarray(0, jnp.int32),
             term=term0,
             min_cost=cost0,
@@ -983,11 +1090,19 @@ class FusedTrustRegionMinimizer:
             else:
                 escale, escale_c = scale, scale_c
             diag = jnp.clip(escale * escale * s.sqn, min_d, max_d)
-            D2 = diag / s.radius
-            D2_c = D2.astype(cdt)
-            step, mcc_c, lin_iters = ops.compute_step(
-                s.vrep, s.aux, s.g, s.r, escale_c, D2_c, args
-            )
+            dogleg = getattr(ops, "strategy", "lm") == "dogleg"
+            if dogleg:
+                step, mcc_c, lin_iters, dl_norm, mu_new = (
+                    ops.compute_dogleg_step(
+                        s.vrep, s.aux, s.g, s.r, escale_c, diag, s.radius,
+                        s.mu))
+            else:
+                D2 = diag / s.radius
+                D2_c = D2.astype(cdt)
+                step, mcc_c, lin_iters = ops.compute_step(
+                    s.vrep, s.aux, s.g, s.r, escale_c, D2_c, args
+                )
+                dl_norm, mu_new = jnp.asarray(0.0, jnp.float64), s.mu
             mcc = mcc_c.astype(jnp.float64)
             valid = jnp.all(jnp.isfinite(step)) & (mcc > 0.0)
 
@@ -1080,20 +1195,34 @@ class FusedTrustRegionMinimizer:
             )
 
             # -- radius update ----------------------------------------------
-            radius_acc = jnp.minimum(
-                s.radius / jnp.maximum(
-                    1.0 / 3.0, 1.0 - (2.0 * rel_dec - 1.0) ** 3
-                ),
-                opts.max_trust_region_radius,
-            )
-            radius_new = jnp.where(
-                success, radius_acc, s.radius / s.decrease_factor
-            )
+            if dogleg:
+                # dogleg_strategy.cc StepAccepted/StepRejected rules
+                r_acc = jnp.where(rel_dec < 0.25, s.radius * 0.5, s.radius)
+                r_acc = jnp.where(rel_dec > 0.75,
+                                  jnp.maximum(r_acc, 3.0 * dl_norm), r_acc)
+                radius_acc = jnp.minimum(r_acc, opts.max_trust_region_radius)
+                radius_new = jnp.where(success, radius_acc, s.radius * 0.5)
+                decrease_new = s.decrease_factor
+                mu_next = jnp.where(
+                    success, jnp.maximum(1e-8, 2.0 * mu_new / 10.0),
+                    jnp.where(valid, mu_new, mu_new * 10.0))
+                mu_next = jnp.minimum(mu_next, 1.0)
+            else:
+                radius_acc = jnp.minimum(
+                    s.radius / jnp.maximum(
+                        1.0 / 3.0, 1.0 - (2.0 * rel_dec - 1.0) ** 3
+                    ),
+                    opts.max_trust_region_radius,
+                )
+                radius_new = jnp.where(
+                    success, radius_acc, s.radius / s.decrease_factor
+                )
+                decrease_new = jnp.where(
+                    success, 2.0, jnp.where(breaking, s.decrease_factor,
+                                            s.decrease_factor * 2.0)
+                )
+                mu_next = s.mu
             radius_new = jnp.where(breaking, s.radius, radius_new)
-            decrease_new = jnp.where(
-                success, 2.0, jnp.where(breaking, s.decrease_factor,
-                                        s.decrease_factor * 2.0)
-            )
 
             term = jnp.where(
                 (term == _RUNNING) & success & (gmax <= opts.gradient_tolerance),
@@ -1138,8 +1267,8 @@ class FusedTrustRegionMinimizer:
                 g=g_new, sqn=sqn_new, radius=radius_new,
                 decrease_factor=decrease_new, se=se_new,
                 num_invalid=num_invalid, any_success=s.any_success | success,
-                it=it, term=term, min_cost=min_cost, best_x=best_x,
-                hist=hist_new,
+                mu=mu_next, it=it, term=term, min_cost=min_cost,
+                best_x=best_x, hist=hist_new,
             )
 
         out = jax.lax.while_loop(cond, body, carry0)
@@ -1386,6 +1515,14 @@ def build_fused_minimizer(program, options: Options, tier: str, e_families=None)
     """Factory: returns a FusedTrustRegionMinimizer or None when the
     configuration is outside the fused subset (caller falls back to the
     host-loop TrustRegionMinimizer)."""
+    dogleg = options.trust_region_strategy_type.name == "DOGLEG"
+    if dogleg:
+        # fused TRADITIONAL_DOGLEG on exact-solve tiers only; SUBSPACE and
+        # iterative tiers fall back to the host loop
+        if options.dogleg_type.name != "TRADITIONAL_DOGLEG":
+            return None
+        if tier not in ("schur_dense", "dense_qr", "dense_normal_cholesky"):
+            return None
     try:
         if tier == "bsr":
             pname = options.preconditioner_type.name
@@ -1407,4 +1544,6 @@ def build_fused_minimizer(program, options: Options, tier: str, e_families=None)
             return None
     except ValueError:
         return None
+    if dogleg:
+        ops = DoglegOpsWrapper(ops)
     return FusedTrustRegionMinimizer(program, options, ops)

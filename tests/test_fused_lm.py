@@ -286,3 +286,34 @@ def test_fused_kernel_matvec_matches_flatops(lst, pre):
     # SPSE Neumann series amplifies it into slightly different (equally
     # valid) CG trajectories -> compare costs at trajectory tolerance.
     assert pal.final_cost == pytest.approx(base.final_cost, rel=1e-3)
+
+
+@pytest.mark.parametrize("lst", ["DENSE_QR", "DENSE_SCHUR"])
+def test_fused_dogleg_matches_host(lst):
+    """Fused TRADITIONAL_DOGLEG (DoglegOpsWrapper inside the one-jit loop)
+    reaches the host DoglegStrategy's solution quality."""
+    kw = dict(
+        linear_solver_type=ct.LinearSolverType[lst],
+        trust_region_strategy_type=ct.TrustRegionStrategyType.DOGLEG,
+        max_num_iterations=25,
+    )
+    host = ct.solve(ct.Options(fused_loop="NEVER", **kw), make_ba())
+    fused = ct.solve(ct.Options(fused_loop="ALWAYS", **kw), make_ba())
+    assert fused.is_solution_usable()
+    assert host.is_solution_usable()
+    # both must reach the same basin; the geometry is identical but host
+    # scalar bookkeeping runs in numpy, so allow small drift
+    assert fused.final_cost == pytest.approx(host.final_cost, rel=1e-3,
+                                             abs=1e-8)
+
+
+def test_fused_dogleg_subspace_falls_back_to_host():
+    s = ct.solve(
+        ct.Options(linear_solver_type=ct.LinearSolverType.DENSE_QR,
+                   trust_region_strategy_type=(
+                       ct.TrustRegionStrategyType.DOGLEG),
+                   dogleg_type=ct.DoglegType.SUBSPACE_DOGLEG,
+                   fused_loop="ALWAYS", max_num_iterations=20),
+        make_ba(),
+    )
+    assert s.is_solution_usable()
