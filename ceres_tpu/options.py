@@ -195,4 +195,13 @@ class Options:
             LinearSolverType.CGNR,
         ):
             return False, "mixed precision solves not supported with iterative solvers"
+        if self.dynamic_sparsity and self.linear_solver_type != (
+            LinearSolverType.SPARSE_NORMAL_CHOLESKY
+        ):
+            # solver.cc:300-316: dynamic sparsity is a
+            # SPARSE_NORMAL_CHOLESKY-only mode
+            return False, (
+                "dynamic_sparsity is only supported with "
+                "SPARSE_NORMAL_CHOLESKY"
+            )
         return True, ""

@@ -240,6 +240,7 @@ class BlockTrustRegionKernels:
                 meta,
                 use_mixed_precision=options.use_mixed_precision_solves,
                 max_num_refinement_iterations=options.max_num_refinement_iterations,
+                dynamic=options.dynamic_sparsity,
             )
             self.sparse_solver = snc
             scale_fn = jax.jit(lambda values, scale: bsr.scale_columns(meta, values, scale))

@@ -218,3 +218,47 @@ def test_evaluation_dtype_float32():
                               evaluation_dtype="float32"), make())
     assert s32.is_solution_usable()
     assert abs(s32.final_cost - s64.final_cost) < 1e-3 * max(1.0, s64.final_cost)
+
+
+def test_dynamic_sparsity_matches_static():
+    """Options::dynamic_sparsity re-runs the symbolic analysis per solve on
+    the pruned numeric pattern (dynamic_sparse_normal_cholesky_solver.cc).
+    The Jacobian here has value-dependent zeros (a ReLU-style coupling
+    inactive at the start), so the dynamic pattern is a strict subset of
+    the block pattern; solutions must agree."""
+    def build():
+        xs = [np.asarray([2.0 + i]) for i in range(6)]
+        p = ct.Problem()
+        for i in range(5):
+            p.add_residual_block(
+                ct.AutoDiffCostFunction(
+                    lambda a, b: a[0] - 2.0 * b[0] + 1.0, 1, [1, 1]),
+                None, [xs[i], xs[i + 1]],
+            )
+            # coupling whose db-derivative is exactly zero where b < 0
+            p.add_residual_block(
+                ct.AutoDiffCostFunction(
+                    lambda a, b: a[0] + jnp.maximum(b[0], 0.0) ** 2,
+                    1, [1, 1]),
+                None, [xs[i], xs[(i + 3) % 6]],
+            )
+        return p, xs
+
+    kw = dict(linear_solver_type=ct.LinearSolverType.SPARSE_NORMAL_CHOLESKY,
+              max_num_iterations=40)
+    p1, _ = build()
+    s_static = ct.solve(ct.Options(**kw), p1)
+    p2, _ = build()
+    s_dyn = ct.solve(ct.Options(dynamic_sparsity=True, **kw), p2)
+    assert s_dyn.is_solution_usable()
+    assert s_dyn.final_cost == pytest.approx(s_static.final_cost,
+                                             rel=1e-8, abs=1e-12)
+
+
+def test_dynamic_sparsity_requires_sparse_normal_cholesky():
+    s = ct.solve(
+        ct.Options(linear_solver_type=ct.LinearSolverType.DENSE_QR,
+                   dynamic_sparsity=True),
+        make_powell()[0],
+    )
+    assert s.termination_type == ct.TerminationType.FAILURE
