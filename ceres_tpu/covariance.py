@@ -7,10 +7,17 @@ ComputeCovarianceValues :504). Algorithms:
  - DENSE_SVD: rank-deficiency-tolerant Moore-Penrose pseudo-inverse with
    min_reciprocal_condition_number / null_space_rank semantics
    (covariance_impl.cc DENSE_SVD branch);
- - SPARSE_QR: R'R = J'J, so (J'J)^{-1} = R^{-1}R^{-T} comes from the
-   native block-structure sparse Cholesky (SuiteSparseQR/Eigen-SparseQR
-   role, covariance_impl.cc:504) with only the REQUESTED block columns
-   solved — J is never densified.
+ - SPARSE_QR: a true QR of J itself (covariance_impl.cc:539's
+   SuiteSparseQR/Eigen-SparseQR role): R is accumulated row-by-row from
+   the sparse CSR rows of J with Givens rotations (George & Heath 1980,
+   the classic sparse row-QR), so conditioning is that of J — NOT of
+   J'J. (J'J)^{-1} = R^{-1}R^{-T} then comes from two triangular solves
+   per requested column. J is never densified; R is held dense (T x T —
+   the same footprint as the answer itself).
+ - use_normal_equations=True (repo extension): the previous fast path —
+   Cholesky of J'J via the native backend. Half the usable digits on
+   ill-conditioned problems (it squares the condition number); fine and
+   much faster when cond(J) is modest.
 
 Covariance of manifold blocks is computed in tangent space and optionally
 lifted to ambient coordinates via PlusJacobian
@@ -39,6 +46,10 @@ class CovarianceOptions:
     null_space_rank: int = 0
     apply_loss_function: bool = True
     num_threads: int = 1  # API parity; XLA owns intra-device parallelism
+    # Repo extension: solve (J'J)^{-1} from a Cholesky of J'J instead of a
+    # QR of J. Much faster, but squares the condition number — use only
+    # when cond(J) is comfortably below ~1e7.
+    use_normal_equations: bool = False
 
 
 class Covariance:
@@ -89,28 +100,17 @@ class Covariance:
         return True
 
     def _compute_sparse(self, prog, x, covariance_blocks) -> bool:
-        """SPARSE_QR on the block structure: R'R = J'J, so the covariance
-        R^{-1}R^{-T} = (J'J)^{-1} is computed from the native sparse
-        Cholesky of J'J (symbolic structure from the block-sparse meta —
-        covariance_impl.cc:504's SuiteSparseQR role without densifying J),
-        solving only the requested block columns."""
-        from .native import SparseCholesky
-        from .ops import bsr
-        from .ops.inner_product import InnerProductComputer
-
+        """SPARSE_QR: factor J = QR and solve the requested columns of
+        (J'J)^{-1} = R^{-1}R^{-T} by two triangular solves. With
+        use_normal_equations, substitute the native sparse Cholesky of
+        J'J (fast path; squares the condition number)."""
         T = prog.tangent_size
-        meta = bsr.build_meta(prog)
         out = prog._eval_core(x, True, False)
-        ipc = InnerProductComputer(meta)
-        vals = np.asarray(ipc.compute(out["block_jacs"]))
-        chol = SparseCholesky(ipc.n, ipc.indptr, ipc.indices)
-        if not chol.factorize(vals):
-            return False  # rank deficient: reference returns failure
-        dl = np.abs(chol.Lx[chol.Lp[:-1]])
-        d2 = dl * dl  # pivots of J'J (~ squared diag of R)
-        if d2.size and d2.min() <= (
-            self.options.min_reciprocal_condition_number * d2.max()
-        ):
+        if self.options.use_normal_equations:
+            solve_cols = self._normal_equation_solver(prog, out)
+        else:
+            solve_cols = self._qr_solver(prog, out)
+        if solve_cols is None:
             return False
         # Columns to solve: union of blocks named in covariance_blocks
         # (symmetry covers (i, j) vs (j, i)); everything if none given.
@@ -136,7 +136,7 @@ class Covariance:
             cols = list(range(T))
         E = np.zeros((T, len(cols)))
         E[cols, np.arange(len(cols))] = 1.0
-        sol = chol.solve_multi(E)  # (T, k) = (J'J)^{-1} columns
+        sol = solve_cols(E)  # (T, k) = (J'J)^{-1} columns
         if len(cols) == T:
             self._cov = sol
         else:
@@ -144,6 +144,87 @@ class Covariance:
             self._cov_cols = sol
             self._colmap = {c: k for k, c in enumerate(cols)}
         return True
+
+    def _normal_equation_solver(self, prog, out):
+        """Cholesky-of-J'J column solver (fast path). Returns
+        solve(E) -> (T, k), or None on rank deficiency."""
+        from .native import SparseCholesky
+        from .ops import bsr
+        from .ops.inner_product import InnerProductComputer
+
+        meta = bsr.build_meta(prog)
+        ipc = InnerProductComputer(meta)
+        vals = np.asarray(ipc.compute(out["block_jacs"]))
+        chol = SparseCholesky(ipc.n, ipc.indptr, ipc.indices)
+        if not chol.factorize(vals):
+            return None  # rank deficient: reference returns failure
+        dl = np.abs(chol.Lx[chol.Lp[:-1]])
+        d2 = dl * dl  # pivots of J'J (~ squared diag of R)
+        if d2.size and d2.min() <= (
+            self.options.min_reciprocal_condition_number * d2.max()
+        ):
+            return None
+        return chol.solve_multi
+
+    def _qr_solver(self, prog, out):
+        """True sparse QR of J (George & Heath row-Givens): accumulate the
+        T x T upper-triangular R from CSR rows of J, never forming Q or a
+        dense J. Conditioning is cond(J), not cond(J'J) — the property
+        covariance exists to exploit (covariance_impl.cc:539). Returns
+        solve(E) -> R^{-1} R^{-T} E, or None on rank deficiency."""
+        import scipy.linalg as sl
+
+        from .ops import bsr
+
+        T = prog.tangent_size
+        meta = bsr.build_meta(prog)
+        R = np.zeros((T, T))
+        rdiag_zero = np.ones(T, dtype=bool)
+        for kind, jacs in zip(meta.kinds, out["block_jacs"]):
+            # CSR rows of this kind: r rows per observation, columns from
+            # the slots' tangent indices (sentinel T == constant: dropped)
+            cols = np.concatenate(
+                [np.asarray(meta.arrays[s.tangent_idx_key]) for s in kind.slots],
+                axis=1,
+            )  # (B, sum_t)
+            data = np.concatenate(
+                [np.asarray(J, dtype=np.float64) for J in jacs], axis=2
+            )  # (B, r, sum_t)
+            for b in range(kind.B):
+                keep = cols[b] < T
+                c = cols[b][keep]
+                order = np.argsort(c)
+                c = c[order]
+                for i in range(kind.r):
+                    w = np.zeros(T)
+                    w[c] = data[b, i][keep][order]
+                    nz = np.nonzero(w)[0]
+                    while nz.size:
+                        k = nz[0]
+                        if rdiag_zero[k]:
+                            R[k, k:] = w[k:]
+                            rdiag_zero[k] = False
+                            break
+                        a, bb = R[k, k], w[k]
+                        rr = np.hypot(a, bb)
+                        cth, sth = a / rr, bb / rr
+                        Rk = R[k, k:].copy()
+                        R[k, k:] = cth * Rk + sth * w[k:]
+                        w[k:] = cth * w[k:] - sth * Rk
+                        w[k] = 0.0
+                        nz = k + 1 + np.nonzero(w[k + 1:])[0]
+        d = np.abs(np.diag(R))
+        d2 = d * d
+        if rdiag_zero.any() or d2.min() <= (
+            self.options.min_reciprocal_condition_number * d2.max()
+        ):
+            return None  # rank deficient (qr rank < num_cols -> failure)
+
+        def solve(E):
+            y = sl.solve_triangular(R, E, trans="T", lower=False)
+            return sl.solve_triangular(R, y, lower=False)
+
+        return solve
 
     def _cov_block(self, o1, t1, o2, t2) -> np.ndarray:
         if self._cov is not None:

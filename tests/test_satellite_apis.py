@@ -61,6 +61,76 @@ def test_covariance_rank_deficient_svd():
     assert np.all(np.isfinite(C))
 
 
+def test_covariance_ill_conditioned_qr_vs_normal_equations():
+    """cond(J) ~ 1e8: the true QR path (factor J itself) matches the
+    DENSE_SVD reference to ~sqrt(eps)*cond digits, while the
+    normal-equations fast path works on J'J with cond ~ 1e16 and must
+    either fail the rcond gate or lose the answer
+    (covariance_impl.cc:539 is QR for exactly this reason)."""
+    rng = np.random.default_rng(3)
+    Q1, _ = np.linalg.qr(rng.standard_normal((12, 3)))
+    Q2, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+    s = np.asarray([1.0, 1e-4, 1e-8])
+    A = Q1 @ np.diag(s) @ Q2
+    x = np.zeros(3)
+    p = ct.Problem()
+    p.add_residual_block(
+        ct.AutoDiffCostFunction(lambda v: jnp.asarray(A) @ v, 12, [3]),
+        None, [x],
+    )
+    ref = Q2.T @ np.diag(1.0 / (s * s)) @ Q2  # (A'A)^{-1}
+
+    qr = ct.Covariance(ct.CovarianceOptions(
+        algorithm_type=ct.CovarianceAlgorithmType.SPARSE_QR,
+        min_reciprocal_condition_number=1e-18))
+    assert qr.compute([(x, x)], p)
+    C = qr.get_covariance_block(x, x)
+    np.testing.assert_allclose(C, ref, rtol=1e-6)
+
+    ne = ct.Covariance(ct.CovarianceOptions(
+        algorithm_type=ct.CovarianceAlgorithmType.SPARSE_QR,
+        min_reciprocal_condition_number=1e-18,
+        use_normal_equations=True))
+    ok = ne.compute([(x, x)], p)
+    if ok:  # if the f64 Cholesky squeaked through, the answer is garbage
+        C2 = ne.get_covariance_block(x, x)
+        assert np.max(np.abs(C2 - ref)) / np.max(np.abs(ref)) > 1e-4
+
+
+def test_covariance_qr_multi_block_matches_svd():
+    """QR path on a multi-block problem with a constant block: agrees with
+    DENSE_SVD on every requested pair."""
+    rng = np.random.default_rng(5)
+    xs = [rng.standard_normal(2), rng.standard_normal(3),
+          rng.standard_normal(2)]
+    p = ct.Problem()
+    A1 = rng.standard_normal((4, 5))
+    p.add_residual_block(
+        ct.AutoDiffCostFunction(
+            lambda a, b: jnp.asarray(A1) @ jnp.concatenate([a, b]) - 1.0,
+            4, [2, 3]), None, [xs[0], xs[1]])
+    A2 = rng.standard_normal((5, 5))
+    p.add_residual_block(
+        ct.AutoDiffCostFunction(
+            lambda b, c: jnp.asarray(A2) @ jnp.concatenate([b, c]),
+            5, [3, 2]), None, [xs[1], xs[2]])
+    A3 = rng.standard_normal((3, 2))
+    p.add_residual_block(
+        ct.AutoDiffCostFunction(lambda c: jnp.asarray(A3) @ c - 0.5, 3, [2]),
+        None, [xs[2]])
+    p.set_parameter_block_constant(xs[0])
+    pairs = [(xs[1], xs[1]), (xs[1], xs[2]), (xs[2], xs[2])]
+    qr = ct.Covariance(ct.CovarianceOptions(
+        algorithm_type=ct.CovarianceAlgorithmType.SPARSE_QR))
+    svd = ct.Covariance(ct.CovarianceOptions(
+        algorithm_type=ct.CovarianceAlgorithmType.DENSE_SVD))
+    assert qr.compute(pairs, p) and svd.compute(pairs, p)
+    for a, b in pairs:
+        np.testing.assert_allclose(
+            qr.get_covariance_block(a, b), svd.get_covariance_block(a, b),
+            rtol=1e-8, atol=1e-12)
+
+
 def test_covariance_tangent_space_quaternion():
     q = np.asarray([1.0, 0.0, 0.0, 0.0])
     p = ct.Problem()
