@@ -621,11 +621,17 @@ class _FlatOpsBase:
 
     # -- fused one-kernel matvecs (ops/pallas_kernels.implicit_schur_matvec)
 
+    # cameras above this count switch the fused matvec to per-tile camera
+    # windows (plan_camera_windows) — below it the single in-VMEM one-hot
+    # is cheap and proven
+    _WINDOW_THRESHOLD = 1024
+
     def _kernel_slots(self, plans_e, plans_f, e_fams, f_fams):
         """Qualification for the fused Pallas matvec: ONE kind, one sorted
         e-slot (point-aligned tiles), one f-slot, single family per side,
-        f32, camera count that fits the in-VMEM one-hot. Returns the
-        (pe, pf) plan pair or None."""
+        f32. Returns (pe, pf, windows) or None; `windows` is the
+        plan_camera_windows tuple for large camera counts (None below the
+        threshold — the global in-VMEM one-hot)."""
         if PALLAS_MODE == "off":
             return None
         if PALLAS_MODE != "interpret" and jax.default_backend() == "cpu":
@@ -642,9 +648,23 @@ class _FlatOpsBase:
         pe, pf = plans_e[k][0], plans_f[k][0]
         if not pe.srt or pe.pplan is None or pe.rplan is None:
             return None
-        if pf.nv > 1920:  # one-hot MXU cost O(rows * C_pad) per tile
-            return None
-        return pe, pf
+        windows = None
+        if pf.nv > self._WINDOW_THRESHOLD:
+            windows = self._camera_windows(pe, pf)
+        return pe, pf, windows
+
+    def _camera_windows(self, pe, pf):
+        key = (id(pe.local), id(pf.local))
+        cache = getattr(self, "_win_cache", None)
+        if cache is None:
+            cache = self._win_cache = {}
+        if key not in cache:
+            from . import pallas_kernels as pk
+
+            cache[key] = pk.plan_camera_windows(
+                np.asarray(pe.local), np.asarray(pf.local),
+                np.asarray(pe.rplan[1]), pe.nv, pf.nv)
+        return cache[key]
 
     def _kernel_scaled_rows(self, vflat, pe, pf, se, sf):
         """Transposed scaled lanes + id planes for the fused matvec,
@@ -753,7 +773,7 @@ class FlatSchurOps(_FlatOpsBase):
                                   self.pm.e_fams, self.pm.f_fams)
         if qual is None or vflat[0][qual[0].s].dtype != jnp.float32:
             return None
-        pe, pf = qual
+        pe, pf, windows = qual
         from . import pallas_kernels as pk
 
         JT, ids_T, r, max_rows = self._kernel_scaled_rows(
@@ -766,8 +786,14 @@ class FlatSchurOps(_FlatOpsBase):
             cam, u = pk.isc_matvec(
                 JT, ids_T, z, minv_flat, pe.rplan[0], pe.rplan[1],
                 pe.nv, pf.nv, r, tf, te, max_rows=max_rows,
-                interpret=interp, emit_u=emit_u)
+                interpret=interp, emit_u=emit_u, windows=windows)
             return cam, (u.reshape(-1) if emit_u else None)
+
+        if windows is not None:
+            # large C: the assembly kernel's (C_pad, tf*gf) VMEM
+            # accumulators don't fit; callers use the XLA flat chain
+            # (once per LM iteration, outside the CG loop)
+            return matvec, None
 
         def jacobi_blocks(minv_flat, d2f):
             P, C = pe.nv, pf.nv
@@ -865,6 +891,7 @@ class FlatJacobianOps(_FlatOpsBase):
             [[pe]], [[pf]], [self.fams[pe.fi]], [self.fams[pf.fi]])
         if qual is None or vflat[0][pe.s].dtype != jnp.float32:
             return None
+        windows = qual[2]
         from . import pallas_kernels as pk
 
         JT, ids_T, r, max_rows = self._kernel_scaled_rows(
@@ -879,7 +906,7 @@ class FlatJacobianOps(_FlatOpsBase):
             cam, pt = pk.normal_matvec(
                 JT, ids_T, xc, xp, pe.rplan[0], pe.rplan[1],
                 pe.nv, pf.nv, r, pf.t, pe.t, max_rows=max_rows,
-                interpret=interp)
+                interpret=interp, windows=windows)
             out = jnp.zeros((size,), x.dtype)
             out = jax.lax.dynamic_update_slice(out, cam, (pf.off,))
             out = jax.lax.dynamic_update_slice(

@@ -144,6 +144,49 @@ def plan_row_tiles(sorted_ids: np.ndarray, num_blocks: int,
             max_rows)
 
 
+def plan_camera_windows(pt_ids: np.ndarray, cam_ids: np.ndarray,
+                        tile_block0: np.ndarray, num_points: int, C: int,
+                        width_cap: int = 2048):
+    """Per-tile CAMERA windows for the large-C fused matvec.
+
+    The in-VMEM camera one-hot costs O(rows * window) VPU compares + MXU
+    MACs per tile; a GLOBAL window (== C_pad) capped the kernel at ~1900
+    cameras. With rows sorted by point and points renumbered for camera
+    locality, every tile's rows touch a narrow band of cameras — each
+    tile then builds its one-hot only over [win0, win0 + n_win*Wc).
+
+    Returns (win_starts (T,) int32 128-aligned, Wc static multiple of 128,
+    n_win static chunk count, c_hi = max(win0) + n_win*Wc). Correct for
+    ANY structure: a tile whose cameras span more than `width_cap` gets
+    covered by n_win sequential window chunks (worst case n_win ~ C/cap —
+    always correct, fast when the data has locality). Sentinel ids
+    (>= C or < 0) are excluded from the windows; their rows match no
+    window chunk and so contribute exactly zero to gather and scatter."""
+    pt_ids = np.asarray(pt_ids)
+    cam_ids = np.asarray(cam_ids)
+    counts = np.bincount(np.minimum(pt_ids, num_points),
+                         minlength=num_points + 1)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    tb = np.asarray(tile_block0, np.int64)
+    T = tb.shape[0] - 1
+    win0 = np.zeros(T, np.int64)
+    span = 1
+    valid = (cam_ids >= 0) & (cam_ids < C)
+    for t in range(T):
+        r0, r1 = offsets[min(tb[t], num_points)], offsets[min(tb[t + 1], num_points)]
+        cams = cam_ids[r0:r1][valid[r0:r1]]
+        if cams.size == 0:
+            continue
+        lo = (int(cams.min()) // _LANE) * _LANE
+        win0[t] = lo
+        span = max(span, int(cams.max()) + 1 - lo)
+    span = -(-span // _LANE) * _LANE
+    Wc = min(span, max(_LANE, (width_cap // _LANE) * _LANE))
+    n_win = -(-span // Wc)
+    c_hi = int(win0.max()) + n_win * Wc if T else Wc
+    return win0.astype(np.int32), int(Wc), int(n_win), c_hi
+
+
 def segment_block_sum(
     contrib,  # (N, t) per-observation contributions, sorted by target block
     sorted_ids,  # (N,) int32 non-decreasing target block ids
@@ -715,6 +758,9 @@ def implicit_schur_matvec(
     interpret: bool = False,
     mode: str = "isc",
     emit_u: bool = True,
+    win_starts=None,  # (T,) int32 128-aligned camera window base per tile
+    win_width: int = 0,  # static window chunk width (multiple of 128)
+    n_win: int = 1,  # static chunks per tile (window span / win_width)
 ):
     """The whole implicit-Schur product S·z in ONE Pallas kernel
     (implicit_schur_complement.cc:106 on TPU). Per observation tile:
@@ -756,7 +802,18 @@ def implicit_schur_matvec(
     point lives in exactly one tile's DMA window — so the segment
     reduction completes in-tile and the per-point solve + expand follow
     immediately. Window rows belonging to other tiles' points are masked
-    out of both reductions and handled by their own tile."""
+    out of both reductions and handled by their own tile.
+
+    Large C (`win_starts` given, from plan_camera_windows): the camera
+    one-hot is built per tile only over `n_win` chunks of `win_width`
+    cameras starting at the tile's 128-aligned window base — the z gather
+    reads a dynamic lane slice of the VMEM-resident z, and the camera
+    scatter read-modify-writes a dynamic sublane window of the output
+    block (zeroed once at grid step 0; the sequential grid makes RMW
+    race-free). O(rows * n_win*win_width) per tile instead of
+    O(rows * C_pad): Venice-class C (~13.7k) runs at the cost of its
+    locality window, removing the ~1900-camera cap
+    (visibility_based_preconditioner.cc:127 scale regime)."""
     lanes_pad, n_pad = JT.shape
     BT = BLOCKS_PER_TILE
     num_tiles = tile_block0.shape[0] - 1
@@ -768,6 +825,10 @@ def implicit_schur_matvec(
     C_pad = z_T.shape[1]
     normal = mode == "normal"
     assert lanes_pad == r * gf + r * ge
+    windowed = win_starts is not None
+    if windowed:
+        win_starts = jnp.asarray(win_starts, jnp.int32)
+        assert win_width % _LANE == 0 and win_width > 0
     if num_tiles_pad > num_tiles:
         pad = num_tiles_pad - num_tiles
         tile_starts = jnp.concatenate(
@@ -776,6 +837,9 @@ def implicit_schur_matvec(
         tile_block0 = jnp.concatenate(
             [jnp.asarray(tile_block0, jnp.int32),
              jnp.broadcast_to(jnp.asarray(tile_block0)[-1:], (pad,))])
+        if windowed:
+            win_starts = jnp.concatenate(
+                [win_starts, jnp.broadcast_to(win_starts[-1:], (pad,))])
     dt = JT.dtype
     f32 = jnp.float32
     bf16 = jnp.bfloat16
@@ -791,6 +855,10 @@ def implicit_schur_matvec(
         return hi, mid, lo
 
     def kernel(*refs):
+        if windowed:
+            win_ref, refs = refs[0], refs[1:]
+        else:
+            win_ref = None
         if emit_u:
             (starts_ref, block0_ref, ids_hbm, jt_hbm, z_ref,
              blk_hbm_ref, cam_out, pt_hbm) = refs
@@ -852,8 +920,18 @@ def implicit_schur_matvec(
                 REDm = _sel01((te2p, ge),
                               lambda a, b: (a // te == b) & (a < te * te))
 
-            cam_acc = jnp.zeros((C_pad, gf), f32)
-            csub = jax.lax.broadcasted_iota(jnp.int32, (C_pad, max_rows), 0)
+            if windowed:
+                cam_acc = None
+                csub = jax.lax.broadcasted_iota(
+                    jnp.int32, (win_width, max_rows), 0)
+
+                @pl.when(g == 0)
+                def _zero_cam():
+                    cam_out[:, :] = jnp.zeros((C_pad, gf), cam_out.dtype)
+            else:
+                cam_acc = jnp.zeros((C_pad, gf), f32)
+                csub = jax.lax.broadcasted_iota(
+                    jnp.int32, (C_pad, max_rows), 0)
             sub = jax.lax.broadcasted_iota(jnp.int32, (BT, max_rows), 0)
             one = jnp.ones((), f32)
             zero = jnp.zeros((), f32)
@@ -867,9 +945,27 @@ def implicit_schur_matvec(
                 jt = jt_vmem[j]
                 pid1 = ids_vmem[j][0:1, :]
                 pid = jnp.broadcast_to(pid1, (BT, max_rows))
-                cid = jnp.broadcast_to(ids_vmem[j][1:2, :],
-                                       (C_pad, max_rows))
-                ohc_b = jnp.where(cid == csub, one, zero).astype(bf16)
+                cid1 = ids_vmem[j][1:2, :]
+                if windowed:
+                    w0 = pl.multiple_of(win_ref[g * unroll + j], _LANE)
+                    # one-hot built ONCE per chunk (bf16 select, no f32
+                    # round-trip), reused by gather and scatter — the mask
+                    # build is the kernel's VPU bottleneck
+                    chunks = []
+                    zg = None
+                    for kk in range(n_win):
+                        c0 = pl.multiple_of(w0 + kk * win_width, _LANE)
+                        cw = jnp.broadcast_to(cid1 - c0,
+                                              (win_width, max_rows))
+                        ohw = jnp.where(cw == csub, one,
+                                        zero).astype(bf16)
+                        chunks.append((c0, ohw))
+                        part = dot3(z_ref[:, pl.ds(c0, win_width)],
+                                    ohw, d_mm)
+                        zg = part if zg is None else zg + part
+                else:
+                    cid = jnp.broadcast_to(cid1, (C_pad, max_rows))
+                    ohc_b = jnp.where(cid == csub, one, zero).astype(bf16)
                 ohp_b = jnp.where(
                     (pid - b0 == sub) & (pid < b1) & (pid < num_points),
                     one, zero).astype(bf16)
@@ -877,7 +973,8 @@ def implicit_schur_matvec(
                 off_e = r * gf
                 Je_g = [jt[off_e + i * ge: off_e + (i + 1) * ge, :]
                         for i in range(r)]
-                zg = dot3(z_ref[:, :], ohc_b, d_mm)  # (gf, rows)
+                if not windowed:
+                    zg = dot3(z_ref[:, :], ohc_b, d_mm)  # (gf, rows)
                 fz = [jnp.sum(Jf_g[i] * zg, axis=0, keepdims=True)
                       for i in range(r)]  # r x (1, rows)
                 blk = blk_vmem[j][:, :]
@@ -927,17 +1024,26 @@ def implicit_schur_matvec(
                     Jf_g[i] * jnp.broadcast_to(q[i], (gf, max_rows))
                     for i in range(r)) * jnp.broadcast_to(
                         in_tile, (gf, max_rows))
-                cam_acc = cam_acc + dot3l(ohc_b, cf, d_ll)
+                if windowed:
+                    for c0, ohw in chunks:
+                        camq = dot3l(ohw, cf, d_ll)  # (win_width, gf)
+                        cur = cam_out[pl.ds(c0, win_width), :]
+                        cam_out[pl.ds(c0, win_width), :] = (
+                            cur + camq.astype(cam_out.dtype))
+                else:
+                    cam_acc = cam_acc + dot3l(ohc_b, cf, d_ll)
             if out_cp is not None:
                 out_cp.wait()
 
-            @pl.when(g == 0)
-            def _init():
-                cam_out[:, :] = cam_acc.astype(cam_out.dtype)
+            if not windowed:
+                @pl.when(g == 0)
+                def _init():
+                    cam_out[:, :] = cam_acc.astype(cam_out.dtype)
 
-            @pl.when(g > 0)
-            def _acc():
-                cam_out[:, :] = cam_out[:, :] + cam_acc.astype(cam_out.dtype)
+                @pl.when(g > 0)
+                def _acc():
+                    cam_out[:, :] = (cam_out[:, :]
+                                     + cam_acc.astype(cam_out.dtype))
 
         pl.run_scoped(
             body,
@@ -959,6 +1065,10 @@ def implicit_schur_matvec(
         pl.BlockSpec(memory_space=pltpu.VMEM),  # z_T
         pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # per-point rows
     ]
+    inputs = (tile_starts, tile_block0, ids_T, JT, z_T, blk_hbm)
+    if windowed:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        inputs = (win_starts,) + inputs
     cam_spec = pl.BlockSpec((C_pad, gf), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     cam_shape = jax.ShapeDtypeStruct((C_pad, gf), dt)
@@ -974,7 +1084,7 @@ def implicit_schur_matvec(
                            jax.ShapeDtypeStruct((nb_out, _LANE), dt)),
                 compiler_params=pltpu.CompilerParams(has_side_effects=True),
                 interpret=interpret,
-            )(tile_starts, tile_block0, ids_T, JT, z_T, blk_hbm)
+            )(*inputs)
             return cam_out, pt_out
         cam_out = pl.pallas_call(
             kernel,
@@ -983,7 +1093,7 @@ def implicit_schur_matvec(
             out_specs=cam_spec,
             out_shape=cam_shape,
             interpret=interpret,
-        )(tile_starts, tile_block0, ids_T, JT, z_T, blk_hbm)
+        )(*inputs)
         return cam_out, None
 
 
@@ -1313,49 +1423,59 @@ def prep_matvec_rows(Jf, Je, pt_ids, cam_ids, max_rows, r, tf, te):
     return JT, ids_T
 
 
+def _cam_pad(C, windows):
+    C_pad = max(_LANE, -(-(C + 1) // _LANE) * _LANE)
+    if windows is not None:
+        C_pad = max(C_pad, windows[3])
+    return C_pad
+
+
 def isc_matvec(JT, ids_T, z, minv_flat, tile_starts, tile_block0,
                num_points, C, r, tf, te, max_rows=512, unroll=4,
-               interpret=False, emit_u=True):
+               interpret=False, emit_u=True, windows=None):
     """Fused S·z (see implicit_schur_matvec): z (C*tf,) camera vector,
     minv_flat (num_points, te*te). Returns (Sz_wo_diag (C*tf,),
-    u (num_points, te) or None when emit_u=False) — caller adds d2f*z."""
+    u (num_points, te) or None when emit_u=False) — caller adds d2f*z.
+    `windows` = plan_camera_windows output for the large-C path."""
     dt = JT.dtype
-    C_pad = max(_LANE, -(-(C + 1) // _LANE) * _LANE)
+    C_pad = _cam_pad(C, windows)
     gf = max(8, -(-tf // 8) * 8)
-    tete_pad = max(8, -(-te * te // 8) * 8)
     z_T = jnp.zeros((gf, C_pad), dt)
     z_T = jax.lax.dynamic_update_slice(z_T, z.reshape(C, tf).T, (0, 0))
     nb = num_points + 1 + BLOCKS_PER_TILE
     # HBM->VMEM copies need 128-aligned minor dims: pad the per-point rows
     blk = jnp.zeros((nb, _LANE), dt)
     blk = jax.lax.dynamic_update_slice(blk, minv_flat, (0, 0))
+    wkw = dict(win_starts=windows[0], win_width=windows[1],
+               n_win=windows[2]) if windows is not None else {}
     cam, u = implicit_schur_matvec(
         JT, ids_T, z_T, blk, tile_starts, tile_block0, num_points,
         C, r, tf, te, max_rows=max_rows, unroll=unroll, interpret=interpret,
-        mode="isc", emit_u=emit_u)
+        mode="isc", emit_u=emit_u, **wkw)
     return (cam[:C, :tf].reshape(-1),
             u[:num_points, :te] if emit_u else None)
 
 
 def normal_matvec(JT, ids_T, xc, xp, tile_starts, tile_block0,
                   num_points, C, r, tf, te, max_rows=512, unroll=4,
-                  interpret=False):
+                  interpret=False, windows=None):
     """Fused (J'J)x for the e/f split (CGNR hot op): xc (C*tf,),
     xp (num_points, te). Returns (cam (C*tf,), pt (num_points, te)) —
     caller adds D² x."""
     dt = JT.dtype
-    C_pad = max(_LANE, -(-(C + 1) // _LANE) * _LANE)
+    C_pad = _cam_pad(C, windows)
     gf = max(8, -(-tf // 8) * 8)
-    ge = max(8, -(-te // 8) * 8)
     z_T = jnp.zeros((gf, C_pad), dt)
     z_T = jax.lax.dynamic_update_slice(z_T, xc.reshape(C, tf).T, (0, 0))
     nb = num_points + 1 + BLOCKS_PER_TILE
     blk = jnp.zeros((nb, _LANE), dt)
     blk = jax.lax.dynamic_update_slice(blk, xp, (0, 0))
+    wkw = dict(win_starts=windows[0], win_width=windows[1],
+               n_win=windows[2]) if windows is not None else {}
     cam, pt = implicit_schur_matvec(
         JT, ids_T, z_T, blk, tile_starts, tile_block0, num_points,
         C, r, tf, te, max_rows=max_rows, unroll=unroll, interpret=interpret,
-        mode="normal", emit_u=True)
+        mode="normal", emit_u=True, **wkw)
     return cam[:C, :tf].reshape(-1), pt[:num_points, :te]
 
 

@@ -458,13 +458,25 @@ def _evaluate_flat_T(cams, pts, cam_idx, obs_T, w, oh_gather, expand_p_T):
 
 
 def _schur_core(J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p,
-                C, P, rr=2, tc=9, tp=3, spread_p=None, w=None):
+                C, P, rr=2, tc=9, tp=3, spread_p=None, w=None,
+                axis_name=None):
     """Exact dense-Schur LM step math from a flat-lane evaluation:
-    returns (step_c, step_p, sc, sp, model_cost_change)."""
+    returns (step_c, step_p, sc, sp, model_cost_change).
+
+    With `axis_name` (under shard_map, SURVEY §5.7 point sharding): the
+    POINT state and observations are device-local shards; every
+    camera-side aggregate — gradient/diag reductions, F'F, the S Gram
+    A'A, the rhs weight A'u, and the scalar model-cost terms — is closed
+    over the mesh with ONE psum each, after which the small replicated
+    9C x 9C solve runs identically on every device. Point elimination and
+    back-substitution never leave the shard."""
     B = r.shape[0]
     R, S_sel = _flat_selectors(rr, tc, tp, J.dtype)
 
-    def reduce_c(contrib):  # (B, k) -> (C, k) via MXU
+    def psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    def reduce_c(contrib):  # (B, k) -> (C, k) via MXU (+ mesh psum)
         return jnp.einsum("bk,bc->ck", contrib, onehot, precision=_HI)
 
     dt = J.dtype
@@ -483,8 +495,9 @@ def _schur_core(J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p,
     gp = red[:, :tp]
     d2p = red[:, tp : 2 * tp]
     ete_u = red[:, 2 * tp :]  # (P, 9) unscaled E'E lanes
-    gc = reduce_c(jtr[:, :tc])
-    d2c = reduce_c(jsq[:, :tc])
+    gc_d2c = psum(reduce_c(jnp.concatenate(
+        [jtr[:, :tc], jsq[:, :tc]], axis=1)))
+    gc, d2c = gc_d2c[:, :tc], gc_d2c[:, tc:]
     sc = 1.0 / (1.0 + jnp.sqrt(d2c))
     sp = 1.0 / (1.0 + jnp.sqrt(d2p))
     diag_c = jnp.clip(sc * sc * d2c, 1e-6, 1e32)
@@ -544,10 +557,12 @@ def _schur_core(J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p,
         # S = blockdiag(F'F) + D2c - A'A ; rhs = F'r - A' (L^{-1} E'r)
         jctjc = _outer_flat(Js_c, Js_c, _outer_selectors(rr, tc, tc, dt))
         FtF = reduce_c(jctjc).reshape(C, tc, tc)
+    FtF = psum(FtF)
+    AtA = psum(jnp.einsum("kf,kg->fg", A, A, precision=_HI))
     S = jnp.einsum("cij,cd->cidj", FtF, jnp.eye(C, dtype=dt)).reshape(
         C * tc, C * tc
     )
-    S = S - jnp.einsum("kf,kg->fg", A, A, precision=_HI)
+    S = S - AtA
     S = S + jnp.diag(D2c.reshape(-1))
     # u = L^{-1} etb, closed form on lanes
     u = jnp.stack(
@@ -556,7 +571,8 @@ def _schur_core(J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p,
          for i in range(tp)], axis=1
     ).astype(dt)  # (P, 3)
     ftb = (sc * gc).reshape(-1)
-    rhs = ftb - jnp.einsum("kf,k->f", A, u.reshape(-1), precision=_HI)
+    rhs = ftb - psum(
+        jnp.einsum("kf,k->f", A, u.reshape(-1), precision=_HI))
 
     # dense 9C x 9C solve (tiny; S can be ill-conditioned -> flag)
     dtS = jnp.float64 if PRECISE_SCHUR_SOLVE else dt
@@ -581,8 +597,10 @@ def _schur_core(J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p,
     # Exact-solve identity: with m(d) = g_s'd + 1/2 d'J_s'J_s d and
     # (J_s'J_s + D^2) d = -g_s,  -m(d) = -1/2 g_s'd + 1/2 d'D^2 d — all
     # reduced-space dot products, no B-wide J pass for the model cost.
-    g_dot = jnp.sum((sc * gc) * step_c) + jnp.sum((sp * gp) * step_p)
-    d2_dot = jnp.sum(D2c * step_c * step_c) + jnp.sum(D2p * step_p * step_p)
+    g_dot = jnp.sum((sc * gc) * step_c) + psum(
+        jnp.sum((sp * gp) * step_p))
+    d2_dot = jnp.sum(D2c * step_c * step_c) + psum(
+        jnp.sum(D2p * step_p * step_p))
     model_cost_change = -0.5 * g_dot + 0.5 * d2_dot
     return step_c, step_p, sc, sp, model_cost_change
 
@@ -659,16 +677,21 @@ class SchurCarry(NamedTuple):
 
 
 def lm_step_schur_init(cams, pts, cam_idx, pt_idx, obs, radius, w=None,
-                       pallas_plan=None, pallas_interpret=False) -> SchurCarry:
+                       pallas_plan=None, pallas_interpret=False,
+                       axis_name=None) -> SchurCarry:
     C = cams.shape[0]
     oh_gather = jax.nn.one_hot(cam_idx, C, dtype=cams.dtype)
     _, expand_p, _ = _point_ops(pt_idx, pts.shape[0], pallas_plan, pallas_interpret)
     r, J = _evaluate_flat(cams, pts, cam_idx, obs, w, oh_gather, expand_p)
-    return SchurCarry(cams, pts, radius, 0.5 * jnp.sum(r * r), r, J)
+    cost = 0.5 * jnp.sum(r * r)
+    if axis_name:
+        cost = jax.lax.psum(cost, axis_name)
+    return SchurCarry(cams, pts, radius, cost, r, J)
 
 
 def lm_step_schur_next(carry: SchurCarry, cam_idx, pt_idx, obs, w=None,
-                       pallas_plan=None, pallas_interpret=False) -> SchurCarry:
+                       pallas_plan=None, pallas_interpret=False,
+                       axis_name=None) -> SchurCarry:
     """lm_step_schur with the evaluation carried across iterations."""
     cams, pts, radius, cost, r, J = carry
     C = cams.shape[0]
@@ -679,7 +702,7 @@ def lm_step_schur_next(carry: SchurCarry, cam_idx, pt_idx, obs, w=None,
 
     step_c, step_p, sc, sp, model_cost_change = _schur_core(
         J, r, radius, cam_idx, oh_gather, onehot, reduce_p, expand_p, C, P,
-        spread_p=spread_p, w=w
+        spread_p=spread_p, w=w, axis_name=axis_name
     )
     new_cams = cams + step_c * sc
     new_pts = pts + step_p * sp
@@ -687,6 +710,8 @@ def lm_step_schur_next(carry: SchurCarry, cam_idx, pt_idx, obs, w=None,
         new_cams, new_pts, cam_idx, obs, w, oh_gather, expand_p
     )
     new_cost = 0.5 * jnp.sum(r_new * r_new)
+    if axis_name:
+        new_cost = jax.lax.psum(new_cost, axis_name)
     ok = jnp.isfinite(new_cost) & (model_cost_change > 0)
     rel_decrease = (cost - new_cost) / jnp.maximum(model_cost_change, 1e-300)
     accept = ok & (rel_decrease > 1e-3)
@@ -710,17 +735,18 @@ def lm_step_schur_next(carry: SchurCarry, cam_idx, pt_idx, obs, w=None,
 
 
 def lm_step_schur_k(cams, pts, cam_idx, pt_idx, obs, radius, k=5, w=None,
-                    pallas_plan=None, pallas_interpret=False):
+                    pallas_plan=None, pallas_interpret=False,
+                    axis_name=None):
     """k LM iterations in ONE jit via the evaluation carry: the flat J
     never leaves the compiled scope between iterations, so each iteration
     costs one r+J evaluation ((k+1)/k evaluations per LM step amortized
     vs 2 for lm_step_schur). Returns BAState after k steps."""
     carry = lm_step_schur_init(cams, pts, cam_idx, pt_idx, obs, radius, w,
-                               pallas_plan, pallas_interpret)
+                               pallas_plan, pallas_interpret, axis_name)
 
     def body(_, c):
         return lm_step_schur_next(c, cam_idx, pt_idx, obs, w,
-                                  pallas_plan, pallas_interpret)
+                                  pallas_plan, pallas_interpret, axis_name)
 
     out = jax.lax.fori_loop(0, k, body, carry)
     return BAState(out.cams, out.pts, out.radius, out.cost)
@@ -917,8 +943,10 @@ def _schur_core_asm(Jg_T, r_T, radius, oh_gather, onehot, pt_idx,
 
     step_c = -z.reshape(C, tc)
     step_p = -y_p
-    g_dot = jnp.sum((sc * gc) * step_c) + jnp.sum((sp * gp) * step_p)
-    d2_dot = jnp.sum(D2c * step_c * step_c) + jnp.sum(D2p * step_p * step_p)
+    g_dot = jnp.sum((sc * gc) * step_c) + psum(
+        jnp.sum((sp * gp) * step_p))
+    d2_dot = jnp.sum(D2c * step_c * step_c) + psum(
+        jnp.sum(D2p * step_p * step_p))
     model_cost_change = -0.5 * g_dot + 0.5 * d2_dot
     return step_c, step_p, sc, sp, model_cost_change
 
@@ -1094,3 +1122,142 @@ def solve_ba(bal_problem, num_iterations=10, mesh=None, cg_iters=10,
             *step_fn(state.cams, state.pts, cam_idx, pt_idx, obs, state.radius, w)
         )
     return jax.block_until_ready(state)
+
+
+# ---------------------------------------------------------------------------
+# Point-sharded model parallelism (SURVEY §5.7): the POINT state is
+# block-row partitioned over the mesh — each device owns a contiguous
+# slice of points plus exactly the observations of those points (rows are
+# sorted by point, so co-locating observations with their point shard is a
+# contiguous split, no halo needed on the e-side). The camera state is
+# replicated (9C is tiny next to 3P); camera-side aggregates close over
+# the mesh with one psum each inside _schur_core. This removes the
+# replicated-state memory wall: per-device point arrays are P/n, matching
+# the reference's partitioned row access (partitioned_matrix_view_impl.h)
+# re-expressed as GSPMD sharding.
+# ---------------------------------------------------------------------------
+
+
+class PointShardPlan(NamedTuple):
+    """Host-side layout for the point-sharded LM step (all numpy)."""
+
+    pts: np.ndarray       # (n*Pl, 3) padded point table, shard-major
+    cam_idx: np.ndarray   # (n*Bl,) int32 global camera ids
+    pt_local: np.ndarray  # (n*Bl,) int32 LOCAL point id within the shard
+    obs: np.ndarray       # (n*Bl, 2)
+    w: np.ndarray         # (n*Bl,) validity weights (0 on padding rows)
+    point_slot: np.ndarray  # (P,) padded-slot index of each original point
+    Pl: int               # points per shard (padded)
+    Bl: int               # observations per shard (padded)
+    n: int
+
+
+def plan_point_sharding(camera_index, point_index, points, observations,
+                        n: int) -> PointShardPlan:
+    """Partition points into n contiguous slices with ~equal observation
+    counts; pad each shard's points/rows to the max so shapes are static
+    and mesh-divisible. Padding rows replicate a real observation with
+    weight 0 (finite values — 0*NaN would survive the mask)."""
+    cam_idx = np.asarray(camera_index)
+    pt_idx = np.asarray(point_index)
+    pts = np.asarray(points)
+    obs = np.asarray(observations)
+    P = pts.shape[0]
+    B = cam_idx.shape[0]
+    order = np.argsort(pt_idx, kind="stable")
+    cam_idx, pt_idx, obs = cam_idx[order], pt_idx[order], obs[order]
+    counts = np.bincount(pt_idx, minlength=P)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    # shard boundaries in point space at ~equal observation quantiles
+    bounds = [0]
+    for i in range(1, n):
+        target = i * B / n
+        p = int(np.searchsorted(offsets, target, side="left"))
+        bounds.append(min(max(p, bounds[-1]), P))
+    bounds.append(P)
+    Pl = max(bounds[i + 1] - bounds[i] for i in range(n))
+    Pl = max(Pl, 1)
+    Bl = max(
+        int(offsets[bounds[i + 1]] - offsets[bounds[i]]) for i in range(n))
+    Bl = max(Bl, 1)
+    pts_pad = np.zeros((n * Pl, pts.shape[1]), pts.dtype)
+    cam_pad = np.zeros(n * Bl, cam_idx.dtype)
+    ptl_pad = np.zeros(n * Bl, np.int32)
+    obs_pad = np.zeros((n * Bl, obs.shape[1]), obs.dtype)
+    w_pad = np.zeros(n * Bl, pts.dtype)
+    point_slot = np.zeros(P, np.int64)
+    for i in range(n):
+        p0, p1 = bounds[i], bounds[i + 1]
+        r0, r1 = int(offsets[p0]), int(offsets[p1])
+        np_i, nb_i = p1 - p0, r1 - r0
+        pts_pad[i * Pl: i * Pl + np_i] = pts[p0:p1]
+        if np_i < Pl:  # padded points: finite dummies (copy of first row)
+            pts_pad[i * Pl + np_i: (i + 1) * Pl] = pts[p0] if np_i else 1.0
+        point_slot[p0:p1] = np.arange(i * Pl, i * Pl + np_i)
+        sl = slice(i * Bl, i * Bl + nb_i)
+        cam_pad[sl] = cam_idx[r0:r1]
+        ptl_pad[sl] = (pt_idx[r0:r1] - p0).astype(np.int32)
+        obs_pad[sl] = obs[r0:r1]
+        w_pad[sl] = 1.0
+        if nb_i < Bl and nb_i:  # replicate last real row, weight 0
+            cam_pad[i * Bl + nb_i: (i + 1) * Bl] = cam_idx[r1 - 1]
+            ptl_pad[i * Bl + nb_i: (i + 1) * Bl] = pt_idx[r1 - 1] - p0
+            obs_pad[i * Bl + nb_i: (i + 1) * Bl] = obs[r1 - 1]
+    return PointShardPlan(pts_pad, cam_pad, ptl_pad, obs_pad, w_pad,
+                          point_slot, Pl, Bl, n)
+
+
+def make_point_sharded_step(mesh: Mesh, k: int = 1, axis: str = "pt"):
+    """shard_map'd k-iteration LM step over a point-sharded layout.
+
+    Returns step(cams, pts_sh, cam_idx_sh, pt_local_sh, obs_sh, w_sh,
+    radius) -> BAState where pts stays partitioned over `axis` (assert
+    via .addressable_shards) and cams/radius/cost are replicated."""
+    from jax import shard_map
+
+    def body(cams, pts_l, cam_idx_l, pt_l, obs_l, w_l, radius):
+        st = lm_step_schur_k(cams, pts_l, cam_idx_l, pt_l, obs_l, radius,
+                             k=k, w=w_l, axis_name=axis)
+        return st.cams, st.pts, st.radius, st.cost
+
+    sh = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis, None), P(axis),
+                  P()),
+        out_specs=(P(), P(axis), P(), P()),
+    )
+
+    def step(cams, pts_sh, cam_idx_sh, pt_local_sh, obs_sh, w_sh, radius):
+        c, p, r, co = sh(cams, pts_sh, cam_idx_sh, pt_local_sh, obs_sh,
+                         w_sh, radius)
+        return BAState(c, p, r, co)
+
+    return jax.jit(step)
+
+
+def solve_ba_point_sharded(b, num_iterations=10, mesh=None, k=None,
+                           radius0=1e4, axis: str = "pt"):
+    """End-to-end point-sharded LM on a BALProblem-like `b`. Returns
+    (BAState with pts in the PADDED shard layout, PointShardPlan)."""
+    mesh = mesh or make_mesh(axis=axis)
+    n = mesh.devices.size
+    plan = plan_point_sharding(b.camera_index, b.point_index, b.points,
+                               b.observations, n)
+    sh = NamedSharding(mesh, P(axis))
+    sh2 = NamedSharding(mesh, P(axis, None))
+    repl = NamedSharding(mesh, P())
+    cams = jax.device_put(jnp.asarray(b.cameras), repl)
+    pts = jax.device_put(jnp.asarray(plan.pts), sh2)
+    cam_idx = jax.device_put(jnp.asarray(plan.cam_idx), sh)
+    pt_local = jax.device_put(jnp.asarray(plan.pt_local), sh)
+    obs = jax.device_put(jnp.asarray(plan.obs), sh2)
+    w = jax.device_put(jnp.asarray(plan.w), sh)
+    k = k or num_iterations
+    step = make_point_sharded_step(mesh, k=k, axis=axis)
+    st = BAState(cams, pts, jnp.asarray(radius0, cams.dtype),
+                 jnp.asarray(0.0, cams.dtype))
+    done = 0
+    while done < num_iterations:
+        st = step(st.cams, st.pts, cam_idx, pt_local, obs, w, st.radius)
+        done += k
+    return st, plan

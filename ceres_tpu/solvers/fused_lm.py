@@ -405,7 +405,8 @@ class IterativeSchurStepOps:
         if self.precond in ("SCHUR_JACOBI", "SCHUR_POWER_SERIES_EXPANSION") or (
             self.spse_init
         ):
-            if suite is not None and len(pm.f_fams) == 1:
+            if (suite is not None and suite[1] is not None
+                    and len(pm.f_fams) == 1):
                 inv_f = suite[1](minv_e[0], d2f)
             else:
                 inv_f = self._schur_jacobi_inverses(vrep, ftf, minv_e, se,

@@ -365,3 +365,62 @@ def test_lm_step_schur_v2_matches_v1_interpret():
                                rtol=5e-3, atol=5e-3)
     np.testing.assert_allclose(np.asarray(st2.pts), np.asarray(carry.pts),
                                rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.parametrize("local", [True, False])
+@pytest.mark.parametrize("mode", ["isc", "normal"])
+def test_windowed_matvec_interpret(local, mode):
+    """Camera-windowed large-C path (plan_camera_windows): per-tile
+    window one-hots + RMW camera scatter reproduce the reference product.
+    `local=True` exercises the narrow-window fast case (points ordered by
+    camera locality), `local=False` forces multi-chunk windows
+    (n_win > 1) via scattered camera ids."""
+    import numpy as np
+
+    P, C, B, r, tf, te = 500, 700, 4000, 2, 9, 3
+    rng = np.random.default_rng(11 + local + (mode == "isc"))
+    pt = np.sort(rng.integers(0, P, B)).astype(np.int32)
+    if local:
+        # camera near the point's relative position: narrow windows
+        cam = np.clip(
+            (pt.astype(np.float64) / P * C).astype(np.int64)
+            + rng.integers(-40, 40, B), 0, C - 1).astype(np.int32)
+    else:
+        cam = rng.integers(0, C, B).astype(np.int32)
+    pt[-3:] = P
+    cam[7] = C  # sentinel camera
+    Jf = rng.standard_normal((B, r, tf)).astype(np.float32)
+    Je = rng.standard_normal((B, r, te)).astype(np.float32)
+    Je[pt == P] = 0.0
+    Jf[cam >= C] = 0.0
+    ts, tb, max_rows = pk.plan_row_tiles(pt, P + 1, target_rows=256)
+    windows = pk.plan_camera_windows(pt, cam, tb, P, C, width_cap=256)
+    if local:
+        assert windows[2] == 1 and windows[1] <= 256
+    else:
+        assert windows[2] > 1
+    JT, ids_T = pk.prep_matvec_rows(
+        jnp.asarray(Jf.reshape(B, -1)), jnp.asarray(Je.reshape(B, -1)),
+        jnp.asarray(pt), jnp.asarray(cam), max_rows, r, tf, te)
+    if mode == "isc":
+        z = rng.standard_normal(C * tf).astype(np.float32)
+        minv = rng.standard_normal((P, te * te)).astype(np.float32)
+        camv, u = pk.isc_matvec(
+            JT, ids_T, jnp.asarray(z), jnp.asarray(minv),
+            jnp.asarray(ts), jnp.asarray(tb), P, C, r, tf, te,
+            max_rows=max_rows, interpret=True, windows=windows)
+        cam_ref, u_ref = _isc_ref(Jf, Je, pt, cam, P, C, z=z, minv=minv)
+        np.testing.assert_allclose(np.asarray(u), u_ref, rtol=2e-4,
+                                   atol=2e-4)
+    else:
+        xc = rng.standard_normal(C * tf).astype(np.float32)
+        xp = rng.standard_normal((P, te)).astype(np.float32)
+        camv, ptv = pk.normal_matvec(
+            JT, ids_T, jnp.asarray(xc), jnp.asarray(xp),
+            jnp.asarray(ts), jnp.asarray(tb), P, C, r, tf, te,
+            max_rows=max_rows, interpret=True, windows=windows)
+        cam_ref, pt_ref = _isc_ref(Jf, Je, pt, cam, P, C, z=xc, xp=xp)
+        np.testing.assert_allclose(np.asarray(ptv), pt_ref, rtol=2e-4,
+                                   atol=2e-4)
+    np.testing.assert_allclose(np.asarray(camv), cam_ref.reshape(-1),
+                               rtol=2e-4, atol=5e-4)

@@ -229,3 +229,58 @@ def test_sharded_fused_lm_matches_single_device():
     assert s.num_devices == 8
     ref = ct.solve(ct.Options(fused_loop="ALWAYS", **opts), make())
     assert abs(s.final_cost - ref.final_cost) < 1e-6 * max(1.0, ref.final_cost)
+
+
+def test_point_sharded_state_is_partitioned_and_matches_replicated():
+    """SURVEY §5.7 point sharding: the point table is genuinely
+    partitioned over the mesh (per-device shard shape == Pl x 3, not the
+    full P), and k LM iterations reproduce the replicated lm_step_schur_k
+    trajectory to 1e-10."""
+    b = bal.synthetic_bal(num_cameras=5, num_points=97, visibility=0.4,
+                          noise=0.5, seed=7)
+    b = bal.perturb(b, rotation_sigma=0.01, translation_sigma=0.1,
+                    point_sigma=0.1, seed=8)
+    mesh = sharded_ba.make_mesh(8, axis="pt")
+    st, plan = sharded_ba.solve_ba_point_sharded(
+        b, num_iterations=4, mesh=mesh, k=4)
+
+    # state is actually partitioned: every device holds Pl rows, and the
+    # global padded table is 8 * Pl
+    assert st.pts.shape[0] == 8 * plan.Pl
+    for shard in st.pts.addressable_shards:
+        assert shard.data.shape == (plan.Pl, 3)
+
+    # replicated reference on the ORIGINAL (unpadded, point-sorted) layout
+    order = np.argsort(np.asarray(b.point_index), kind="stable")
+    ref = sharded_ba.lm_step_schur_k(
+        jnp.asarray(b.cameras), jnp.asarray(b.points),
+        jnp.asarray(np.asarray(b.camera_index)[order]),
+        jnp.asarray(np.asarray(b.point_index)[order]),
+        jnp.asarray(np.asarray(b.observations)[order]),
+        jnp.asarray(1e4, jnp.float64), k=4)
+    np.testing.assert_allclose(float(st.cost), float(ref.cost), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(st.cams), np.asarray(ref.cams),
+                               rtol=1e-10, atol=1e-12)
+    got_pts = np.asarray(st.pts)[plan.point_slot]
+    np.testing.assert_allclose(got_pts, np.asarray(ref.pts),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_point_sharded_uneven_tracks():
+    """Power-law track lengths: shard loads are balanced by observation
+    count, padding rows stay inert."""
+    rng = np.random.default_rng(3)
+    b = bal.synthetic_bal(num_cameras=6, num_points=64, visibility=0.9,
+                          noise=0.3, seed=11)
+    mesh = sharded_ba.make_mesh(8, axis="pt")
+    st, plan = sharded_ba.solve_ba_point_sharded(
+        b, num_iterations=2, mesh=mesh, k=2)
+    assert np.isfinite(float(st.cost))
+    order = np.argsort(np.asarray(b.point_index), kind="stable")
+    ref = sharded_ba.lm_step_schur_k(
+        jnp.asarray(b.cameras), jnp.asarray(b.points),
+        jnp.asarray(np.asarray(b.camera_index)[order]),
+        jnp.asarray(np.asarray(b.point_index)[order]),
+        jnp.asarray(np.asarray(b.observations)[order]),
+        jnp.asarray(1e4, jnp.float64), k=2)
+    np.testing.assert_allclose(float(st.cost), float(ref.cost), rtol=1e-10)
