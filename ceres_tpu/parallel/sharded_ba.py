@@ -943,10 +943,8 @@ def _schur_core_asm(Jg_T, r_T, radius, oh_gather, onehot, pt_idx,
 
     step_c = -z.reshape(C, tc)
     step_p = -y_p
-    g_dot = jnp.sum((sc * gc) * step_c) + psum(
-        jnp.sum((sp * gp) * step_p))
-    d2_dot = jnp.sum(D2c * step_c * step_c) + psum(
-        jnp.sum(D2p * step_p * step_p))
+    g_dot = jnp.sum((sc * gc) * step_c) + jnp.sum((sp * gp) * step_p)
+    d2_dot = jnp.sum(D2c * step_c * step_c) + jnp.sum(D2p * step_p * step_p)
     model_cost_change = -0.5 * g_dot + 0.5 * d2_dot
     return step_c, step_p, sc, sp, model_cost_change
 

@@ -852,22 +852,27 @@ class DenseStepOps:
 
 
 class DoglegOpsWrapper:
-    """TRADITIONAL_DOGLEG inside the fused loop (dogleg_strategy.cc:56 on
-    exact-solve step adapters): the wrapped ops' compute_step provides the
-    mu-regularized Gauss-Newton point; the Cauchy alpha uses one J·v
-    product; the piecewise dogleg path, mu escalation on numerically
-    failed GN solves, and the reference's radius/mu bookkeeping all run
-    inside the jit (the host DoglegStrategy in solvers/dogleg.py keeps
-    the scalar geometry on the host). SUBSPACE stays host-loop (its
-    boundary problem needs quartic root isolation per iteration)."""
+    """TRADITIONAL_DOGLEG and SUBSPACE_DOGLEG inside the fused loop
+    (dogleg_strategy.cc:56 on exact-solve step adapters): the wrapped
+    ops' compute_step provides the mu-regularized Gauss-Newton point; the
+    Cauchy alpha uses one J·v product; the piecewise dogleg path, mu
+    escalation on numerically failed GN solves, and the reference's
+    radius/mu bookkeeping all run inside the jit. The SUBSPACE boundary
+    problem (dogleg_strategy.cc:719 solves a quartic for the Lagrange
+    multiplier) is re-posed TPU-natively as minimizing the 2-D quadratic
+    on the radius circle in trig form — a degree-2 trigonometric
+    polynomial in θ, minimized by a dense θ-grid argmin plus Newton
+    refinement, all inside the jit (no nonsymmetric eigensolve, which
+    TPU lacks)."""
 
     strategy = "dogleg"
     _K_MIN_MU = 1e-8
     _K_MAX_MU = 1.0
 
-    def __init__(self, inner):
+    def __init__(self, inner, subspace: bool = False):
         self.inner = inner
         self.program = inner.program
+        self.subspace = subspace
 
     def evaluate(self, x, args=None):
         return self.inner.evaluate(x, args)
@@ -875,17 +880,80 @@ class DoglegOpsWrapper:
     def post_eval(self, vrep, r, args=None):
         return self.inner.post_eval(vrep, r, args)
 
-    def _jv_norm2(self, vrep, v):
-        """|J v|^2 for the Cauchy alpha / model cost."""
+    def _jv(self, vrep, v):
+        """J v in residual space."""
         inner = self.inner
         if isinstance(inner, DenseStepOps):
             (J,) = vrep
-            jv = J @ v
-            return jnp.dot(jv, jv)
+            return J @ v
         fl, pm, pt = inner.flat, inner.pm, inner.pt
-        jv = fl.right_e(vrep, pt.extract_e(pm, v)) + fl.right_f(
+        return fl.right_e(vrep, pt.extract_e(pm, v)) + fl.right_f(
             vrep, pt.extract_f(pm, v))
+
+    def _jv_norm2(self, vrep, v):
+        """|J v|^2 for the Cauchy alpha / model cost."""
+        jv = self._jv(vrep, v)
         return jnp.dot(jv, jv)
+
+    def _subspace_step(self, vrep, escale_c, D, g_s, gn_s, radius):
+        """Boundary minimizer of the 2-D subspace model on |x| = radius
+        (dogleg_strategy.cc ComputeSubspaceModel + FindMinimumOnTrust
+        RegionBoundary). Returns (step_s, ok) — ok False falls back to
+        the traditional path (rank-deficient basis or non-optimal
+        cosine, the reference's fallback conditions)."""
+        cdt = escale_c.dtype
+        g_norm = jnp.linalg.norm(g_s)
+        u1 = g_s / jnp.maximum(g_norm, 1e-300)
+        w = gn_s - jnp.dot(u1, gn_s) * u1
+        wn = jnp.linalg.norm(w)
+        scale = jnp.maximum(jnp.linalg.norm(gn_s), g_norm)
+        rank2 = wn > 1e-14 * jnp.maximum(scale, 1.0)
+        u2 = w / jnp.maximum(wn, 1e-300)
+        sg = jnp.stack([jnp.dot(u1, g_s), jnp.dot(u2, g_s)])
+        jb1 = self._jv(vrep, escale_c * ((u1 / D).astype(cdt))).astype(
+            jnp.float64)
+        jb2 = self._jv(vrep, escale_c * ((u2 / D).astype(cdt))).astype(
+            jnp.float64)
+        b11 = jnp.dot(jb1, jb1)
+        b12 = jnp.dot(jb1, jb2)
+        b22 = jnp.dot(jb2, jb2)
+        r2 = radius * radius
+        # f(θ) = 0.25 r²(b11+b22) + P cos2θ + Q sin2θ + S cosθ + T sinθ
+        Pc = 0.25 * r2 * (b11 - b22)
+        Qc = 0.5 * r2 * b12
+        Sc = radius * sg[0]
+        Tc = radius * sg[1]
+
+        def f(th):
+            return (Pc * jnp.cos(2 * th) + Qc * jnp.sin(2 * th)
+                    + Sc * jnp.cos(th) + Tc * jnp.sin(th))
+
+        def fp(th):
+            return (-2 * Pc * jnp.sin(2 * th) + 2 * Qc * jnp.cos(2 * th)
+                    - Sc * jnp.sin(th) + Tc * jnp.cos(th))
+
+        def fpp(th):
+            return (-4 * Pc * jnp.cos(2 * th) - 4 * Qc * jnp.sin(2 * th)
+                    - Sc * jnp.cos(th) - Tc * jnp.sin(th))
+
+        grid = jnp.linspace(0.0, 2.0 * jnp.pi, 128, endpoint=False)
+        th = grid[jnp.argmin(f(grid))]
+        for _ in range(5):  # Newton on f' within the argmin basin
+            upd = fp(th) / jnp.maximum(fpp(th), 1e-300)
+            th = th - jnp.where(fpp(th) > 0, upd, 0.0)
+        th = jnp.where(f(th) <= f(grid[jnp.argmin(f(grid))]), th,
+                       grid[jnp.argmin(f(grid))])
+        x2 = radius * jnp.stack([jnp.cos(th), jnp.sin(th)])
+        # optimality: -x2 must align with the model gradient at x2
+        gm = jnp.stack([
+            b11 * x2[0] + b12 * x2[1] + sg[0],
+            b12 * x2[0] + b22 * x2[1] + sg[1],
+        ])
+        denom = jnp.linalg.norm(x2) * jnp.linalg.norm(gm)
+        cosine = -jnp.dot(x2, gm) / jnp.maximum(denom, 1e-300)
+        ok = rank2 & (cosine >= 0.99)
+        step_s = x2[0] * u1 + x2[1] * u2
+        return step_s, ok
 
     def compute_dogleg_step(self, vrep, aux, g, r, escale_c, diag64, radius,
                             mu):
@@ -941,13 +1009,17 @@ class DoglegOpsWrapper:
             c <= 0.0, (disc - c) / b_minus_a2,
             (radius ** 2 - a2) / jnp.maximum(disc + c, 1e-300))
         blend = (-alpha * (1.0 - beta)) * g_s + beta * gn_s
-        step_s = jnp.where(
-            case_gn, gn_s,
-            jnp.where(case_cauchy, -(radius / jnp.maximum(g_norm, 1e-300))
-                      * g_s, blend))
-        dl_norm = jnp.where(
-            case_gn, gn_norm,
-            jnp.where(case_cauchy, radius, jnp.linalg.norm(blend)))
+        trad_s = jnp.where(
+            case_cauchy,
+            -(radius / jnp.maximum(g_norm, 1e-300)) * g_s, blend)
+        trad_norm = jnp.where(case_cauchy, radius, jnp.linalg.norm(blend))
+        if self.subspace:
+            sub_s, sub_ok = self._subspace_step(
+                vrep, escale_c, D, g_s, gn_s, radius)
+            trad_s = jnp.where(sub_ok, sub_s, trad_s)
+            trad_norm = jnp.where(sub_ok, radius, trad_norm)
+        step_s = jnp.where(case_gn, gn_s, trad_s)
+        dl_norm = jnp.where(case_gn, gn_norm, trad_norm)
         step = (step_s / D).astype(cdt)
         # model cost change: -(g'd + 1/2 |J_s d|^2)
         jd2 = self._jv_norm2(vrep, escale_c * step)
@@ -1518,10 +1590,8 @@ def build_fused_minimizer(program, options: Options, tier: str, e_families=None)
     host-loop TrustRegionMinimizer)."""
     dogleg = options.trust_region_strategy_type.name == "DOGLEG"
     if dogleg:
-        # fused TRADITIONAL_DOGLEG on exact-solve tiers only; SUBSPACE and
+        # fused dogleg (TRADITIONAL and SUBSPACE) on exact-solve tiers;
         # iterative tiers fall back to the host loop
-        if options.dogleg_type.name != "TRADITIONAL_DOGLEG":
-            return None
         if tier not in ("schur_dense", "dense_qr", "dense_normal_cholesky"):
             return None
     try:
@@ -1546,5 +1616,6 @@ def build_fused_minimizer(program, options: Options, tier: str, e_families=None)
     except ValueError:
         return None
     if dogleg:
-        ops = DoglegOpsWrapper(ops)
+        ops = DoglegOpsWrapper(
+            ops, subspace=options.dogleg_type.name == "SUBSPACE_DOGLEG")
     return FusedTrustRegionMinimizer(program, options, ops)

@@ -307,13 +307,20 @@ def test_fused_dogleg_matches_host(lst):
                                              abs=1e-8)
 
 
-def test_fused_dogleg_subspace_falls_back_to_host():
-    s = ct.solve(
-        ct.Options(linear_solver_type=ct.LinearSolverType.DENSE_QR,
-                   trust_region_strategy_type=(
-                       ct.TrustRegionStrategyType.DOGLEG),
-                   dogleg_type=ct.DoglegType.SUBSPACE_DOGLEG,
-                   fused_loop="ALWAYS", max_num_iterations=20),
-        make_ba(),
+@pytest.mark.parametrize("lst", ["DENSE_QR", "DENSE_SCHUR"])
+def test_fused_dogleg_subspace_matches_host(lst):
+    """Fused SUBSPACE_DOGLEG (2-D boundary problem solved in trig form
+    inside the jit, dogleg_strategy.cc:719 role) reaches the host
+    strategy's solution quality."""
+    kw = dict(
+        linear_solver_type=ct.LinearSolverType[lst],
+        trust_region_strategy_type=ct.TrustRegionStrategyType.DOGLEG,
+        dogleg_type=ct.DoglegType.SUBSPACE_DOGLEG,
+        max_num_iterations=25,
     )
-    assert s.is_solution_usable()
+    host = ct.solve(ct.Options(fused_loop="NEVER", **kw), make_ba())
+    fused = ct.solve(ct.Options(fused_loop="ALWAYS", **kw), make_ba())
+    assert fused.is_solution_usable()
+    assert host.is_solution_usable()
+    assert fused.final_cost == pytest.approx(host.final_cost, rel=1e-3,
+                                             abs=1e-8)
