@@ -132,8 +132,7 @@ def _maybe_build_fused(options: Options, program: CompiledProgram, tier, kernel,
             "LEVENBERG_MARQUARDT", "DOGLEG"):
         return None
     if (
-        options.use_inner_iterations
-        or options.callbacks
+        options.callbacks
         or options.update_state_every_iteration
         or options.evaluation_callback is not None
         or options.trust_region_minimizer_iterations_to_dump

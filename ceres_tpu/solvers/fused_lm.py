@@ -30,10 +30,11 @@ clamping, model_cost_change validity, non-monotonic step evaluation
 (Conn/Gould/Toint 10.1.2), radius update rules, invalid-step retry bound,
 gradient/function/parameter/trust-region-radius tolerances, termination
 taxonomy, bounds (active-set column masking + projected Armijo line
-search as an inner while loop). Unsupported here (host loop used
-instead): Dogleg, inner iterations, callbacks, per-iteration dumps,
-solvers needing host factorizations (SPARSE_*), SUBSET/CLUSTER_*
-preconditioners.
+search as an inner while loop), dogleg (TRADITIONAL and SUBSPACE, on
+exact-solve tiers), and inner iterations (batched coordinate descent
+under lax.cond with the adaptive disable rule). Unsupported here (host
+loop used instead): callbacks, per-iteration dumps, solvers needing
+host factorizations (SPARSE_*), SUBSET preconditioner.
 """
 from __future__ import annotations
 
@@ -131,6 +132,7 @@ class _Carry(NamedTuple):
     num_invalid: jax.Array  # int32
     any_success: jax.Array  # bool
     mu: jax.Array  # dogleg GN regularization (unused for LM)
+    inner_on: jax.Array  # bool — inner iterations still productive
     it: jax.Array  # int32 — completed iterations
     term: jax.Array  # int32 reason code
     min_cost: jax.Array
@@ -1038,10 +1040,11 @@ class FusedTrustRegionMinimizer:
     then summary decoding."""
 
     def __init__(self, program, options: Options, ops, args=None,
-                 in_shardings=None):
+                 in_shardings=None, inner_minimizer=None):
         self.program = program
         self.options = options
         self.ops = ops
+        self._inner = inner_minimizer
         self._args = args
         if in_shardings is not None:
             self._fn = jax.jit(self._solve_impl, in_shardings=in_shardings)
@@ -1144,6 +1147,7 @@ class FusedTrustRegionMinimizer:
             num_invalid=jnp.asarray(0, jnp.int32),
             any_success=jnp.asarray(False),
             mu=jnp.asarray(1e-8, jnp.float64),
+            inner_on=jnp.asarray(self._inner is not None),
             it=jnp.asarray(0, jnp.int32),
             term=term0,
             min_cost=cost0,
@@ -1228,6 +1232,38 @@ class FusedTrustRegionMinimizer:
             cand_cost, cand_r, cand_vrep = ops.evaluate(cand_x, args)
             cand_cost = jnp.where(jnp.isfinite(cand_cost), cand_cost, _DBL_MAX)
             step_norm = jnp.linalg.norm(s.x - cand_x)
+
+            # -- inner iterations (coordinate_descent_minimizer.cc:130 in
+            # the jit): run the batched per-family CD sweep on the
+            # candidate under lax.cond, fold the extra decrease into the
+            # model cost, and disable adaptively once relative progress
+            # drops below inner_iteration_tolerance (solver.h:684 rule).
+            inner_on_new = s.inner_on
+            if self._inner is not None:
+                def _inner_branch(op):
+                    cx, cc, cr, cv, m = op
+                    nx = self._inner.minimize(cx)
+                    ic, ir, iv = ops.evaluate(nx, args)
+                    finite = jnp.isfinite(ic)
+                    ic = jnp.where(finite, ic, _DBL_MAX)
+                    m2 = jnp.where(finite, m + (cc - ic), m)
+                    on2 = finite & (
+                        (1.0 - ic / jnp.maximum(cc, 1e-300))
+                        > opts.inner_iteration_tolerance)
+                    pick = lambda a, b: jax.tree_util.tree_map(
+                        lambda u, v: jnp.where(finite, u, v), a, b)
+                    return (pick(nx, cx), jnp.where(finite, ic, cc),
+                            pick(ir, cr), pick(iv, cv), m2, on2)
+
+                def _inner_skip(op):
+                    cx, cc, cr, cv, m = op
+                    return cx, cc, cr, cv, m, s.inner_on
+
+                (cand_x, cand_cost, cand_r, cand_vrep, mcc,
+                 inner_on_new) = jax.lax.cond(
+                    s.inner_on & valid & (cand_cost < _DBL_MAX),
+                    _inner_branch, _inner_skip,
+                    (cand_x, cand_cost, cand_r, cand_vrep, mcc))
 
             # -- tolerances (trust_region_minimizer.cc order) ---------------
             x_norm = jnp.linalg.norm(s.x)
@@ -1340,7 +1376,8 @@ class FusedTrustRegionMinimizer:
                 g=g_new, sqn=sqn_new, radius=radius_new,
                 decrease_factor=decrease_new, se=se_new,
                 num_invalid=num_invalid, any_success=s.any_success | success,
-                mu=mu_next, it=it, term=term, min_cost=min_cost,
+                mu=mu_next, inner_on=inner_on_new, it=it, term=term,
+                min_cost=min_cost,
                 best_x=best_x, hist=hist_new,
             )
 
@@ -1618,4 +1655,12 @@ def build_fused_minimizer(program, options: Options, tier: str, e_families=None)
     if dogleg:
         ops = DoglegOpsWrapper(
             ops, subspace=options.dogleg_type.name == "SUBSPACE_DOGLEG")
-    return FusedTrustRegionMinimizer(program, options, ops)
+    inner = None
+    if options.use_inner_iterations:
+        from .coordinate_descent import CoordinateDescentMinimizer
+
+        inner = CoordinateDescentMinimizer(program, options)
+        if not inner.sets:
+            return None  # no independent sets: host loop handles/errs
+    return FusedTrustRegionMinimizer(program, options, ops,
+                                     inner_minimizer=inner)

@@ -101,6 +101,8 @@ _SLOW_TESTS = {
     "test_minus_jacobian_matches_autodiff",
     "test_plus_jacobian_matches_autodiff",
     "test_evaluation_callback_invoked",
+    "test_inner_iterations_converge",
+    "test_inner_iterations_fused_matches_host",
 }
 
 

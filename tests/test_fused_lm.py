@@ -324,3 +324,31 @@ def test_fused_dogleg_subspace_matches_host(lst):
     assert host.is_solution_usable()
     assert fused.final_cost == pytest.approx(host.final_cost, rel=1e-3,
                                              abs=1e-8)
+
+
+@pytest.mark.parametrize("mode", ["NEVER", "ALWAYS"])
+def test_inner_iterations_converge(mode):
+    """use_inner_iterations (Ruhe & Wedin Algorithm II,
+    coordinate_descent_minimizer.cc:130) on a BA problem: both the host
+    loop and the fused in-jit CD sweep must stay usable and reach at
+    least the plain-LM basin."""
+    kw = dict(linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+              max_num_iterations=12)
+    plain = ct.solve(ct.Options(fused_loop=mode, **kw), make_ba())
+    inner = ct.solve(
+        ct.Options(fused_loop=mode, use_inner_iterations=True, **kw),
+        make_ba(),
+    )
+    assert inner.is_solution_usable()
+    assert inner.final_cost <= plain.final_cost * (1 + 1e-6)
+
+
+def test_inner_iterations_fused_matches_host():
+    """Fused inner iterations track the host implementation's quality."""
+    kw = dict(linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+              use_inner_iterations=True, max_num_iterations=12)
+    host = ct.solve(ct.Options(fused_loop="NEVER", **kw), make_ba())
+    fused = ct.solve(ct.Options(fused_loop="ALWAYS", **kw), make_ba())
+    assert fused.is_solution_usable() and host.is_solution_usable()
+    assert fused.final_cost == pytest.approx(host.final_cost, rel=1e-2,
+                                             abs=1e-8)
