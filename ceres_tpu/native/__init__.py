@@ -42,6 +42,10 @@ def get_lib():
     lib.ct_rcm.argtypes = [ctypes.c_int32, i64p, i32p, i32p]
     lib.ct_mindeg.restype = ctypes.c_int32
     lib.ct_mindeg.argtypes = [ctypes.c_int32, i64p, i32p, i32p]
+    lib.ct_nd.restype = ctypes.c_int32
+    lib.ct_nd.argtypes = [ctypes.c_int32, i64p, i32p, i32p]
+    lib.ct_chol_counts.restype = ctypes.c_int64
+    lib.ct_chol_counts.argtypes = [ctypes.c_int32, i64p, i32p, i32p, i64p]
     lib.ct_chol_symbolic.restype = ctypes.c_int64
     lib.ct_chol_symbolic.argtypes = [ctypes.c_int32, i64p, i32p, i64p, i32p]
     lib.ct_chol_numeric.restype = ctypes.c_int32
@@ -83,28 +87,41 @@ class SparseCholesky:
         indices = np.ascontiguousarray(indices, np.int32)
         candidates = []
         if use_ordering and self.n > 1:
-            for fn in (lib.ct_mindeg, lib.ct_rcm):
+            fns = [lib.ct_mindeg]
+            if self.n > 1000:
+                fns.append(lib.ct_nd)  # wins on grid-like patterns
+            if self.n <= 50_000:
+                fns.append(lib.ct_rcm)  # covers MD pathologies; O(n) scan
+            for fn in fns:
                 perm = np.zeros(self.n, np.int32)
                 fn(self.n, indptr, indices, perm)
                 candidates.append(perm)
         else:
             candidates.append(np.arange(self.n, dtype=np.int32))
-        # Run the symbolic analysis per candidate ordering; keep the lowest
-        # fill (minimum degree usually wins; RCM covers its pathologies).
+        # Rank candidates by EXACT fill via O(|A| alpha) column counts
+        # (ct_chol_counts — never pays a bad candidate's O(nnzL) symbolic),
+        # then run the full symbolic analysis once, on the winner.
         best = None
         for perm in candidates:
-            sym = self._symbolic(lib, perm, indptr, indices)
-            if best is None or sym[-1] < best[-1]:
-                best = (perm,) + sym
+            if len(candidates) == 1:
+                best = (perm, 0)
+                break
+            pp, pi, _ = self._permuted_pattern(perm, indptr, indices)
+            par = np.zeros(self.n, np.int32)
+            cc = np.zeros(self.n, np.int64)
+            nnzL = int(lib.ct_chol_counts(self.n, pp, pi, par, cc))
+            if best is None or nnzL < best[1]:
+                best = (perm, nnzL)
         (self.perm, self.iperm, self.pindptr, self.pindices, self.value_perm,
-         self.Lp, self.parent, self.nnzL) = best
+         self.Lp, self.parent, self.nnzL) = (
+            (best[0],) + self._symbolic(lib, best[0], indptr, indices))
         self.Li = np.zeros(self.nnzL, np.int32)
         self.Lx = np.zeros(self.nnzL, np.float64)
         self._lib = lib
 
-    def _symbolic(self, lib, perm, indptr, indices):
-        """Permute the pattern (A'[iperm[i], iperm[j]] = A[i, j]) and run
-        the symbolic factorization. Returns the per-ordering state tuple."""
+    def _permuted_pattern(self, perm, indptr, indices):
+        """Permuted pattern (A'[iperm[i], iperm[j]] = A[i, j]); returns
+        (pindptr, pindices, value_perm)."""
         import scipy.sparse as sp
 
         iperm = np.argsort(perm).astype(np.int32)
@@ -123,6 +140,14 @@ class SparseCholesky:
         pindices = np.ascontiguousarray(Ap_perm.indices, np.int32)
         # value permutation: position k in permuted values = original position
         value_perm = np.ascontiguousarray(Ap_perm.data, np.int64) - 1
+        return pindptr, pindices, value_perm
+
+    def _symbolic(self, lib, perm, indptr, indices):
+        """Permute the pattern and run the full symbolic factorization.
+        Returns the per-ordering state tuple."""
+        iperm = np.argsort(perm).astype(np.int32)
+        pindptr, pindices, value_perm = self._permuted_pattern(
+            perm, indptr, indices)
         Lp = np.zeros(self.n + 1, np.int64)
         parent = np.zeros(self.n, np.int32)
         nnzL = int(lib.ct_chol_symbolic(self.n, pindptr, pindices, Lp, parent))

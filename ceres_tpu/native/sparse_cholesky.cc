@@ -174,6 +174,129 @@ int ct_mindeg(int32_t n, const int64_t* Ap, const int32_t* Ai, int32_t* perm) {
 }
 
 // --------------------------------------------------------------------------
+// Nested-dissection ordering via recursive level-set bisection: BFS from a
+// pseudo-peripheral root, cut at the median level, order the two halves
+// recursively and the separator last. The role METIS/CAMD play for the
+// reference (eigensparse.cc:214, suitesparse.cc:619); wins over minimum
+// degree on grid-like patterns (2D lattices, dense loop-closure meshes).
+// perm[new] = old.
+// --------------------------------------------------------------------------
+int ct_nd(int32_t n, const int64_t* Ap, const int32_t* Ai, int32_t* perm) {
+  std::vector<int32_t> part(n);  // current partition id per node (-1 done)
+  std::vector<int32_t> level(n, -1), bfs;
+  bfs.reserve(n);
+  std::vector<int32_t> out;
+  out.reserve(n);
+  // worklist of node subsets (explicit stack of vectors)
+  std::vector<std::vector<int32_t>> stack;
+  {
+    std::vector<int32_t> all(n);
+    for (int32_t i = 0; i < n; ++i) all[i] = i;
+    stack.push_back(std::move(all));
+  }
+  std::vector<int32_t> stamp(n, -1);
+  int32_t cur = 0;
+  std::vector<std::vector<int32_t>> sep_stack;  // separators, appended last
+  while (!stack.empty()) {
+    std::vector<int32_t> nodes = std::move(stack.back());
+    stack.pop_back();
+    const int32_t m = int32_t(nodes.size());
+    if (m == 0) continue;
+    if (m <= 64) {  // leaf: order as-is (caller's RCM/MD handles small)
+      for (int32_t v : nodes) out.push_back(v);
+      continue;
+    }
+    ++cur;
+    for (int32_t v : nodes) stamp[v] = cur;
+    // BFS from nodes[0], then re-BFS from the last-found node
+    // (pseudo-peripheral heuristic)
+    int32_t root = nodes[0];
+    for (int pass = 0; pass < 2; ++pass) {
+      bfs.clear();
+      for (int32_t v : nodes) level[v] = -1;
+      level[root] = 0;
+      bfs.push_back(root);
+      for (size_t h = 0; h < bfs.size(); ++h) {
+        int32_t u = bfs[h];
+        for (int64_t p = Ap[u]; p < Ap[u + 1]; ++p) {
+          int32_t v = Ai[p];
+          if (v >= 0 && v < n && stamp[v] == cur && level[v] < 0) {
+            level[v] = level[u] + 1;
+            bfs.push_back(v);
+          }
+        }
+      }
+      root = bfs.back();
+    }
+    if (int32_t(bfs.size()) < m) {
+      // disconnected: peel the reached component, requeue the rest
+      std::vector<int32_t> rest;
+      for (int32_t v : nodes)
+        if (level[v] < 0) rest.push_back(v);
+      stack.push_back(std::move(rest));
+      std::vector<int32_t> comp(bfs.begin(), bfs.end());
+      stack.push_back(std::move(comp));
+      continue;
+    }
+    int32_t maxlev = level[bfs.back()];
+    if (maxlev < 2) {  // no useful cut (near-clique): emit as-is
+      for (int32_t v : nodes) out.push_back(v);
+      continue;
+    }
+    // cut level: median node
+    std::vector<int32_t> cnt(maxlev + 1, 0);
+    for (int32_t v : bfs) cnt[level[v]]++;
+    int32_t cutlev = 1, acc = 0;
+    for (int32_t l = 0; l <= maxlev; ++l) {
+      acc += cnt[l];
+      if (acc * 2 >= m) { cutlev = std::max<int32_t>(1, std::min(l, maxlev - 1)); break; }
+    }
+    std::vector<int32_t> A_, B_, S_;
+    for (int32_t v : bfs) {
+      if (level[v] < cutlev) A_.push_back(v);
+      else if (level[v] > cutlev) B_.push_back(v);
+      else S_.push_back(v);
+    }
+    sep_stack.push_back(std::move(S_));
+    // order A and B before this separator: push separator marker via
+    // sentinel — we instead emit separators in reverse at the end of this
+    // subset's processing. Simpler: recurse with explicit post-order by
+    // pushing a "separator emit" task encoded as negative size... Use a
+    // second stack discipline: push B then A so A completes first, and
+    // attach the separator to pop AFTER both: encode by pushing the
+    // separator as its own leaf-task BELOW A and B in the stack.
+    std::vector<int32_t>& sep = sep_stack.back();
+    std::vector<int32_t> sep_copy = sep;
+    sep_stack.pop_back();
+    // emit order: A..., B..., separator. Stack is LIFO, so push
+    // separator first, then B, then A.
+    stack.push_back(std::move(sep_copy));
+    // mark the separator set so it is emitted verbatim (leaf path):
+    // it is <= m nodes with no recursion needed only if small; large
+    // separators (grids) can still be recursed safely — but their fill
+    // interacts; emit verbatim for simplicity.
+    if (stack.back().size() > 64) {
+      // force-leaf: temporarily wrap as already-ordered by pushing in
+      // chunks of <= 64
+      std::vector<int32_t> sep_big = std::move(stack.back());
+      stack.pop_back();
+      for (size_t s0 = 0; s0 < sep_big.size(); s0 += 64) {
+        std::vector<int32_t> chunk(
+            sep_big.begin() + s0,
+            sep_big.begin() + std::min(sep_big.size(), s0 + 64));
+        stack.push_back(std::move(chunk));
+      }
+      // reverse the chunk order so emission preserves sequence
+      // (cosmetic only)
+    }
+    stack.push_back(std::move(B_));
+    stack.push_back(std::move(A_));
+  }
+  for (int32_t i = 0; i < n; ++i) perm[i] = out[i];
+  return 0;
+}
+
+// --------------------------------------------------------------------------
 // Elimination tree of the (upper-triangle view of the) symmetric matrix.
 // parent[j] = etree parent or -1.
 // --------------------------------------------------------------------------
@@ -214,6 +337,90 @@ static int32_t ereach(int32_t n, const int64_t* Ap, const int32_t* Ai,
     while (len > 0) s[--top] = s[--len];
   }
   return top;
+}
+
+// --------------------------------------------------------------------------
+// Exact column counts of L WITHOUT forming the pattern: etree + postorder
+// + skeleton/LCA counting (Davis, "Direct Methods", Algorithm 4.2 —
+// cs_counts). O(|A| * alpha) vs the O(nnz(L)) full symbolic: used to pick
+// among candidate fill-reducing orderings cheaply (a bad candidate's full
+// symbolic would cost its own fill). Returns nnz(L).
+// --------------------------------------------------------------------------
+static int32_t leaf_lca(int32_t i, int32_t j, const int32_t* first,
+                        int32_t* maxfirst, int32_t* prevleaf,
+                        int32_t* ancestor, int32_t* jleaf) {
+  *jleaf = 0;
+  if (i <= j || first[j] <= maxfirst[i]) return -1;
+  maxfirst[i] = first[j];
+  int32_t jprev = prevleaf[i];
+  prevleaf[i] = j;
+  *jleaf = (jprev == -1) ? 1 : 2;
+  if (*jleaf == 1) return i;
+  int32_t q = jprev;
+  while (q != ancestor[q]) q = ancestor[q];
+  for (int32_t s = jprev; s != q;) {
+    int32_t sparent = ancestor[s];
+    ancestor[s] = q;
+    s = sparent;
+  }
+  return q;
+}
+
+int64_t ct_chol_counts(int32_t n, const int64_t* Ap, const int32_t* Ai,
+                       int32_t* parent, int64_t* colcount) {
+  std::vector<int32_t> ancestor(n);
+  etree(n, Ap, Ai, parent, ancestor.data());
+  // postorder of the etree
+  std::vector<int32_t> head(n, -1), next(n, -1), post(n), stack_(n);
+  for (int32_t j = n - 1; j >= 0; --j) {
+    if (parent[j] == -1) continue;
+    next[j] = head[parent[j]];
+    head[parent[j]] = j;
+  }
+  int32_t cnt = 0;
+  for (int32_t root = 0; root < n; ++root) {
+    if (parent[root] != -1) continue;
+    int32_t top = 0;
+    stack_[0] = root;
+    while (top >= 0) {
+      int32_t j = stack_[top];
+      int32_t child = head[j];
+      if (child == -1) {
+        post[cnt++] = j;
+        --top;
+      } else {
+        head[j] = next[child];
+        stack_[++top] = child;
+      }
+    }
+  }
+  std::vector<int32_t> first(n, -1), maxfirst(n, -1), prevleaf(n, -1);
+  for (int32_t k = 0; k < n; ++k) {
+    int32_t j = post[k];
+    colcount[j] = (first[j] == -1) ? 1 : 0;  // leaf of its subtree
+    for (; j != -1 && first[j] == -1; j = parent[j]) first[j] = k;
+  }
+  for (int32_t i = 0; i < n; ++i) ancestor[i] = i;
+  for (int32_t k = 0; k < n; ++k) {
+    int32_t j = post[k];
+    if (parent[j] != -1) colcount[parent[j]]--;
+    for (int64_t p = Ap[j]; p < Ap[j + 1]; ++p) {
+      int32_t i = Ai[p];
+      if (i < 0 || i >= n) continue;
+      int32_t jleaf;
+      int32_t q = leaf_lca(i, j, first.data(), maxfirst.data(),
+                           prevleaf.data(), ancestor.data(), &jleaf);
+      if (jleaf >= 1) colcount[j]++;
+      if (jleaf == 2) colcount[q]--;
+    }
+    if (parent[j] != -1) ancestor[j] = parent[j];
+  }
+  int64_t total = 0;
+  for (int32_t j = 0; j < n; ++j) {
+    if (parent[j] != -1) colcount[parent[j]] += colcount[j];
+  }
+  for (int32_t j = 0; j < n; ++j) total += colcount[j];
+  return total;
 }
 
 // --------------------------------------------------------------------------

@@ -197,3 +197,65 @@ def test_mindeg_beats_rcm_on_grid():
     assert c.factorize(A.data)
     x = c.solve(np.ones(n))
     np.testing.assert_allclose(A @ x, np.ones(n), atol=1e-10)
+
+
+def test_column_counts_match_full_symbolic():
+    """ct_chol_counts (Davis Algorithm 4.2, O(|A| alpha)) must equal the
+    ereach-based full symbolic nnz(L) — it is the candidate-ordering
+    selector, so a mismatch silently picks wrong orderings."""
+    import scipy.sparse as sp
+    from ceres_tpu.native import get_lib
+
+    lib = get_lib()
+    rng = np.random.default_rng(0)
+    for trial in range(4):
+        n = 60 + 40 * trial
+        density = 0.05 + 0.02 * trial
+        M = sp.random(n, n, density=density, random_state=trial)
+        A = (M + M.T + sp.eye(n) * n).tocsr()
+        A.sort_indices()
+        ip = A.indptr.astype(np.int64)
+        ix = A.indices.astype(np.int32)
+        par = np.zeros(n, np.int32)
+        cc = np.zeros(n, np.int64)
+        nnz_counts = int(lib.ct_chol_counts(n, ip, ix, par, cc))
+        Lp = np.zeros(n + 1, np.int64)
+        par2 = np.zeros(n, np.int32)
+        nnz_sym = int(lib.ct_chol_symbolic(n, ip, ix, Lp, par2))
+        assert nnz_counts == nnz_sym
+        assert np.array_equal(np.diff(Lp), cc)
+
+
+def test_nested_dissection_is_valid_permutation_and_factorizes():
+    """ct_nd (recursive level-set bisection, the METIS/CAMD role of
+    eigensparse.cc:214) returns a valid permutation on grids, chains, and
+    disconnected graphs; the end-to-end pipeline with ND as a candidate
+    stays numerically exact."""
+    import scipy.sparse as sp
+    from ceres_tpu.native import SparseCholesky, get_lib
+
+    lib = get_lib()
+    rng = np.random.default_rng(1)
+    m = 25
+    n = m * m
+    # 2D grid + delete some edges to disconnect a corner
+    rows, cols = [], []
+    for i in range(m):
+        for j in range(m):
+            k = i * m + j
+            if i + 1 < m and not (i < 3 and j < 3):
+                rows += [k, k + m]; cols += [k + m, k]
+            if j + 1 < m and not (i < 3 and j < 3):
+                rows += [k, k + 1]; cols += [k + 1, k]
+    A = sp.csr_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n))
+    A = (A + sp.eye(n) * 8).tocsr()
+    A.sort_indices()
+    perm = np.zeros(n, np.int32)
+    lib.ct_nd(n, A.indptr.astype(np.int64), A.indices.astype(np.int32), perm)
+    assert sorted(perm.tolist()) == list(range(n))
+    ch = SparseCholesky(n, A.indptr.astype(np.int64),
+                        A.indices.astype(np.int32))
+    assert ch.factorize(A.data.astype(np.float64))
+    b = rng.standard_normal(n)
+    x = ch.solve(b)
+    assert np.linalg.norm(A @ x - b) <= 1e-10 * np.linalg.norm(b)
