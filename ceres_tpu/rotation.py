@@ -239,3 +239,95 @@ def cross_product_matrix(v: Array) -> Array:
         ],
         -2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Generalized Euler-angle conventions (rotation.h:214-353 EulerAnglesToRotation
+# / RotationMatrixToEulerAngles over include/ceres/internal/euler_angles.h's
+# 24 EulerSystem tags). Convention strings mirror the reference tags:
+# "IntrinsicZYX", "ExtrinsicXYX", ... Angles are RADIANS, ordered by the
+# axis sequence. All functions are jnp-differentiable and vmap-friendly.
+# ---------------------------------------------------------------------------
+
+_EULER_AXES = {"X": 0, "Y": 1, "Z": 2}
+
+
+def _parse_euler_convention(convention: str):
+    c = convention.strip()
+    if c.startswith("Intrinsic"):
+        intrinsic, seq = True, c[len("Intrinsic"):]
+    elif c.startswith("Extrinsic"):
+        intrinsic, seq = False, c[len("Extrinsic"):]
+    else:
+        raise ValueError(
+            f"convention must start with Intrinsic/Extrinsic: {convention}")
+    if len(seq) != 3 or any(a not in _EULER_AXES for a in seq):
+        raise ValueError(f"bad axis sequence {seq!r}")
+    axes = tuple(_EULER_AXES[a] for a in seq)
+    if axes[0] == axes[1] or axes[1] == axes[2]:
+        raise ValueError(f"consecutive axes must differ: {seq!r}")
+    return intrinsic, axes
+
+
+def _axis_rotation(axis: int, theta):
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    i, j = (axis + 1) % 3, (axis + 2) % 3
+    R = jnp.zeros((3, 3), dtype=jnp.result_type(theta, float))
+    R = R.at[axis, axis].set(1.0)
+    R = R.at[i, i].set(c).at[j, j].set(c)
+    R = R.at[i, j].set(-s).at[j, i].set(s)
+    return R
+
+
+def _is_even(i, j, k):
+    return (i, j, k) in ((0, 1, 2), (1, 2, 0), (2, 0, 1))
+
+
+def euler_angles_to_rotation(convention: str, angles: Array) -> Array:
+    """Rotation matrix for any of the 24 Euler conventions
+    (EulerAnglesToRotation, rotation.h:221). Intrinsic sequences rotate in
+    the body frame (R = R_a1(t1) R_a2(t2) R_a3(t3)); extrinsic in the
+    global frame (R = R_a3(t3) R_a2(t2) R_a1(t1))."""
+    intrinsic, (a1, a2, a3) = _parse_euler_convention(convention)
+    angles = jnp.asarray(angles)
+    t1, t2, t3 = angles[0], angles[1], angles[2]
+    if intrinsic:
+        return _axis_rotation(a1, t1) @ _axis_rotation(a2, t2) @ \
+            _axis_rotation(a3, t3)
+    return _axis_rotation(a3, t3) @ _axis_rotation(a2, t2) @ \
+        _axis_rotation(a1, t1)
+
+
+def rotation_matrix_to_euler_angles(convention: str, R: Array) -> Array:
+    """Inverse of euler_angles_to_rotation (RotationMatrixToEulerAngles,
+    rotation.h:253): angles in radians ordered by the axis sequence.
+    Tait-Bryan extraction via the Shoemake index formulas; proper Euler
+    (repeated first/last axis) via the acos mid-angle branch."""
+    intrinsic, axes = _parse_euler_convention(convention)
+    R = jnp.asarray(R)
+    if not intrinsic:
+        # Extrinsic(a1 a2 a3)(t1,t2,t3) == Intrinsic(a3 a2 a1)(t3,t2,t1)
+        i, j, k = axes[2], axes[1], axes[0]
+    else:
+        i, j, k = axes
+    if i != k:  # Tait-Bryan
+        e = 1.0 if _is_even(i, j, k) else -1.0
+        t2 = jnp.arcsin(jnp.clip(e * R[i, k], -1.0, 1.0))
+        t1 = jnp.arctan2(-e * R[j, k], R[k, k])
+        t3 = jnp.arctan2(-e * R[i, j], R[i, i])
+    else:  # proper Euler: i == k, free axis l
+        l = 3 - i - j
+        e = 1.0 if _is_even(i, j, l) else -1.0
+        t2 = jnp.arccos(jnp.clip(R[i, i], -1.0, 1.0))
+        t1 = jnp.arctan2(R[j, i], -e * R[l, i])
+        t3 = jnp.arctan2(R[i, j], e * R[i, l])
+    out = jnp.stack([t1, t2, t3])
+    return out[::-1] if not intrinsic else out
+
+
+EULER_CONVENTIONS = tuple(
+    f"{frame}{a}{b}{c}"
+    for frame in ("Intrinsic", "Extrinsic")
+    for a in "XYZ" for b in "XYZ" for c in "XYZ"
+    if a != b and b != c
+)

