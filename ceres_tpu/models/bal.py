@@ -179,3 +179,55 @@ def build_problem_batched(bal: BALProblem, loss=None, use_huber=False):
         data=bal.observations,
     )
     return p, cam_values, pt_values
+
+
+def synthetic_bal_large(
+    num_cameras=13696,
+    num_points=1_000_000,
+    mean_track=4.4,
+    cam_window=60,
+    noise=1.0,
+    seed=0,
+) -> BALProblem:
+    """Venice/Final-scale synthetic BA instance (BASELINE config 4 shape)
+    built WITHOUT the (P, C) visibility matrix of synthetic_bal: each
+    point draws a power-law-ish track length and samples its cameras from
+    a window around an anchor camera (points ordered along the camera
+    trajectory — the locality real large BAL datasets have, which the
+    large-C fused matvec exploits via plan_camera_windows). O(B) memory."""
+    rng = np.random.default_rng(seed)
+    C, P = num_cameras, num_points
+    cameras = np.zeros((C, 9))
+    cameras[:, :3] = rng.standard_normal((C, 3)) * 0.1
+    angles = np.linspace(0, 2 * np.pi, C, endpoint=False)
+    cameras[:, 3] = 0.5 * np.cos(angles)
+    cameras[:, 4] = 0.5 * np.sin(angles)
+    cameras[:, 5] = 10.0 + rng.uniform(-0.5, 0.5, C)
+    cameras[:, 6] = 500.0 + rng.uniform(-25, 25, C)
+    cameras[:, 7] = rng.uniform(-1e-7, 1e-7, C)
+    cameras[:, 8] = rng.uniform(-1e-13, 1e-13, C)
+    points = rng.standard_normal((P, 3)) * 2.0
+
+    # track lengths: geometric with floor 2 (power-law-ish tail like BAL)
+    track = 2 + rng.geometric(1.0 / max(mean_track - 1.0, 1.0), P) - 1
+    pt_idx = np.repeat(np.arange(P, dtype=np.int32), track)
+    anchor = (pt_idx.astype(np.float64) / P * C).astype(np.int64)
+    cam_idx = np.clip(
+        anchor + rng.integers(-cam_window, cam_window + 1, pt_idx.shape[0]),
+        0, C - 1,
+    ).astype(np.int32)
+
+    import jax
+
+    B = cam_idx.shape[0]
+    obs = np.empty((B, 2))
+    chunk = 1 << 20
+    f = jax.jit(jax.vmap(
+        lambda c, p: snavely_reprojection_residual(c, p, jnp.zeros(2))))
+    for s in range(0, B, chunk):
+        e = min(s + chunk, B)
+        obs[s:e] = np.asarray(
+            f(jnp.asarray(cameras[cam_idx[s:e]]),
+              jnp.asarray(points[pt_idx[s:e]])))
+    obs += noise * rng.standard_normal((B, 2))
+    return BALProblem(cameras, points, cam_idx, pt_idx, obs)

@@ -225,7 +225,11 @@ def make_cluster_tridiagonal_preconditioner(cs: ClusterStructure, blocks_fn):
     f_size = cs.pm.f_size
 
     def apply(v):
-        vp = jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
+        # compute in the wider of factor/vector dtypes: a f64 factor with
+        # a f32 CG vector would otherwise promote mid-scan and break the
+        # carry's type invariance
+        dt2 = jnp.result_type(L.dtype, v.dtype)
+        vp = jnp.concatenate([v, jnp.zeros((1,), v.dtype)]).astype(dt2)
         b = jnp.swapaxes(jnp.take(vp, G3), 0, 1)  # (K, Q, m)
 
         def fwd(y_prev, inp):
@@ -236,7 +240,7 @@ def make_cluster_tridiagonal_preconditioner(cs: ClusterStructure, blocks_fn):
             )[..., 0]
             return yk, yk
 
-        _, y = jax.lax.scan(fwd, jnp.zeros((Q, m), v.dtype), (L, X, b))
+        _, y = jax.lax.scan(fwd, jnp.zeros((Q, m), dt2), (L, X, b))
 
         def bwd(x_next, inp):
             Lk, Xn, yk = inp
@@ -247,12 +251,12 @@ def make_cluster_tridiagonal_preconditioner(cs: ClusterStructure, blocks_fn):
             return xk, xk
 
         _, xs = jax.lax.scan(
-            bwd, jnp.zeros((Q, m), v.dtype), (L, X_next, y), reverse=True
+            bwd, jnp.zeros((Q, m), dt2), (L, X_next, y), reverse=True
         )
         x = jnp.swapaxes(xs, 0, 1) * M3  # (Q, K, m)
-        out = jnp.zeros((f_size + 1,), v.dtype)
+        out = jnp.zeros((f_size + 1,), dt2)
         out = out.at[G3.reshape(-1)].add(x.reshape(-1))
-        return out[:f_size]
+        return out[:f_size].astype(v.dtype)
 
     return apply
 
