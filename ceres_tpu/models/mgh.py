@@ -276,14 +276,15 @@ def solve_problem(p: MGHProblem, constrained: bool = False, trial: int = 0,
     """Returns (success, sum_of_squares, summary) with the reference's
     >= 4 relative-log-digit criterion."""
     prob, x = build_problem(p, constrained, trial)
-    opts = Options(
+    kw = dict(
         linear_solver_type=LinearSolverType.DENSE_QR,
         parameter_tolerance=1e-18,
         function_tolerance=1e-18,
         gradient_tolerance=1e-18,
         max_num_iterations=1000,
-        **(options_overrides or {}),
     )
+    kw.update(options_overrides or {})
+    opts = Options(**kw)
     s = solve(opts, prob)
     optimal = (p.constrained_optimal_cost if constrained
                else p.unconstrained_optimal_cost)
