@@ -44,7 +44,27 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _mm(a, b):
-    return jnp.einsum("bl,lo->bo", a, b, precision=_HI)
+    """Data (N, l) x CONSTANT 0/1 selector (l, o). Every `b` in this
+    module is a 0/1 selector matrix (kron's of eye/ones), exact in bf16 —
+    so for f32 data the exact hi/mid/lo bf16 3-way split (3 single-pass
+    MXU dots, f32 accumulation) replaces the 6-pass HIGHEST einsum at
+    ~f32 accuracy and 2x the throughput (the ops/pallas_kernels.py dot3
+    trick, hoisted to the XLA tier). f64 keeps HIGHEST."""
+    if a.dtype != jnp.float32:
+        return jnp.einsum("bl,lo->bo", a, b, precision=_HI)
+    bf = jnp.bfloat16
+    bb = b.astype(bf)
+    hi = a.astype(bf)
+    rem = a - hi.astype(jnp.float32)
+    mid = rem.astype(bf)
+    lo = (rem - mid.astype(jnp.float32)).astype(bf)
+    out = None
+    for part in (hi, mid, lo):
+        t = jax.lax.dot_general(
+            part, bb, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = t if out is None else out + t
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -705,9 +705,102 @@ class DenseSchurStepOps:
 
         return solve
 
+    def _kernel_qual(self, vrep):
+        """One-kernel dense-Schur assembly qualification
+        (ops/pallas_kernels.schur_assembly): the isc-kernel structure
+        rules, no camera windows, te*te within the pw lane slots, and a
+        reduced system small enough for the in-VMEM Gram."""
+        fl, pm = self.flat, self.pm
+        if not vrep or not vrep[0] or vrep[0][0] is None:
+            return None
+        qual = fl._kernel_slots(fl.plans_e, fl.plans_f, pm.e_fams,
+                                pm.f_fams)
+        if qual is None or qual[2] is not None:
+            return None
+        pe, pf, _ = qual
+        if vrep[0][pe.s].dtype != jnp.float32:
+            return None
+        if pe.t > 8 or pe.t * pe.t > 16 or pf.t > 16:
+            return None
+        if pf.nv * pf.t > 1024:  # (t_full, t_full) Gram must fit VMEM
+            return None
+        return pe, pf
+
+    def _compute_step_kernel(self, q, vrep, aux, g, scale_c, D2_c):
+        """Exact dense-Schur step through the ONE-kernel assembly
+        (parallel/sharded_ba's v2 pipeline generalized to the public
+        pipeline): W, Y, the spread tensor, and A itself never exist in
+        HBM — the kernel returns S's Gram A'A, the scaled camera Grams,
+        and the rhs weight A'u. Back-substitution uses the implicit
+        identity A z = K (E_s'(F_s z)) — one extra J pass instead of a
+        dense (e_size x f_size) A."""
+        from ..ops import pallas_kernels as pk
+
+        fl, pm, pt = self.flat, self.pm, self.pt
+        pe, pf = q
+        ete, _ = aux
+        dt = jnp.float32
+        se = pt.extract_e(pm, scale_c)
+        sf = pt.extract_f(pm, scale_c)
+        d2e = pt.extract_e(pm, D2_c)
+        d2f = pt.extract_f(pm, D2_c)
+        K_e = self._scaled_K(ete, se, d2e)
+        b = scale_c * g
+        u_vec = self._kmatvec(K_e, pt.extract_e(pm, b))
+
+        kind = fl.kinds[0]
+        P, C, te, tf = pe.nv, pf.nv, pe.t, pf.t
+        gf = max(8, -(-tf // 8) * 8)
+        Jf, Je = vrep[0][pf.s], vrep[0][pe.s]
+        max_rows = pe.rplan[2]
+        JT, ids_T = pk.prep_matvec_rows(
+            Jf, Je, pe.local, pf.local, max_rows, kind.r, tf, te)
+        BT = pk.BLOCKS_PER_TILE
+        pw = jnp.zeros((P + 1 + BT, 128), dt)
+        pw = jax.lax.dynamic_update_slice(pw, se.reshape(P, te), (0, 0))
+        pw = jax.lax.dynamic_update_slice(pw, K_e[0], (0, 8))
+        pw = jax.lax.dynamic_update_slice(
+            pw, u_vec.reshape(P, te), (0, 24))
+        C_pad = max(128, -(-(C + 1) // 128) * 128)
+        sc_T = jnp.zeros((gf, C_pad), dt)
+        sc_T = jax.lax.dynamic_update_slice(
+            sc_T, sf.reshape(C, tf).T, (0, 0))
+        interp = fo.PALLAS_MODE == "interpret"
+        t_full = C * tf
+        per_tile = max_rows * t_full * 2 * 2 + max_rows * 48 * 4
+        unroll = max(1, min(4, (2 << 20) // max(per_tile, 1)))
+        ata, ftf, U = pk.schur_assembly(
+            JT, ids_T, sc_T, pw, pe.rplan[0], pe.rplan[1], P, C, kind.r,
+            tf, te, max_rows=max_rows, unroll=unroll, interpret=interp)
+
+        ftf_blocks = ftf[:C].reshape(C, tf, gf)[:, :, :tf]
+        S = jnp.einsum("cij,cd->cidj", ftf_blocks,
+                       jnp.eye(C, dtype=dt)).reshape(t_full, t_full)
+        S = S - ata + jnp.diag(d2f)
+        rhs = pt.extract_f(pm, b) - U[0, :t_full]
+        L = jnp.linalg.cholesky(S)
+        from .linear.dense import tri_inverse_lower
+
+        Linv = tri_inverse_lower(L)
+        z = Linv.T @ (Linv @ rhs)
+        # implicit back substitution: y_e = K'(u - K E_s'F_s z)
+        fz = fl.right_f(vrep, sf * z)
+        Az = self._kmatvec(K_e, se * fl.left_e(vrep, fz))
+        y_e = self._kmatvec(K_e, u_vec - Az, transpose=True)
+        step = -pt.combine(pm, y_e, z)
+        g_dot = jnp.dot(b, step)
+        d2_dot = jnp.dot(D2_c * step, step)
+        mcc = -0.5 * g_dot + 0.5 * d2_dot
+        return step, mcc, jnp.asarray(1, jnp.int32)
+
     def compute_step(self, vrep, aux, g, r, scale_c, D2_c, args=None):
         fl, pm, pt = self.flat, self.pm, self.pt
         mixed = self.mixed and r.dtype == jnp.float64
+        if not mixed:
+            q = self._kernel_qual(vrep)
+            if q is not None:
+                return self._compute_step_kernel(
+                    q, vrep, aux, g, scale_c, D2_c)
         if mixed:
             cast32 = lambda t: jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.float32), t
