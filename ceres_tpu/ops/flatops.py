@@ -280,6 +280,7 @@ class SlotPlanFlat(NamedTuple):
     srt: bool  # ids nondecreasing (program built with sort_rows)
     pplan: "Optional[Tuple]"  # (tile_starts, max_rows) Mosaic segment plan
     rplan: "Optional[Tuple]" = None  # (starts, block0, max_rows) row-balanced
+    wplan: "Optional[Tuple]" = None  # fixed-tile id windows (unsorted ids)
 
 
 # Pallas usage for sorted segment reductions/gathers: "auto" = on TPU-like
@@ -333,7 +334,7 @@ class _FlatOpsBase:
             if not np.array_equal(idx[var], want[var]):
                 self.supported = False
             srt = bool(np.all(local[1:] >= local[:-1]))
-            pplan = rplan = None
+            pplan = rplan = wplan = None
             if srt and local.size:
                 from . import pallas_kernels as pk
 
@@ -341,20 +342,28 @@ class _FlatOpsBase:
                 pplan = (jnp.asarray(ts), max_rows)
                 rs, rb, rmax = pk.plan_row_tiles(local, nv + 1)
                 rplan = (jnp.asarray(rs), jnp.asarray(rb), rmax)
+            elif local.size and nv > 257:
+                # unsorted large-target reductions (the camera side at
+                # Venice scale): fixed-tile id windows replace the serial
+                # XLA scatter when the row order has id locality
+                from . import pallas_kernels as pk
+
+                wplan = pk.plan_fixed_windows(local, nv)
             plans[k].append(
                 SlotPlanFlat(s, fi, off, nv, t, jnp.asarray(local), srt,
-                             pplan, rplan)
+                             pplan, rplan, wplan)
             )
         return plans
 
     @staticmethod
-    def _reduce_rows(table, local, contrib, srt, pplan=None):
-        """table (+=) segment reduction of contrib by local row ids. Four
-        tiers: Mosaic tiled one-hot MXU kernel (sorted, f32, TPU), one-hot
-        MXU matmul (few target blocks, any order — the camera-side
-        reduction of BA programs; a (B,) scatter-add costs ~1 ms at 84k
-        rows on v5e while the (B, nv) one-hot einsum is ~0.1 ms), XLA
-        sorted segment-sum, scatter-add."""
+    def _reduce_rows(table, local, contrib, srt, pplan=None, wplan=None):
+        """table (+=) segment reduction of contrib by local row ids. Five
+        tiers: Mosaic tiled one-hot MXU kernel (sorted, f32, TPU),
+        windowed Mosaic kernel (UNSORTED ids with locality, large targets
+        — the Venice-scale camera side), one-hot MXU matmul (few target
+        blocks, any order; a (B,) scatter-add costs ~1 ms at 84k rows on
+        v5e while the (B, nv) one-hot einsum is ~0.1 ms), XLA sorted
+        segment-sum, scatter-add."""
         if _pallas_ok(contrib.dtype, pplan, contrib.shape[1]):
             from . import pallas_kernels as pk
 
@@ -363,6 +372,23 @@ class _FlatOpsBase:
                 max_rows=pplan[1], interpret=PALLAS_MODE == "interpret",
             )
             return table + out[: table.shape[0]]
+        if (
+            wplan is not None
+            and contrib.dtype == jnp.float32
+            and PALLAS_MODE != "off"
+            and (PALLAS_MODE == "interpret"
+                 or jax.default_backend() != "cpu")
+            and wplan[3] * max(8, -(-contrib.shape[1] // 8) * 8) * 4
+            <= 8 * 1024 * 1024
+        ):
+            from . import pallas_kernels as pk
+
+            nv = table.shape[0] - 1
+            out = pk.windowed_segment_sum(
+                contrib, local, nv, wplan,
+                interpret=PALLAS_MODE == "interpret",
+            )
+            return table.at[:nv].add(out[:nv, : contrib.shape[1]])
         if (
             contrib.dtype == jnp.float32
             and table.shape[0] <= 257
@@ -407,7 +433,7 @@ class _FlatOpsBase:
             return [
                 [
                     pe._replace(local=locs[(k, pe.s)], srt=False, pplan=None,
-                                rplan=None)
+                                rplan=None, wplan=None)
                     for pe in pl
                 ]
                 for k, pl in enumerate(plans)
@@ -472,7 +498,8 @@ class _FlatOpsBase:
                 rep = _mm(rows, self.sel.get("rep_r", kind.r, pe.t, J.dtype))
                 contrib = _mm(J * rep, self.sel.get("sum_t", kind.r, pe.t, J.dtype))
                 tables[pe.fi] = self._reduce_rows(
-                    tables[pe.fi], pe.local, contrib, pe.srt, pe.pplan
+                    tables[pe.fi], pe.local, contrib, pe.srt, pe.pplan,
+                    pe.wplan
                 )
         out = jnp.zeros((size,), dtype)
         for fi, (off, nv, t, _) in enumerate(fams):
@@ -497,7 +524,8 @@ class _FlatOpsBase:
                         (fams[pe.fi][1] + 1, fams[pe.fi][2]), dtype
                     )
                 tables[pe.fi] = self._reduce_rows(
-                    tables[pe.fi], pe.local, contrib, pe.srt, pe.pplan
+                    tables[pe.fi], pe.local, contrib, pe.srt, pe.pplan,
+                    pe.wplan
                 )
         out = jnp.zeros((size,), dtype or jnp.float64)
         for fi, (off, nv, t, _) in enumerate(fams):
@@ -539,7 +567,8 @@ class _FlatOpsBase:
                 if tables[pe.fi] is None:
                     tables[pe.fi] = jnp.zeros((pe.nv + 1, 2 * t + t * t), J.dtype)
                 tables[pe.fi] = self._reduce_rows(
-                    tables[pe.fi], pe.local, contrib, pe.srt, pe.pplan
+                    tables[pe.fi], pe.local, contrib, pe.srt, pe.pplan,
+                    pe.wplan
                 )
         dtype = dtype or jnp.float64
         g = jnp.zeros((size,), dtype)
@@ -573,7 +602,8 @@ class _FlatOpsBase:
                 if tables[pe.fi] is None:
                     tables[pe.fi] = jnp.zeros((pe.nv + 1, t * t), J.dtype)
                 tables[pe.fi] = self._reduce_rows(
-                    tables[pe.fi], pe.local, contrib, pe.srt, pe.pplan
+                    tables[pe.fi], pe.local, contrib, pe.srt, pe.pplan,
+                    pe.wplan
                 )
         out = []
         for fi, (off, nv, t, _) in enumerate(fams):

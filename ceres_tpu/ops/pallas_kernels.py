@@ -1495,3 +1495,154 @@ def jt_u_sorted(
         max_rows=max_rows, interpret=interpret,
     )
     return out[:num_blocks]
+
+
+def plan_fixed_windows(ids: np.ndarray, num_blocks: int,
+                       tile_rows: int = 512, width_cap: int = 2048):
+    """Per-FIXED-tile target-id windows for windowed_segment_sum: tile t
+    covers rows [t*tile_rows, (t+1)*tile_rows); its window spans the valid
+    ids (0 <= id < num_blocks) among those rows, 128-aligned. Unlike
+    plan_camera_windows this needs NO sort — fixed tiles partition rows
+    exactly, so any row order works; window width reflects whatever
+    locality the order has. Returns (win_starts (T,) int32, Wc, n_win,
+    c_hi) or None when the windows would not beat a scatter (span too
+    wide: n_win*Wc > 2*width_cap)."""
+    ids = np.asarray(ids)
+    n = ids.shape[0]
+    T = max(1, -(-n // tile_rows))
+    win0 = np.zeros(T, np.int64)
+    span = 1
+    for t in range(T):
+        seg = ids[t * tile_rows: (t + 1) * tile_rows]
+        seg = seg[(seg >= 0) & (seg < num_blocks)]
+        if seg.size == 0:
+            continue
+        lo = (int(seg.min()) // _LANE) * _LANE
+        win0[t] = lo
+        span = max(span, int(seg.max()) + 1 - lo)
+    span = -(-span // _LANE) * _LANE
+    Wc = min(span, max(_LANE, (width_cap // _LANE) * _LANE))
+    n_win = -(-span // Wc)
+    if n_win * Wc > 2 * width_cap:
+        return None
+    c_hi = int(win0.max()) + n_win * Wc
+    return win0.astype(np.int32), int(Wc), int(n_win), c_hi
+
+
+def windowed_segment_sum(contrib, ids, num_blocks: int, windows,
+                         tile_rows: int = 512, unroll: int = 4,
+                         interpret: bool = False, contrib_T=None):
+    """out[b] = sum_{i: ids[i]==b} contrib[i] for UNSORTED ids with
+    locality: per fixed row tile, a one-hot over the tile's id window
+    (plan_fixed_windows) + one MXU dot + a dynamic-sublane RMW on the
+    VMEM output — O(rows * window) instead of the serial XLA scatter-add
+    (~8 GB/s measured on v5e). The camera-side reduction of BA programs
+    at large C (the Venice regime) is the target: rows sorted by point
+    have camera locality, windows stay narrow.
+
+    contrib (N, w) f32 (or contrib_T (w, N)); ids (N,) int32 (invalid /
+    sentinel ids < 0 or >= num_blocks contribute nothing). Returns
+    (out_pad, w_pad) with out_pad >= num_blocks rows; slice [:num_blocks].
+    """
+    win_starts, Wc, n_win, c_hi = windows
+    if contrib_T is not None:
+        w, n = contrib_T.shape
+        dtype = contrib_T.dtype
+    else:
+        n, w = contrib.shape
+        dtype = contrib.dtype
+        contrib_T = contrib.T
+    assert dtype == jnp.float32
+    w_pad = max(8, -(-w // 8) * 8)
+    C_pad = max(_LANE, -(-(num_blocks) // _LANE) * _LANE, c_hi)
+    num_tiles = max(1, -(-n // tile_rows))
+    grid = -(-num_tiles // unroll)
+    num_tiles_pad = grid * unroll
+    n_pad = num_tiles_pad * tile_rows
+    contrib_T = jnp.concatenate(
+        [contrib_T, jnp.zeros((w_pad - w, n), dtype)], axis=0)
+    contrib_T = jnp.concatenate(
+        [contrib_T, jnp.zeros((w_pad, n_pad - n), dtype)], axis=1)
+    ids_row = jnp.concatenate(
+        [ids.astype(jnp.int32), jnp.full((n_pad - n,), -1, jnp.int32)])
+    ids_T = jnp.broadcast_to(ids_row[None, :], (8, n_pad))
+    ws = jnp.asarray(win_starts, jnp.int32)
+    if num_tiles_pad > num_tiles:
+        ws = jnp.concatenate(
+            [ws, jnp.broadcast_to(ws[-1:], (num_tiles_pad - num_tiles,))])
+    f32, bf16 = jnp.float32, jnp.bfloat16
+
+    def kernel(win_ref, ids_hbm, c_hbm, out_ref):
+        g = pl.program_id(0)
+
+        def body(ids_vmem, c_vmem, sem_i, sem_c):
+            copies = []
+            for j in range(unroll):
+                row0 = pl.multiple_of((g * unroll + j) * tile_rows, _LANE)
+                cps = [
+                    pltpu.make_async_copy(
+                        ids_hbm.at[:, pl.ds(row0, tile_rows)],
+                        ids_vmem.at[j], sem_i.at[j]),
+                    pltpu.make_async_copy(
+                        c_hbm.at[:, pl.ds(row0, tile_rows)],
+                        c_vmem.at[j], sem_c.at[j]),
+                ]
+                for c in cps:
+                    c.start()
+                copies.append(cps)
+
+            @pl.when(g == 0)
+            def _zero():
+                out_ref[:, :] = jnp.zeros((C_pad, w_pad), out_ref.dtype)
+
+            csub = jax.lax.broadcasted_iota(jnp.int32, (Wc, tile_rows), 0)
+            one = jnp.ones((), f32)
+            zero = jnp.zeros((), f32)
+            d_ll = (((1,), (1,)), ((), ()))
+            for j in range(unroll):
+                for c in copies[j]:
+                    c.wait()
+                cid1 = ids_vmem[j][0:1, :]
+                x = c_vmem[j][:, :]
+                hi = x.astype(bf16)
+                rem = x - hi.astype(f32)
+                mid = rem.astype(bf16)
+                lo = (rem - mid.astype(f32)).astype(bf16)
+                w0 = pl.multiple_of(win_ref[g * unroll + j], _LANE)
+                for kk in range(n_win):
+                    c0 = pl.multiple_of(w0 + kk * Wc, _LANE)
+                    cw = jnp.broadcast_to(cid1 - c0, (Wc, tile_rows))
+                    ohw = jnp.where(cw == csub, one, zero).astype(bf16)
+                    acc = None
+                    for part in (hi, mid, lo):
+                        t = jax.lax.dot_general(
+                            ohw, part, dimension_numbers=d_ll,
+                            preferred_element_type=f32)
+                        acc = t if acc is None else acc + t
+                    cur = out_ref[pl.ds(c0, Wc), :]
+                    out_ref[pl.ds(c0, Wc), :] = cur + acc
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((unroll, 8, tile_rows), jnp.int32),
+            pltpu.VMEM((unroll, w_pad, tile_rows), dtype),
+            pltpu.SemaphoreType.DMA((unroll,)),
+            pltpu.SemaphoreType.DMA((unroll,)),
+        )
+
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            ],
+            out_specs=pl.BlockSpec((C_pad, w_pad), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((C_pad, w_pad), dtype),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(ws, ids_T, contrib_T)
+    return out

@@ -316,7 +316,7 @@ class IterativeSchurStepOps:
                     Wt, Y, fo.matmul_selectors(tf, te, tf, Je.dtype)
                 )  # (B, tf*tf)
                 tables[ffi] = fo._FlatOpsBase._reduce_rows(
-                    tables[ffi], local_f, -corr, srt_f, pplan_f
+                    tables[ffi], local_f, -corr, srt_f, pplan_f, pf.wplan
                 )
         out = []
         for (off, nv, t, _), tab in zip(f_fams, tables):

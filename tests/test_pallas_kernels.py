@@ -424,3 +424,35 @@ def test_windowed_matvec_interpret(local, mode):
                                    atol=2e-4)
     np.testing.assert_allclose(np.asarray(camv), cam_ref.reshape(-1),
                                rtol=2e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize("local", [True, False])
+def test_windowed_segment_sum_interpret(local):
+    """windowed_segment_sum (UNSORTED ids + fixed-tile windows) matches
+    np.add.at; sentinel ids (<0, >=num_blocks) contribute nothing."""
+    import numpy as np
+
+    rng = np.random.default_rng(3 + local)
+    n, C, w = 5000, 900, 11
+    base = (np.arange(n) / n * C).astype(np.int64)
+    if local:
+        ids = np.clip(base + rng.integers(-30, 30, n), 0, C - 1)
+    else:
+        ids = rng.integers(0, C, n)
+    ids = ids.astype(np.int32)
+    ids[3] = -1
+    ids[100] = C  # sentinels
+    x = rng.standard_normal((n, w)).astype(np.float32)
+    windows = pk.plan_fixed_windows(ids, C, width_cap=256)
+    if local:
+        assert windows is not None
+        assert windows[1] * windows[2] <= 512  # narrow: locality found
+    if windows is None:
+        pytest.skip("no windows for this structure")
+    out = pk.windowed_segment_sum(jnp.asarray(x), jnp.asarray(ids), C,
+                                  windows, interpret=True)
+    ref = np.zeros((C, w), np.float32)
+    ok = (ids >= 0) & (ids < C)
+    np.add.at(ref, ids[ok], x[ok])
+    np.testing.assert_allclose(np.asarray(out)[:C, :w], ref, rtol=2e-4,
+                               atol=2e-4)
