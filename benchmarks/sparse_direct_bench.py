@@ -5,14 +5,16 @@ matrix (6x6 blocks, odometry chain + 2% loop closures): ordering +
 symbolic analysis, numeric factorization, and triangular solve, plus
 parity of the solution against scipy.
 
-Measured (this image's host, 2026-08): n=600k, nnz(A)=10.9M ->
-nnzL=10.4M (17.4/col, minimum degree), analysis ~8 s (once per problem
-STRUCTURE — counts-based candidate ranking, ct_chol_counts), numeric
-factor ~0.5 s and solve ~0.04 s (per LM iteration). The numeric factor is
-<7% of the one-time analysis and ~zero next to evaluation costs, which is
-the evidence for keeping the simplicial up-looking kernel rather than a
-supernodal one at this fill level; revisit if a workload shows
->100 nnzL/col (supernodal/BLAS3 territory, eigensparse.cc:214 regime).
+Measured (this image's host, 2026-08, round 3): n=600k, nnz(A)=10.9M ->
+nnzL=10.5M (17.6/col, minimum degree), analysis ~1.4 s (was ~8 s in
+round 2; supervariable compression runs the orderings on the 6x-smaller
+quotient graph and the pattern permutation moved to native
+ct_permute_pattern — CHOLMOD's supernodal-analysis role,
+suitesparse.cc:619), numeric factor ~0.6 s and solve ~0.04 s (per LM
+iteration). Analysis is now <= ~2x the numeric factor, so first-solve
+latency is no longer analysis-walled; the simplicial up-looking numeric
+kernel stays (revisit if a workload shows >100 nnzL/col —
+supernodal/BLAS3 territory, eigensparse.cc:214 regime).
 
 Run: PYTHONPATH=. python benchmarks/sparse_direct_bench.py [num_poses]
 """

@@ -170,59 +170,82 @@ class Covariance:
         """True sparse QR of J (George & Heath row-Givens): accumulate the
         T x T upper-triangular R from CSR rows of J, never forming Q or a
         dense J. Conditioning is cond(J), not cond(J'J) — the property
-        covariance exists to exploit (covariance_impl.cc:539). Returns
+        covariance exists to exploit (covariance_impl.cc:539). Factoring
+        runs in the native backend (native/sparse_qr.cc) with sparse R
+        rows after an AMD fill-reducing column pre-ordering on the A'A
+        pattern (SuiteSparseQR's COLAMD role). Returns
         solve(E) -> R^{-1} R^{-T} E, or None on rank deficiency."""
-        import scipy.linalg as sl
-
+        from .native import SparseQR, get_lib
         from .ops import bsr
 
         T = prog.tangent_size
         meta = bsr.build_meta(prog)
-        R = np.zeros((T, T))
-        rdiag_zero = np.ones(T, dtype=bool)
+
+        # Vectorized triplet assembly of J's CSR rows (sentinel col == T
+        # marks a constant block: dropped). Row order is irrelevant to R.
+        trip_r, trip_c, trip_v = [], [], []
+        pat_enc = []  # encoded (i, j) pairs for the A'A pattern
         for kind, jacs in zip(meta.kinds, out["block_jacs"]):
-            # CSR rows of this kind: r rows per observation, columns from
-            # the slots' tangent indices (sentinel T == constant: dropped)
             cols = np.concatenate(
                 [np.asarray(meta.arrays[s.tangent_idx_key]) for s in kind.slots],
                 axis=1,
-            )  # (B, sum_t)
+            )  # (B, m)
             data = np.concatenate(
                 [np.asarray(J, dtype=np.float64) for J in jacs], axis=2
-            )  # (B, r, sum_t)
-            for b in range(kind.B):
-                keep = cols[b] < T
-                c = cols[b][keep]
-                order = np.argsort(c)
-                c = c[order]
-                for i in range(kind.r):
-                    w = np.zeros(T)
-                    w[c] = data[b, i][keep][order]
-                    nz = np.nonzero(w)[0]
-                    while nz.size:
-                        k = nz[0]
-                        if rdiag_zero[k]:
-                            R[k, k:] = w[k:]
-                            rdiag_zero[k] = False
-                            break
-                        a, bb = R[k, k], w[k]
-                        rr = np.hypot(a, bb)
-                        cth, sth = a / rr, bb / rr
-                        Rk = R[k, k:].copy()
-                        R[k, k:] = cth * Rk + sth * w[k:]
-                        w[k:] = cth * w[k:] - sth * Rk
-                        w[k] = 0.0
-                        nz = k + 1 + np.nonzero(w[k + 1:])[0]
-        d = np.abs(np.diag(R))
+            )  # (B, r, m)
+            B, r, m = data.shape
+            rowids = (kind.row_offset + np.arange(B * r)).reshape(B, r)
+            rr = np.broadcast_to(rowids[:, :, None], (B, r, m))
+            cc = np.broadcast_to(cols[:, None, :], (B, r, m))
+            keep = cc < T
+            trip_r.append(rr[keep])
+            trip_c.append(cc[keep])
+            trip_v.append(data[keep])
+            ii = np.broadcast_to(cols[:, :, None], (B, m, m))
+            jj = np.broadcast_to(cols[:, None, :], (B, m, m))
+            kp = (ii < T) & (jj < T)
+            pat_enc.append(ii[kp].astype(np.int64) * T + jj[kp])
+        if not trip_r:
+            return None
+        rows = np.concatenate(trip_r)
+        colsA = np.concatenate(trip_c).astype(np.int64)
+        vals = np.concatenate(trip_v)
+
+        # AMD ordering on the A'A pattern (quotient-graph min degree from
+        # the native Cholesky backend), QR's fill-reducing pre-permutation
+        # (reorder_program.cc ReorderProgramForSparseCholesky role).
+        perm = np.arange(T, dtype=np.int32)
+        if T > 2:
+            enc = np.unique(np.concatenate(pat_enc))
+            pi = (enc // T).astype(np.int32)
+            pj = (enc % T).astype(np.int32)
+            indptr_p = np.zeros(T + 1, np.int64)
+            np.cumsum(np.bincount(pi, minlength=T), out=indptr_p[1:])
+            get_lib().ct_mindeg(
+                T, indptr_p, np.ascontiguousarray(pj), perm)
+        iperm = np.argsort(perm).astype(np.int64)  # old col -> new col
+
+        newc = iperm[colsA]
+        order = np.lexsort((newc, rows))
+        rows_s, cols_s, vals_s = rows[order], newc[order], vals[order]
+        nrows = int(prog.num_residuals)
+        indptr = np.zeros(nrows + 1, np.int64)
+        np.cumsum(np.bincount(rows_s, minlength=nrows), out=indptr[1:])
+
+        qr = SparseQR(nrows, T, indptr, cols_s.astype(np.int32), vals_s)
+        d = qr.diag()
         d2 = d * d
-        if rdiag_zero.any() or d2.min() <= (
-            self.options.min_reciprocal_condition_number * d2.max()
+        if (d2.min() if d2.size else 0.0) <= (
+            self.options.min_reciprocal_condition_number
+            * (d2.max() if d2.size else 1.0)
         ):
+            qr.free()
             return None  # rank deficient (qr rank < num_cols -> failure)
 
         def solve(E):
-            y = sl.solve_triangular(R, E, trans="T", lower=False)
-            return sl.solve_triangular(R, y, lower=False)
+            Ep = np.asarray(E, np.float64)[perm, :]
+            Xp = qr.solve_normal_multi(Ep)
+            return Xp[iperm, :]
 
         return solve
 

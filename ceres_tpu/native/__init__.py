@@ -48,6 +48,12 @@ def get_lib():
     lib.ct_chol_counts.argtypes = [ctypes.c_int32, i64p, i32p, i32p, i64p]
     lib.ct_chol_symbolic.restype = ctypes.c_int64
     lib.ct_chol_symbolic.argtypes = [ctypes.c_int32, i64p, i32p, i64p, i32p]
+    lib.ct_permute_pattern.restype = ctypes.c_int32
+    lib.ct_permute_pattern.argtypes = [
+        ctypes.c_int32, i64p, i32p, i32p, i64p, i32p, i64p,
+    ]
+    lib.ct_compress.restype = ctypes.c_int32
+    lib.ct_compress.argtypes = [ctypes.c_int32, i64p, i32p, i32p, i64p, i32p]
     lib.ct_chol_numeric.restype = ctypes.c_int32
     lib.ct_chol_numeric.argtypes = [
         ctypes.c_int32, i64p, i32p, f64p, i64p, i32p, i32p, f64p,
@@ -85,61 +91,83 @@ class SparseCholesky:
         self.n = int(n)
         indptr = np.ascontiguousarray(indptr, np.int64)
         indices = np.ascontiguousarray(indices, np.int32)
-        candidates = []
         if use_ordering and self.n > 1:
+            # Supervariable (indistinguishable-node) compression: columns
+            # with identical closed adjacency collapse into one quotient
+            # node, so the orderings run on the ~t-times-smaller block
+            # graph (CHOLMOD's supernodal-analysis role,
+            # suitesparse.cc:619). Hash collisions merely merge
+            # non-identical nodes — the expanded permutation is always
+            # valid and the full symbolic runs on the TRUE scalar pattern,
+            # so compression can only affect fill quality, never
+            # correctness.
+            gof, qptr, qidx, gsize = _compress_supervariables(
+                self.n, indptr, indices)
+            nq = int(gsize.shape[0])
+            if nq > 0.85 * self.n:
+                # Not meaningfully compressible (e.g. scalar grid/mesh
+                # patterns): order the original graph directly — quotient
+                # relabeling would only perturb tie-breaking quality.
+                gof = np.arange(self.n, dtype=np.int32)
+                qptr, qidx = indptr, indices
+                gsize = np.ones(self.n, np.int64)
+                nq = self.n
             fns = [lib.ct_mindeg]
-            if self.n > 1000:
+            if nq > 1000:
                 fns.append(lib.ct_nd)  # wins on grid-like patterns
-            if self.n <= 50_000:
+            if nq <= 50_000:
                 fns.append(lib.ct_rcm)  # covers MD pathologies; O(n) scan
+            candidates = []
             for fn in fns:
-                perm = np.zeros(self.n, np.int32)
-                fn(self.n, indptr, indices, perm)
-                candidates.append(perm)
+                bperm = np.zeros(nq, np.int32)
+                fn(nq, qptr, qidx, bperm)
+                candidates.append(bperm)
+            # Rank candidates on the QUOTIENT graph by weighted column
+            # counts (ct_chol_counts cc output x node weights — exact for
+            # uniform block sizes, a fill proxy otherwise), then expand
+            # the winner and run the full scalar symbolic once.
+            best = None
+            for bperm in candidates:
+                if len(candidates) == 1:
+                    best = (bperm, 0)
+                    break
+                biperm = np.argsort(bperm).astype(np.int32)
+                qnnz = qidx.shape[0]
+                bp = np.zeros(nq + 1, np.int64)
+                bi = np.zeros(qnnz, np.int32)
+                vp = np.zeros(qnnz, np.int64)
+                lib.ct_permute_pattern(nq, qptr, qidx, biperm, bp, bi, vp)
+                par = np.zeros(nq, np.int32)
+                cc = np.zeros(nq, np.int64)
+                lib.ct_chol_counts(nq, bp, bi, par, cc)
+                score = int(np.sum(cc * gsize[bperm].astype(np.int64)))
+                if best is None or score < best[1]:
+                    best = (bperm, score)
+            # expand: scalar columns sorted by (block position, column id)
+            block_pos = np.zeros(nq, np.int64)
+            block_pos[best[0]] = np.arange(nq)
+            perm = np.lexsort(
+                (np.arange(self.n), block_pos[gof])).astype(np.int32)
         else:
-            candidates.append(np.arange(self.n, dtype=np.int32))
-        # Rank candidates by EXACT fill via O(|A| alpha) column counts
-        # (ct_chol_counts — never pays a bad candidate's O(nnzL) symbolic),
-        # then run the full symbolic analysis once, on the winner.
-        best = None
-        for perm in candidates:
-            if len(candidates) == 1:
-                best = (perm, 0)
-                break
-            pp, pi, _ = self._permuted_pattern(perm, indptr, indices)
-            par = np.zeros(self.n, np.int32)
-            cc = np.zeros(self.n, np.int64)
-            nnzL = int(lib.ct_chol_counts(self.n, pp, pi, par, cc))
-            if best is None or nnzL < best[1]:
-                best = (perm, nnzL)
+            perm = np.arange(self.n, dtype=np.int32)
         (self.perm, self.iperm, self.pindptr, self.pindices, self.value_perm,
          self.Lp, self.parent, self.nnzL) = (
-            (best[0],) + self._symbolic(lib, best[0], indptr, indices))
+            (perm,) + self._symbolic(lib, perm, indptr, indices))
         self.Li = np.zeros(self.nnzL, np.int32)
         self.Lx = np.zeros(self.nnzL, np.float64)
         self._lib = lib
 
     def _permuted_pattern(self, perm, indptr, indices):
-        """Permuted pattern (A'[iperm[i], iperm[j]] = A[i, j]); returns
-        (pindptr, pindices, value_perm)."""
-        import scipy.sparse as sp
-
+        """Permuted pattern (A'[iperm[i], iperm[j]] = A[i, j]) via the
+        native kernel; returns (pindptr, pindices, value_perm)."""
+        lib = get_lib()
         iperm = np.argsort(perm).astype(np.int32)
         nnz = indices.shape[0]
-        # 1-based positions so scipy cannot prune the entry at position 0.
-        A = sp.csr_matrix(
-            (np.arange(1, nnz + 1, dtype=np.int64), indices, indptr),
-            shape=(self.n, self.n),
-        )
-        P = sp.csr_matrix(
-            (np.ones(self.n), (iperm, np.arange(self.n))), shape=(self.n, self.n)
-        )
-        Ap_perm = (P @ A @ P.T).tocsr()
-        Ap_perm.sort_indices()
-        pindptr = np.ascontiguousarray(Ap_perm.indptr, np.int64)
-        pindices = np.ascontiguousarray(Ap_perm.indices, np.int32)
-        # value permutation: position k in permuted values = original position
-        value_perm = np.ascontiguousarray(Ap_perm.data, np.int64) - 1
+        pindptr = np.zeros(self.n + 1, np.int64)
+        pindices = np.zeros(nnz, np.int32)
+        value_perm = np.zeros(nnz, np.int64)
+        lib.ct_permute_pattern(self.n, indptr, indices, iperm, pindptr,
+                               pindices, value_perm)
         return pindptr, pindices, value_perm
 
     def _symbolic(self, lib, perm, indptr, indices):
@@ -214,3 +242,106 @@ class RefinedSparseCholesky:
             b._lib.ct_chol_solve_f32(b.n, b.Lp, b.Li, self.Lx32, corr)
             x = x + corr
         return x[b.iperm]
+
+
+# ---------------------------------------------------------------------------
+# Sparse QR (George-Heath row-Givens) — Covariance SPARSE_QR backend
+# (covariance_impl.cc:539's SuiteSparseQR role).
+# ---------------------------------------------------------------------------
+
+_SRC_QR = _DIR / "sparse_qr.cc"
+_SO_QR = _DIR / "_sparse_qr.so"
+_qr_lib = None
+
+
+def get_qr_lib():
+    global _qr_lib
+    if _qr_lib is not None:
+        return _qr_lib
+    if not _SO_QR.exists() or _SO_QR.stat().st_mtime < _SRC_QR.stat().st_mtime:
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+             str(_SRC_QR), "-o", str(_SO_QR)],
+            check=True, capture_output=True,
+        )
+    lib = ctypes.CDLL(str(_SO_QR))
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.ct_qr_factor.restype = ctypes.c_int64
+    lib.ct_qr_factor.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, i64p, i32p, f64p,
+    ]
+    lib.ct_qr_diag.restype = None
+    lib.ct_qr_diag.argtypes = [f64p]
+    lib.ct_qr_solve_multi.restype = ctypes.c_int32
+    lib.ct_qr_solve_multi.argtypes = [ctypes.c_int32, f64p, f64p]
+    lib.ct_qr_free.restype = None
+    lib.ct_qr_free.argtypes = []
+    _qr_lib = lib
+    return lib
+
+
+class SparseQR:
+    """R-only sparse QR of a CSR matrix via row-Givens with sparse R rows.
+
+    The factorization lives in module-global C++ state: exactly ONE
+    SparseQR may be live at a time (single-threaded host use — same
+    discipline as the reference's global vendor-library handles). Creating
+    a new instance invalidates the previous one.
+    """
+
+    _live = None
+
+    def __init__(self, nrows, ncols, indptr, indices, data):
+        lib = get_qr_lib()
+        self._lib = lib
+        self.ncols = int(ncols)
+        nnz = lib.ct_qr_factor(
+            int(nrows), int(ncols),
+            np.ascontiguousarray(indptr, np.int64),
+            np.ascontiguousarray(indices, np.int32),
+            np.ascontiguousarray(data, np.float64),
+        )
+        self.nnz_R = int(nnz)
+        SparseQR._live = self
+
+    def diag(self) -> np.ndarray:
+        """|diag(R)|; 0.0 marks a structurally empty (rank-deficient) row."""
+        assert SparseQR._live is self, "another SparseQR replaced this one"
+        d = np.zeros(self.ncols, np.float64)
+        self._lib.ct_qr_diag(d)
+        return d
+
+    def solve_normal_multi(self, B) -> np.ndarray:
+        """(A'A)^{-1} B = R^{-1} R^{-T} B for (ncols, k) B."""
+        assert SparseQR._live is self, "another SparseQR replaced this one"
+        B = np.ascontiguousarray(B, np.float64)
+        X = np.zeros_like(B)
+        ret = self._lib.ct_qr_solve_multi(B.shape[1], B, X)
+        if ret != 0:
+            raise np.linalg.LinAlgError("rank-deficient R in sparse QR")
+        return X
+
+    def free(self):
+        if SparseQR._live is self:
+            self._lib.ct_qr_free()
+            SparseQR._live = None
+
+
+def _compress_supervariables(n, indptr, indices):
+    """Group columns with identical closed adjacency (supervariables) and
+    build the quotient graph (native ct_compress). Hash-based: collisions
+    only merge extra nodes, which is SAFE (see SparseCholesky.__init__).
+    Returns (group_of (n,), qptr, qidx, gsize)."""
+    lib = get_lib()
+    nnz = indices.shape[0]
+    gof = np.zeros(n, np.int32)
+    qptr_full = np.zeros(n + 1, np.int64)
+    qidx_full = np.zeros(max(nnz, 1), np.int32)
+    nq = int(lib.ct_compress(n, indptr, indices, gof, qptr_full, qidx_full))
+    qptr = np.ascontiguousarray(qptr_full[: nq + 1])
+    qnnz = int(qptr[nq])
+    qidx = np.ascontiguousarray(qidx_full[:qnnz])
+    gsize = np.bincount(gof, minlength=nq).astype(np.int64)
+    return gof, qptr, qidx, gsize

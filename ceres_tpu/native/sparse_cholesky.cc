@@ -427,6 +427,107 @@ int64_t ct_chol_counts(int32_t n, const int64_t* Ap, const int32_t* Ai,
 // Symbolic: column counts of L (excluding? including diagonal) via ereach.
 // Lp must have n+1 slots. Returns nnz(L).
 // --------------------------------------------------------------------------
+// Supervariable compression: group columns with identical closed
+// adjacency (by 128-bit hash — collisions only merge extra nodes, which
+// is safe: the caller's symbolic analysis runs on the true scalar
+// pattern), and emit the quotient graph from one representative row per
+// group. Outputs: gof[n] (column -> group), qptr[nq+1], qidx (caller
+// allocates nnz worth). Returns nq; qptr[nq] is the quotient nnz.
+int32_t ct_compress(int32_t n, const int64_t* Ap, const int32_t* Ai,
+                    int32_t* gof, int64_t* qptr, int32_t* qidx) {
+  struct Key {
+    uint64_t h1, h2;
+    int64_t len;
+    int32_t col;
+  };
+  std::vector<Key> keys(n);
+  const uint64_t GOLD = 0x9E3779B97F4A7C15ull;
+  for (int32_t i = 0; i < n; ++i) {
+    uint64_t h1 = 0, h2 = 0;
+    for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) {
+      const uint64_t v = (static_cast<uint64_t>(Ai[p]) + 1) * GOLD;
+      h1 += v;
+      h2 += v * v;
+    }
+    const int64_t len = Ap[i + 1] - Ap[i];
+    if (len == 0) {  // isolated column: force a unique group
+      h1 = (1ull << 63) | static_cast<uint64_t>(i);
+      h2 = static_cast<uint64_t>(i);
+    }
+    keys[i] = {h1, h2, len, i};
+  }
+  std::sort(keys.begin(), keys.end(), [](const Key& a, const Key& b) {
+    if (a.h1 != b.h1) return a.h1 < b.h1;
+    if (a.h2 != b.h2) return a.h2 < b.h2;
+    if (a.len != b.len) return a.len < b.len;
+    return a.col < b.col;
+  });
+  int32_t nq = 0;
+  std::vector<int32_t> rep;
+  rep.reserve(n);
+  for (int32_t k = 0; k < n; ++k) {
+    if (k == 0 || keys[k].h1 != keys[k - 1].h1 ||
+        keys[k].h2 != keys[k - 1].h2 || keys[k].len != keys[k - 1].len) {
+      rep.push_back(keys[k].col);
+      ++nq;
+    }
+    gof[keys[k].col] = nq - 1;
+  }
+  // quotient edges from each group's representative row (identical
+  // adjacency within a group by construction)
+  int64_t q = 0;
+  std::vector<int32_t> row;
+  qptr[0] = 0;
+  for (int32_t g = 0; g < nq; ++g) {
+    const int32_t i = rep[g];
+    row.clear();
+    for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) row.push_back(gof[Ai[p]]);
+    std::sort(row.begin(), row.end());
+    row.erase(std::unique(row.begin(), row.end()), row.end());
+    for (int32_t gj : row) qidx[q++] = gj;
+    qptr[g + 1] = q;
+  }
+  return nq;
+}
+
+// Symmetric pattern permutation A'[iperm[i], iperm[j]] = A[i, j] with the
+// value map (value_perm[k] = position in the ORIGINAL data feeding
+// permuted position k) — replaces the host-side scipy P A P' product,
+// which dominated analysis time at SLAM scale. Output rows are sorted.
+int32_t ct_permute_pattern(int32_t n, const int64_t* Ap, const int32_t* Ai,
+                           const int32_t* iperm, int64_t* Bp, int32_t* Bi,
+                           int64_t* value_perm) {
+  const int64_t nnz = Ap[n];
+  std::vector<int64_t> cnt(n + 1, 0);
+  for (int32_t i = 0; i < n; ++i)
+    cnt[iperm[i] + 1] += Ap[i + 1] - Ap[i];
+  Bp[0] = 0;
+  for (int32_t i = 0; i < n; ++i) Bp[i + 1] = Bp[i] + cnt[i + 1];
+  std::vector<int64_t> pos(Bp, Bp + n);
+  for (int32_t i = 0; i < n; ++i) {
+    const int32_t ni = iperm[i];
+    for (int64_t p = Ap[i]; p < Ap[i + 1]; ++p) {
+      const int64_t q = pos[ni]++;
+      Bi[q] = iperm[Ai[p]];
+      value_perm[q] = p;
+    }
+  }
+  // sort each row by column (with its value position tag)
+  std::vector<std::pair<int32_t, int64_t>> buf;
+  for (int32_t i = 0; i < n; ++i) {
+    const int64_t a = Bp[i], b = Bp[i + 1];
+    buf.clear();
+    for (int64_t p = a; p < b; ++p) buf.emplace_back(Bi[p], value_perm[p]);
+    std::sort(buf.begin(), buf.end());
+    for (int64_t p = a; p < b; ++p) {
+      Bi[p] = buf[p - a].first;
+      value_perm[p] = buf[p - a].second;
+    }
+  }
+  (void)nnz;
+  return 0;
+}
+
 int64_t ct_chol_symbolic(int32_t n, const int64_t* Ap, const int32_t* Ai,
                          int64_t* Lp, int32_t* parent) {
   std::vector<int32_t> ancestor(n), w(n, -1), s(n);

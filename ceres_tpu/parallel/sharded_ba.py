@@ -1259,3 +1259,294 @@ def solve_ba_point_sharded(b, num_iterations=10, mesh=None, k=None,
         st = step(st.cams, st.pts, cam_idx, pt_local, obs, w, st.radius)
         done += k
     return st, plan
+
+
+# ---------------------------------------------------------------------------
+# Camera-dimension state sharding (SURVEY §5.7: shard BOTH e- and f-block
+# rows). The camera table AND the point table are persistently partitioned
+# over the mesh — the configuration where neither state axis fits one chip
+# (partitioned_matrix_view.h:66 + block_structure.h:86-91 nnz-balanced
+# partitioning, re-imagined as static shard layouts). Observations live
+# with their camera's owner shard, so every camera-side reduction is
+# DEVICE-LOCAL (no halo at all on the f side); the point side crosses
+# shards through ONE all-gather of the (small) point table per iteration
+# plus ONE psum per point-side reduction — the all-gather-halo /
+# reduce-scatter pairing of SURVEY §5.7, in its dense-collective form.
+# Transient CG point vectors are replicated (P*tp floats — bytes per
+# point, vs. the camera table's dominance in the large-C regime this
+# layout targets).
+# ---------------------------------------------------------------------------
+
+
+class CameraShardPlan(NamedTuple):
+    """Host-side layout for the fully-sharded (camera + point) LM step."""
+
+    cams: np.ndarray      # (n*Cl, 9) padded camera table, shard-major
+    pts: np.ndarray       # (n*Pl, 3) padded point table, shard-major
+    cam_local: np.ndarray  # (n*Bl,) int32 LOCAL camera id within the shard
+    pt_slot: np.ndarray   # (n*Bl,) int32 PADDED-TABLE point slot (global)
+    obs: np.ndarray       # (n*Bl, 2)
+    w: np.ndarray         # (n*Bl,) validity weights (0 on padding rows)
+    camera_slot: np.ndarray  # (C,) padded-slot index of each original camera
+    point_slot: np.ndarray   # (P,) padded-slot index of each original point
+    Cl: int               # cameras per shard (padded)
+    Pl: int               # points per shard (padded)
+    Bl: int               # observations per shard (padded)
+    n: int
+
+
+def plan_camera_sharding(camera_index, point_index, cameras, points,
+                         observations, n: int) -> CameraShardPlan:
+    """Partition cameras into n contiguous slices with ~equal observation
+    counts (observations follow their camera), and points into n equal
+    slices; pad both tables and the per-shard rows to static,
+    mesh-divisible shapes. Padding rows replicate a real observation with
+    weight 0."""
+    cam_idx = np.asarray(camera_index)
+    pt_idx = np.asarray(point_index)
+    cams = np.asarray(cameras)
+    pts = np.asarray(points)
+    obs = np.asarray(observations)
+    C, P, B = cams.shape[0], pts.shape[0], cam_idx.shape[0]
+
+    # point table: n equal contiguous slices, padded to Pl
+    Pl = -(-P // n)
+    pts_pad = np.zeros((n * Pl, pts.shape[1]), pts.dtype)
+    point_slot = np.zeros(P, np.int64)
+    for i in range(n):
+        p0, p1 = i * Pl, min((i + 1) * Pl, P)
+        np_i = p1 - p0
+        if np_i > 0:
+            pts_pad[i * Pl: i * Pl + np_i] = pts[p0:p1]
+            point_slot[p0:p1] = np.arange(i * Pl, i * Pl + np_i)
+        if np_i < Pl:  # finite dummies
+            pts_pad[i * Pl + np_i: (i + 1) * Pl] = pts[p0] if np_i else 1.0
+
+    # camera boundaries at ~equal observation quantiles
+    order = np.argsort(cam_idx, kind="stable")
+    cam_s, pt_s, obs_s = cam_idx[order], pt_idx[order], obs[order]
+    counts = np.bincount(cam_s, minlength=C)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    bounds = [0]
+    for i in range(1, n):
+        target = i * B / n
+        c = int(np.searchsorted(offsets, target, side="left"))
+        bounds.append(min(max(c, bounds[-1]), C))
+    bounds.append(C)
+    Cl = max(max(bounds[i + 1] - bounds[i] for i in range(n)), 1)
+    Bl = max(max(int(offsets[bounds[i + 1]] - offsets[bounds[i]])
+                 for i in range(n)), 1)
+
+    cams_pad = np.zeros((n * Cl, cams.shape[1]), cams.dtype)
+    caml_pad = np.zeros(n * Bl, np.int32)
+    pslot_pad = np.zeros(n * Bl, np.int32)
+    obs_pad = np.zeros((n * Bl, obs.shape[1]), obs.dtype)
+    w_pad = np.zeros(n * Bl, pts.dtype)
+    camera_slot = np.zeros(C, np.int64)
+    for i in range(n):
+        c0, c1 = bounds[i], bounds[i + 1]
+        r0, r1 = int(offsets[c0]), int(offsets[c1])
+        nc_i, nb_i = c1 - c0, r1 - r0
+        if nc_i > 0:
+            cams_pad[i * Cl: i * Cl + nc_i] = cams[c0:c1]
+            camera_slot[c0:c1] = np.arange(i * Cl, i * Cl + nc_i)
+        if nc_i < Cl:
+            cams_pad[i * Cl + nc_i: (i + 1) * Cl] = cams[c0] if nc_i else 1.0
+        sl = slice(i * Bl, i * Bl + nb_i)
+        caml_pad[sl] = (cam_s[r0:r1] - c0).astype(np.int32)
+        pslot_pad[sl] = point_slot[pt_s[r0:r1]].astype(np.int32)
+        obs_pad[sl] = obs_s[r0:r1]
+        w_pad[sl] = 1.0
+        if nb_i < Bl and nb_i:
+            caml_pad[i * Bl + nb_i: (i + 1) * Bl] = cam_s[r1 - 1] - c0
+            pslot_pad[i * Bl + nb_i: (i + 1) * Bl] = point_slot[pt_s[r1 - 1]]
+            obs_pad[i * Bl + nb_i: (i + 1) * Bl] = obs_s[r1 - 1]
+    return CameraShardPlan(cams_pad, pts_pad, caml_pad, pslot_pad, obs_pad,
+                           w_pad, camera_slot, point_slot, Cl, Pl, Bl, n)
+
+
+def lm_step_camera_sharded(cams_l, pts_l, cam_local, pt_slot, obs, radius,
+                           axis_name, w=None, cg_iters: int = 10):
+    """One LM iteration with the CAMERA table device-local and the POINT
+    table persistently sharded (gathered once per iteration). CG on the
+    scaled normal equations (lm_step's math), with:
+
+     - camera-side reductions shard-local (observations live with their
+       camera's owner — the zero-halo property of this layout);
+     - point-side reductions closed with one psum each (replicated
+       transients);
+     - scalar CG/accept decisions psummed over camera parts, computed
+       replicated on point parts.
+
+    Returns (new cams_l, new pts_l, radius, cost) — both state tables
+    still sharded."""
+    n_idx = jax.lax.axis_index(axis_name)
+    Pl = pts_l.shape[0]
+    pts = jax.lax.all_gather(pts_l, axis_name, axis=0, tiled=True)
+
+    def psum(x):
+        return jax.lax.psum(x, axis_name)
+
+    r, Jc, Jp = _evaluate(cams_l, pts, cam_local, pt_slot, obs, w)
+    cost = psum(0.5 * jnp.sum(r * r))
+    C_l = cams_l.shape[0]
+    P_pad = pts.shape[0]
+    reduce_c, reduce_p0 = _make_reducers(cam_local, pt_slot, C_l, P_pad, None)
+    reduce_p = lambda contrib: psum(reduce_p0(contrib))
+
+    B, rr, tc = Jc.shape
+    tp = Jp.shape[2]
+    R, S = _flat_selectors(rr, tc, tp, Jc.dtype)
+    J = jnp.concatenate(
+        [Jc.reshape(B, rr * tc), Jp.reshape(B, rr * tp)], axis=1)
+
+    def split(ct_pt):
+        return ct_pt[:, :tc], ct_pt[:, tc:]
+
+    jtr = _mmf(J * _mmf(r, S.T), R.T)
+    jsq = _mmf(J * J, R.T)
+    gcb, gpb = split(jtr)
+    d2cb, d2pb = split(jsq)
+    gc = reduce_c(gcb)          # local camera rows — no psum
+    gp = reduce_p(gpb)          # replicated point rows
+    d2c = reduce_c(d2cb)
+    d2p = reduce_p(d2pb)
+    sc = 1.0 / (1.0 + jnp.sqrt(d2c))
+    sp = 1.0 / (1.0 + jnp.sqrt(d2p))
+    Js = J * _mmf(jnp.concatenate([sc[cam_local], sp[pt_slot]], axis=1), R)
+    diag_c = jnp.clip(sc * sc * d2c, 1e-6, 1e32)
+    diag_p = jnp.clip(sp * sp * d2p, 1e-6, 1e32)
+    D2c = diag_c / radius
+    D2p = diag_p / radius
+    rhs_c = sc * gc
+    rhs_p = sp * gp
+    Minv_c = 1.0 / (diag_c + D2c)
+    Minv_p = 1.0 / (diag_p + D2p)
+
+    def matvec(vc, vp):
+        seg = jnp.concatenate([vc[cam_local], vp[pt_slot]], axis=1)
+        jv = _mmf(Js * _mmf(seg, R), S)
+        back = _mmf(Js * _mmf(jv, S.T), R.T)
+        cb, pb = split(back)
+        return reduce_c(cb) + D2c * vc, reduce_p(pb) + D2p * vp
+
+    def dots(ac, bc, ap, bp):
+        return psum(jnp.sum(ac * bc)) + jnp.sum(ap * bp)
+
+    def cg_body(_, state):
+        xc, xp, rc, rp, pc, pp, rz = state
+        qc, qp = matvec(pc, pp)
+        pq = dots(pc, qc, pp, qp)
+        alpha = rz / jnp.maximum(pq, 1e-300)
+        xc = xc + alpha * pc
+        xp = xp + alpha * pp
+        rc = rc - alpha * qc
+        rp = rp - alpha * qp
+        zc = Minv_c * rc
+        zp = Minv_p * rp
+        rz_new = dots(rc, zc, rp, zp)
+        beta = rz_new / jnp.maximum(rz, 1e-300)
+        pc = zc + beta * pc
+        pp = zp + beta * pp
+        return xc, xp, rc, rp, pc, pp, rz_new
+
+    zc0 = Minv_c * rhs_c
+    zp0 = Minv_p * rhs_p
+    rz0 = dots(rhs_c, zc0, rhs_p, zp0)
+    init = (jnp.zeros_like(cams_l), jnp.zeros_like(pts), rhs_c, rhs_p,
+            zc0, zp0, rz0)
+    yc, yp, *_ = jax.lax.fori_loop(0, cg_iters, cg_body, init)
+    step_c, step_p = -yc, -yp
+
+    segs_step = jnp.concatenate(
+        [step_c[cam_local], step_p[pt_slot]], axis=1)
+    jstep = _mmf(Js * _mmf(segs_step, R), S)
+    model_cost_change = psum(-jnp.sum(jstep * (r + jstep / 2.0)))
+
+    new_cams = cams_l + step_c * sc
+    new_pts = pts + step_p * sp
+    new_cost = psum(ba_cost(new_cams, new_pts, cam_local, pt_slot, obs, w))
+    rel_decrease = (cost - new_cost) / jnp.maximum(model_cost_change, 1e-300)
+    accept = (model_cost_change > 0) & (rel_decrease > 1e-3)
+
+    cams_out = jnp.where(accept, new_cams, cams_l)
+    pts_full_out = jnp.where(accept, new_pts, pts)
+    radius_out = jnp.where(
+        accept,
+        jnp.minimum(
+            radius / jnp.maximum(
+                1.0 / 3.0, 1.0 - (2.0 * rel_decrease - 1.0) ** 3),
+            1e16,
+        ),
+        radius / 2.0,
+    )
+    cost_out = jnp.where(accept, new_cost, cost)
+    # persist only this shard's point slice
+    start = (n_idx * Pl).astype(jnp.int32)
+    pts_l_out = jax.lax.dynamic_slice(
+        pts_full_out, (start, jnp.asarray(0, jnp.int32)),
+        (Pl, pts_full_out.shape[1]))
+    return cams_out, pts_l_out, radius_out, cost_out
+
+
+def make_camera_sharded_step(mesh: Mesh, k: int = 1, axis: str = "cam",
+                             cg_iters: int = 10):
+    """shard_map'd k-iteration fully-sharded LM step. Returns
+    step(cams_sh, pts_sh, cam_local_sh, pt_slot_sh, obs_sh, w_sh, radius)
+    -> BAState with BOTH cams and pts still partitioned over `axis`."""
+    from jax import shard_map
+
+    def body(cams_l, pts_l, cam_local, pt_slot, obs_l, w_l, radius):
+        def it(_, st):
+            c, p, rad, co = st
+            return lm_step_camera_sharded(
+                c, p, cam_local, pt_slot, obs_l, rad, axis,
+                w=w_l, cg_iters=cg_iters)
+        c, p, rad, co = jax.lax.fori_loop(
+            0, k, it, (cams_l, pts_l, radius, jnp.asarray(0.0, radius.dtype)))
+        return c, p, rad, co
+
+    sh = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis), P(axis),
+                  P(axis, None), P(axis), P()),
+        out_specs=(P(axis, None), P(axis, None), P(), P()),
+    )
+
+    def step(cams_sh, pts_sh, cam_local_sh, pt_slot_sh, obs_sh, w_sh,
+             radius):
+        c, p, r, co = sh(cams_sh, pts_sh, cam_local_sh, pt_slot_sh, obs_sh,
+                         w_sh, radius)
+        return BAState(c, p, r, co)
+
+    return jax.jit(step)
+
+
+def solve_ba_camera_sharded(b, num_iterations=10, mesh=None, k=None,
+                            radius0=1e4, axis: str = "cam",
+                            cg_iters: int = 10):
+    """End-to-end fully-sharded (camera + point tables partitioned) LM on
+    a BALProblem-like `b`. Returns (BAState in the PADDED shard layouts,
+    CameraShardPlan)."""
+    mesh = mesh or make_mesh(axis=axis)
+    n = mesh.devices.size
+    plan = plan_camera_sharding(b.camera_index, b.point_index, b.cameras,
+                                b.points, b.observations, n)
+    sh = NamedSharding(mesh, P(axis))
+    sh2 = NamedSharding(mesh, P(axis, None))
+    cams = jax.device_put(jnp.asarray(plan.cams), sh2)
+    pts = jax.device_put(jnp.asarray(plan.pts), sh2)
+    cam_local = jax.device_put(jnp.asarray(plan.cam_local), sh)
+    pt_slot = jax.device_put(jnp.asarray(plan.pt_slot), sh)
+    obs = jax.device_put(jnp.asarray(plan.obs), sh2)
+    w = jax.device_put(jnp.asarray(plan.w), sh)
+    k = k or num_iterations
+    step = make_camera_sharded_step(mesh, k=k, axis=axis,
+                                    cg_iters=cg_iters)
+    st = BAState(cams, pts, jnp.asarray(radius0, cams.dtype),
+                 jnp.asarray(0.0, cams.dtype))
+    done = 0
+    while done < num_iterations:
+        st = step(st.cams, st.pts, cam_local, pt_slot, obs, w, st.radius)
+        done += k
+    return st, plan

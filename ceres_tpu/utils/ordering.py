@@ -68,19 +68,34 @@ def _family_index(program, family) -> int:
 def e_set_from_user_ordering(program, ordering: Sequence[Sequence]) -> Optional[List[int]]:
     """Map a user ParameterBlockOrdering (list of groups of user arrays) to
     an e-family set: group 0's blocks are eliminated. Requires group 0 to
-    cover whole families (the batched granularity)."""
+    cover whole families (the batched granularity). Group entries may be
+    individual parameter arrays OR ParameterBlockArray handles (the
+    scale-path blocks from Problem.add_parameter_block_array — one handle
+    covers its whole family)."""
     if not ordering or len(ordering) < 2:
         return None
     group0 = ordering[0]
+    arr_to_fam = {
+        id(f.array): fi
+        for fi, f in enumerate(program.families)
+        if f.array is not None
+    }
     ids = set()
+    chosen_blocks = set()
     for values in group0:
+        fi = arr_to_fam.get(id(values))
+        if fi is not None:  # a whole batched family at once
+            ids.add(fi)
+            continue
         blk = program.problem.parameter_block_for(values)
         fam, _ = program._block_pos[id(blk)]
         ids.add(_family_index(program, fam))
+        chosen_blocks.add(id(blk))
     # check coverage: every variable block of each chosen family in group 0
-    chosen_blocks = {id(program.problem.parameter_block_for(v)) for v in group0}
     for fi in ids:
         fam = program.families[fi]
+        if fam.array is not None and id(fam.array) in arr_to_fam:
+            continue  # array families are covered by their handle
         for b in fam.blocks[: fam.num_var]:
             if id(b) not in chosen_blocks:
                 raise ValueError(

@@ -1,0 +1,154 @@
+"""Collective inventory audit for the sharded paths (VERDICT r2 #9).
+
+No multi-chip hardware is reachable here, so scaling efficiency cannot be
+measured — but the COMMUNICATION STRUCTURE can be verified at compile
+time: lower each sharded step on the 8-device CPU mesh, dump the
+optimized HLO, and count collectives. The test fails if GSPMD regresses
+into extra collectives (e.g. an accidental all-to-all from a bad
+sharding annotation, or a replicated large intermediate forcing extra
+all-gathers). This is the no-hardware substitute for BASELINE.md's
+>=70% scaling gate: collective COUNTS are what the ICI cost model
+multiplies by (guides: one psum per camera-side aggregate for the
+point-sharded step; one all-gather + per-reduction psums for the
+camera-sharded step; zero all-to-all anywhere).
+"""
+import re
+
+import numpy as np
+import pytest
+
+import ceres_tpu as ct
+from ceres_tpu.models import bal
+from ceres_tpu.parallel import sharded_ba
+
+COLLECTIVE_RE = re.compile(
+    r"\b(all-reduce|all-gather|all-to-all|collective-permute|"
+    r"reduce-scatter)\b")
+
+
+def collective_counts(hlo_text):
+    counts = {}
+    for line in hlo_text.splitlines():
+        line = line.strip()
+        if line.startswith("ROOT"):
+            line = line[4:].lstrip()
+        # count op INSTANCES (lines like "x = all-reduce(...)"), not uses
+        m = re.match(r"[%\w.\-]+\s*=\s*\S+\s+([a-z\-]+)", line)
+        if not m:
+            continue
+        op = m.group(1)
+        if COLLECTIVE_RE.fullmatch(op):
+            counts[op] = counts.get(op, 0) + 1
+    return counts
+
+
+def _bal_small():
+    b = bal.synthetic_bal(num_cameras=16, num_points=256, visibility=0.3,
+                          noise=0.3, seed=3)
+    return bal.perturb(b, 0.02, 0.1, 0.1)
+
+
+def test_point_sharded_step_collectives():
+    """Point-sharded exact-Schur k-step: every camera-side aggregate is
+    closed with ONE psum (all-reduce); no all-to-all, no all-gather of
+    B-sized or P-sized arrays (point state never leaves the shard)."""
+    import jax
+    import jax.numpy as jnp
+
+    b = _bal_small()
+    mesh = sharded_ba.make_mesh(8, axis="pt")
+    n = 8
+    plan = sharded_ba.plan_point_sharding(
+        b.camera_index, b.point_index, b.points, b.observations, n)
+    step = sharded_ba.make_point_sharded_step(mesh, k=2, axis="pt")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("pt"))
+    sh2 = NamedSharding(mesh, P("pt", None))
+    repl = NamedSharding(mesh, P())
+    args = (
+        jax.device_put(jnp.asarray(b.cameras), repl),
+        jax.device_put(jnp.asarray(plan.pts), sh2),
+        jax.device_put(jnp.asarray(plan.cam_idx), sh),
+        jax.device_put(jnp.asarray(plan.pt_local), sh),
+        jax.device_put(jnp.asarray(plan.obs), sh2),
+        jax.device_put(jnp.asarray(plan.w), sh),
+        jnp.asarray(1e4, jnp.float64),
+    )
+    hlo = step.lower(*args).compile().as_text()
+    counts = collective_counts(hlo)
+    assert counts.get("all-to-all", 0) == 0, counts
+    # camera aggregates per iteration: gc/d2c (fused), F'F, A'A, A'u,
+    # cost, new_cost, and the two model-cost scalars — scalars may fuse.
+    # Bound: <= 10 all-reduces per iteration; and at least one (it must
+    # communicate SOMETHING).
+    ar = counts.get("all-reduce", 0)
+    assert 1 <= ar <= 10 * 2, f"all-reduce count {ar} out of range: {counts}"
+    # the point table must NOT be all-gathered in the point-sharded step
+    for line in hlo.splitlines():
+        if "all-gather" in line and "f64[" in line:
+            sizes = re.findall(r"f64\[(\d+)", line)
+            for s in sizes:
+                assert int(s) < plan.Pl * n, (
+                    f"P-sized all-gather in point-sharded step: {line[:120]}")
+
+
+def test_camera_sharded_step_collectives():
+    """Fully-sharded (camera+point) CG step: exactly one all-gather of the
+    point table per iteration; psums for point-side reductions and CG
+    scalars; no all-to-all."""
+    import jax
+    import jax.numpy as jnp
+
+    b = _bal_small()
+    n = 8
+    mesh = sharded_ba.make_mesh(n, axis="cam")
+    plan = sharded_ba.plan_camera_sharding(
+        b.camera_index, b.point_index, b.cameras, b.points,
+        b.observations, n)
+    cg_iters = 4
+    step = sharded_ba.make_camera_sharded_step(mesh, k=1, axis="cam",
+                                               cg_iters=cg_iters)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("cam"))
+    sh2 = NamedSharding(mesh, P("cam", None))
+    args = (
+        jax.device_put(jnp.asarray(plan.cams), sh2),
+        jax.device_put(jnp.asarray(plan.pts), sh2),
+        jax.device_put(jnp.asarray(plan.cam_local), sh),
+        jax.device_put(jnp.asarray(plan.pt_slot), sh),
+        jax.device_put(jnp.asarray(plan.obs), sh2),
+        jax.device_put(jnp.asarray(plan.w), sh),
+        jnp.asarray(1e4, jnp.float64),
+    )
+    hlo = step.lower(*args).compile().as_text()
+    counts = collective_counts(hlo)
+    assert counts.get("all-to-all", 0) == 0, counts
+    # ONE all-gather for the point table (XLA may split it, allow <= 2)
+    ag = counts.get("all-gather", 0)
+    assert 1 <= ag <= 2, f"all-gather count {ag}: {counts}"
+    # psums: point reductions (gp/d2p fused or not), per-CG-iteration
+    # matvec point reduce + 2 scalar dots, cost/new_cost/mcc scalars.
+    ar = counts.get("all-reduce", 0)
+    assert 1 <= ar <= 8 + 4 * cg_iters, (
+        f"all-reduce count {ar} out of range: {counts}")
+
+
+def test_generic_sharded_evaluator_collectives():
+    """Generic obs-sharded evaluation (parallel/mesh.py): gradient psum
+    only — no all-to-all, no all-gather of the observation arrays."""
+    import jax
+
+    from ceres_tpu.parallel.mesh import ShardedProgramEvaluator, make_mesh
+    from ceres_tpu.program import CompiledProgram
+
+    b = _bal_small()
+    problem, _, _ = bal.build_problem_batched(b)
+    prog = CompiledProgram(problem)
+    ev = ShardedProgramEvaluator(prog, make_mesh(8))
+    x = prog.initial_state()
+    hlo = ev._grad.lower(x, ev.args).compile().as_text()
+    counts = collective_counts(hlo)
+    assert counts.get("all-to-all", 0) == 0, counts
+    assert counts.get("all-reduce", 0) >= 1, counts
