@@ -19,10 +19,12 @@ auxiliary fields. Workloads mirror BASELINE.md configs 3/4:
    hbm_fraction roofline figure against a measured copy bandwidth;
  - final_cost is asserted against GOLDEN_COST_16 (f64 host-loop
    DENSE_SCHUR on the identical committed instance) — reports cost_ok;
- - generic_converged_cost: the SAME generic pipeline run to convergence
-   with default tolerances, asserted against the same golden
-   (generic_cost_ok) — the capped below-plateau `generic_final_cost`
-   is a throughput protocol, not a correctness claim.
+ - generic_converged_cost: the generic fused pipeline run to
+   convergence at f64 with default tolerances, asserted against the same
+   golden (generic_cost_ok) — the capped below-plateau
+   `generic_final_cost` is an f32 throughput protocol, not a correctness
+   claim (f32 EVALUATION carries a ~4e-3 gradient noise floor near the
+   optimum; the reference evaluates in f64, as does this gate).
 
 Variance discipline (round-3): every timing is the MEDIAN of REPEATS
 measurements taken within one process; per-metric relative spread
@@ -186,7 +188,8 @@ def _build_fused(b, iters, solver, precond, protocol=True, **opt_overrides):
         )
     opts.update(opt_overrides)
     opts = ct.Options(**opts)
-    prog = CompiledProgram(problem, compute_dtype="float32")
+    prog = CompiledProgram(problem,
+                           compute_dtype=opts.evaluation_dtype)
     tier = ("schur_iterative" if solver == "ITERATIVE_SCHUR"
             else "schur_dense")
     fused = build_fused_minimizer(prog, opts, tier,
@@ -216,10 +219,14 @@ def bench_generic(b):
     amortized = 20.0 / t20
     marginal, msp = _paired_diff(6.0, f6, f12)
 
-    # converged-correctness run: the golden gate's own config
-    # (tests/test_bal_golden.py DENSE_SCHUR-JACOBI-ALWAYS row) — default
-    # tolerances, 25 iterations.
+    # converged-correctness run: the fused pipeline at f64, default
+    # tolerances — the pipeline-correctness gate. (The f32 protocol runs
+    # above are throughput measurements: near the optimum the f32
+    # RESIDUAL/JACOBIAN evaluation itself carries ~4e-3 gradient noise
+    # [measured r3], an accuracy floor of the dtype, not of the pipeline;
+    # the reference always evaluates in f64 and so does this gate.)
     fc, cc = _build_fused(b, 25, "DENSE_SCHUR", "JACOBI", protocol=False,
+                          evaluation_dtype="float64",
                           max_linear_solver_iterations=100)
     converged_cost = cc()
     return amortized, marginal, cost, converged_cost, max(s20, msp)

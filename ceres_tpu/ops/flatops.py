@@ -536,13 +536,17 @@ class _FlatOpsBase:
             )
         return out
 
-    def fused_post_eval(self, plans, fams, size, vflat, u):
+    def fused_post_eval(self, plans, fams, size, vflat, u,
+                        with_blocks=True):
         """ONE segment reduction per (kind, slot) computing, on
         concatenated lanes, everything the minimizer needs per evaluation:
         gradient J'u, squared column norms diag(J'J), and the per-block
         J'J diagonal blocks. Returns (g, sqn, blocks_flat_list) in this
         partition's layout — the lane-concatenation trick of
-        parallel/sharded_ba.py generalized."""
+        parallel/sharded_ba.py generalized. with_blocks=False drops the
+        (t*t)-lane J'J outer from the reduce (callers whose solver emits
+        its own blocks — e.g. the one-kernel dense-Schur assembly — save
+        the widest part of the pass; blocks come back zero-shaped)."""
         tables = [None] * len(fams)
         dtype = None
         for k, kind in enumerate(self.kinds):
@@ -556,16 +560,17 @@ class _FlatOpsBase:
                 dtype = J.dtype
                 rep = _mm(rows, self.sel.get("rep_r", kind.r, t, J.dtype))
                 sum_t = self.sel.get("sum_t", kind.r, t, J.dtype)
-                contrib = jnp.concatenate(
-                    [
-                        _mm(J * rep, sum_t),  # J'u rows       (t)
-                        _mm(J * J, sum_t),  # diag(J'J) rows   (t)
-                        outer_flat(J, J, outer_selectors(kind.r, t, t, J.dtype)),
-                    ],
-                    axis=1,
-                )  # (B, 2t + t*t)
+                parts = [
+                    _mm(J * rep, sum_t),  # J'u rows       (t)
+                    _mm(J * J, sum_t),  # diag(J'J) rows   (t)
+                ]
+                if with_blocks:
+                    parts.append(outer_flat(
+                        J, J, outer_selectors(kind.r, t, t, J.dtype)))
+                contrib = jnp.concatenate(parts, axis=1)
+                width = 2 * t + (t * t if with_blocks else 0)
                 if tables[pe.fi] is None:
-                    tables[pe.fi] = jnp.zeros((pe.nv + 1, 2 * t + t * t), J.dtype)
+                    tables[pe.fi] = jnp.zeros((pe.nv + 1, width), J.dtype)
                 tables[pe.fi] = self._reduce_rows(
                     tables[pe.fi], pe.local, contrib, pe.srt, pe.pplan,
                     pe.wplan
@@ -585,7 +590,8 @@ class _FlatOpsBase:
             sqn = jax.lax.dynamic_update_slice(
                 sqn, tab[:nv, t: 2 * t].reshape(-1), (off,)
             )
-            blocks.append(tab[:nv, 2 * t:])
+            blocks.append(tab[:nv, 2 * t:] if with_blocks
+                          else jnp.zeros((nv, t * t), dtype))
         return g, sqn, blocks
 
     def block_jtj(self, plans, fams, vflat):
@@ -772,9 +778,10 @@ class FlatSchurOps(_FlatOpsBase):
         return self.fused_post_eval(self.plans_e, self.pm.e_fams,
                                     self.pm.e_size, vflat, u)
 
-    def fused_post_eval_f(self, vflat, u):
+    def fused_post_eval_f(self, vflat, u, with_blocks=True):
         return self.fused_post_eval(self.plans_f, self.pm.f_fams,
-                                    self.pm.f_size, vflat, u)
+                                    self.pm.f_size, vflat, u,
+                                    with_blocks=with_blocks)
 
     def sq_col_norm_e(self, vflat):
         return self.sq_col_norm(self.plans_e, self.pm.e_fams, self.pm.e_size, vflat)
@@ -840,10 +847,31 @@ class FlatSchurOps(_FlatOpsBase):
             return cam, (u.reshape(-1) if emit_u else None)
 
         if windows is not None:
-            # large C: the assembly kernel's (C_pad, tf*gf) VMEM
-            # accumulators don't fit; callers use the XLA flat chain
-            # (once per LM iteration, outside the CG loop)
-            return matvec, None
+            # large C: global one-hot masks don't fit VMEM — assemble
+            # block-diag(S) through the camera-windowed kernel
+            # (pallas_kernels.sj_assembly_windowed); the single
+            # (C_pad, tf*gf) accumulator is ~8 MB at C=13.7k.
+            if windows[3] * tf * gf * 4 > 10 * 1024 * 1024:
+                return matvec, None  # output exceeds the VMEM budget
+
+            def jacobi_blocks_w(minv_flat, d2f):
+                P, C = pe.nv, pf.nv
+                BT = pk.BLOCKS_PER_TILE
+                dt = JT.dtype
+                pw = jnp.zeros((P + 1 + BT, 128), dt)
+                pw = jax.lax.dynamic_update_slice(
+                    pw, jnp.ones((P, te), dt), (0, 0))
+                pw = jax.lax.dynamic_update_slice(pw, minv_flat, (0, 8))
+                flat = pk.sj_assembly_windowed(
+                    JT, ids_T, pw, pe.rplan[0], pe.rplan[1], windows,
+                    P, C, r, tf, te, max_rows=max_rows, interpret=interp)
+                blocks = flat[:C].reshape(C, tf, gf)[:, :, :tf]
+                d_rows = d2f.reshape(C, tf)
+                M = blocks.reshape(C, tf * tf) + _mm(
+                    d_rows, diag_embed_selector(tf, dt))
+                return [spd_inverse_flat(M, tf)]
+
+            return matvec, jacobi_blocks_w
 
         def jacobi_blocks(minv_flat, d2f):
             P, C = pe.nv, pf.nv

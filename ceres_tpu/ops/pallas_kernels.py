@@ -1646,3 +1646,193 @@ def windowed_segment_sum(contrib, ids, num_blocks: int, windows,
             interpret=interpret,
         )(ws, ids_T, contrib_T)
     return out
+
+
+def sj_assembly_windowed(JT, ids_T, pw_hbm, tile_starts, tile_block0,
+                         windows, num_points, C, r, tf, te,
+                         max_rows=512, unroll=2, interpret=False):
+    """Camera-WINDOWED block-diag(S) assembly for large C
+    (schur_jacobi_preconditioner.h:78 at the Venice scale): per point
+    tile, compute per-row scaled F'F and W' M^{-1} W lanes in VMEM and
+    reduce them into the (C_pad, tf*gf) output through the tile's camera
+    window one-hot (plan_camera_windows) — the global (C_pad, rows)
+    one-hot of schur_assembly's mode="schur_jacobi" would cost 14 MB of
+    VMEM mask at C=13.7k; the per-LM-iteration XLA fallback it replaces
+    built (B, tf*tf) corrections in HBM (~1.4 GB at 4.4M observations).
+
+    JT: (r*gf + r*ge, n_pad) SCALED grouped rows; ids_T (8, n_pad): row 0
+    point ids (sorted), row 1 camera ids; pw_hbm (>= P+1+BT, 128):
+    [0:8) = sp point scales (ones when JT carries the scales),
+    [8:24) = M^{-1} lanes (te*te <= 16). Returns (C_pad, tf*gf) f32 of
+    sum_rows [Jsf'Jsf - W'MinvW]; caller slices [:C] and reshapes
+    (C, tf, gf)[:, :, :tf]."""
+    lanes_pad, n_pad = JT.shape
+    BT = BLOCKS_PER_TILE
+    num_tiles = tile_block0.shape[0] - 1
+    grid = -(-num_tiles // unroll)
+    num_tiles_pad = grid * unroll
+    gf = max(8, -(-tf // 8) * 8)
+    ge = max(8, -(-te // 8) * 8)
+    assert lanes_pad == r * gf + r * ge
+    win_starts, win_width, n_win, _c_hi = windows
+    assert win_width % _LANE == 0 and win_width > 0
+    C_pad = _cam_pad(C, windows)
+    win_starts = jnp.asarray(win_starts, jnp.int32)
+    if num_tiles_pad > num_tiles:
+        pad = num_tiles_pad - num_tiles
+        tile_starts = jnp.concatenate([
+            jnp.asarray(tile_starts, jnp.int32),
+            jnp.broadcast_to(jnp.asarray(tile_starts)[-1:], (pad,))])
+        tile_block0 = jnp.concatenate([
+            jnp.asarray(tile_block0, jnp.int32),
+            jnp.broadcast_to(jnp.asarray(tile_block0)[-1:], (pad,))])
+        win_starts = jnp.concatenate(
+            [win_starts, jnp.broadcast_to(win_starts[-1:], (pad,))])
+    dt = JT.dtype
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    nb_out = num_points + 1 + BT
+    assert pw_hbm.shape[0] >= nb_out
+
+    def split3(x):
+        hi = x.astype(bf16)
+        rem = x - hi.astype(f32)
+        mid = rem.astype(bf16)
+        lo = (rem - mid.astype(f32)).astype(bf16)
+        return hi, mid, lo
+
+    def kernel(win_ref, starts_ref, block0_ref, ids_hbm, jt_hbm, pw_hbm_ref,
+               out_ref):
+        g = pl.program_id(0)
+
+        def body(ids_vmem, jt_vmem, pw_vmem, sem_i, sem_j, sem_p):
+            copies = []
+            for j in range(unroll):
+                row0 = pl.multiple_of(starts_ref[g * unroll + j], _LANE)
+                b0 = pl.multiple_of(block0_ref[g * unroll + j], 8)
+                cps = [
+                    pltpu.make_async_copy(
+                        ids_hbm.at[:, pl.ds(row0, max_rows)],
+                        ids_vmem.at[j], sem_i.at[j]),
+                    pltpu.make_async_copy(
+                        jt_hbm.at[:, pl.ds(row0, max_rows)],
+                        jt_vmem.at[j], sem_j.at[j]),
+                    pltpu.make_async_copy(
+                        pw_hbm_ref.at[pl.ds(b0, BT), :],
+                        pw_vmem.at[j], sem_p.at[j]),
+                ]
+                for c in cps:
+                    c.start()
+                copies.append(cps)
+
+            d_mm = (((1,), (0,)), ((), ()))
+            d_ll = (((1,), (1,)), ((), ()))
+
+            def dot3(data, oh_b, d):
+                out = None
+                for part in split3(data):
+                    t = jax.lax.dot_general(
+                        part, oh_b, dimension_numbers=d,
+                        preferred_element_type=f32)
+                    out = t if out is None else out + t
+                return out
+
+            def dot3l(oh_b, data, d):
+                out = None
+                for part in split3(data):
+                    t = jax.lax.dot_general(
+                        oh_b, part, dimension_numbers=d,
+                        preferred_element_type=f32)
+                    out = t if out is None else out + t
+                return out
+
+            @pl.when(g == 0)
+            def _zero():
+                out_ref[:, :] = jnp.zeros((C_pad, tf * gf), out_ref.dtype)
+
+            csub = jax.lax.broadcasted_iota(
+                jnp.int32, (win_width, max_rows), 0)
+            sub = jax.lax.broadcasted_iota(jnp.int32, (BT, max_rows), 0)
+            one = jnp.ones((), f32)
+            zero = jnp.zeros((), f32)
+
+            for j in range(unroll):
+                for c in copies[j]:
+                    c.wait()
+                b0 = block0_ref[g * unroll + j]
+                b1 = block0_ref[g * unroll + j + 1]
+                jt = jt_vmem[j]
+                pid1 = ids_vmem[j][0:1, :]
+                pid = jnp.broadcast_to(pid1, (BT, max_rows))
+                cid1 = ids_vmem[j][1:2, :]
+                ohp_b = jnp.where(
+                    (pid - b0 == sub) & (pid < b1) & (pid < num_points),
+                    one, zero).astype(bf16)
+                in_tile = jnp.where((pid1 >= b0) & (pid1 < b1), one, zero)
+                Jf_g = [jt[i * gf:(i + 1) * gf, :] for i in range(r)]
+                off_e = r * gf
+                Je_g = [jt[off_e + i * ge: off_e + (i + 1) * ge, :]
+                        for i in range(r)]
+                pw = pw_vmem[j]
+                sp_rows = dot3(jnp.transpose(pw[:, 0:8]), ohp_b, d_mm)
+                Minv_rows = dot3(jnp.transpose(pw[:, 8:24]), ohp_b, d_mm)
+                Jsf = Jf_g
+                Jsp = [Je_g[i] * sp_rows for i in range(r)]
+                # W_k (gf, rows) = sum_r Jsp[r][k] * Jsf[r]
+                W = [sum(jnp.broadcast_to(Jsp[i][k:k + 1, :],
+                                          (gf, max_rows)) * Jsf[i]
+                         for i in range(r)) for k in range(te)]
+                # Y_i (gf, rows) = sum_k Minv[i*te+k] * W_k
+                Y = [sum(jnp.broadcast_to(
+                        Minv_rows[i * te + k:i * te + k + 1, :],
+                        (gf, max_rows)) * W[k]
+                         for k in range(te)) for i in range(te)]
+                # contrib (tf*gf, rows) = FtF rows - W'MinvW rows
+                contrib = jnp.concatenate([
+                    sum(jnp.broadcast_to(Jsf[i][k:k + 1, :],
+                                         (gf, max_rows)) * Jsf[i]
+                        for i in range(r))
+                    - sum(jnp.broadcast_to(W[kk][k:k + 1, :],
+                                           (gf, max_rows)) * Y[kk]
+                          for kk in range(te))
+                    for k in range(tf)], axis=0)
+                contrib = contrib * jnp.broadcast_to(
+                    in_tile, (tf * gf, max_rows))
+                w0 = pl.multiple_of(win_ref[g * unroll + j], _LANE)
+                for kk in range(n_win):
+                    c0 = pl.multiple_of(w0 + kk * win_width, _LANE)
+                    cw = jnp.broadcast_to(cid1 - c0, (win_width, max_rows))
+                    ohw = jnp.where(cw == csub, one, zero).astype(bf16)
+                    cur = out_ref[pl.ds(c0, win_width), :]
+                    out_ref[pl.ds(c0, win_width), :] = cur + dot3l(
+                        ohw, contrib, d_ll)
+
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((unroll, 8, max_rows), jnp.int32),
+            pltpu.VMEM((unroll, lanes_pad, max_rows), dt),
+            pltpu.VMEM((unroll, BT, _LANE), dt),
+            pltpu.SemaphoreType.DMA((unroll,)),
+            pltpu.SemaphoreType.DMA((unroll,)),
+            pltpu.SemaphoreType.DMA((unroll,)),
+        )
+
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+            ],
+            out_specs=pl.BlockSpec((C_pad, tf * gf), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((C_pad, tf * gf), dt),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(win_starts, tile_starts, tile_block0, ids_T, JT, pw_hbm)
+    return out

@@ -493,9 +493,23 @@ class DenseSchurStepOps:
             raise ValueError("flat layout unsupported for this program")
         self.mixed = options.use_mixed_precision_solves
         self.refine = max(1, options.max_num_refinement_iterations)
+        # Static one-kernel qualification (structure + compute dtype are
+        # both known at build): when the kernel path WILL be taken, the
+        # f-side post_eval skips the (tf*tf)-lane F'F outer — the kernel
+        # emits its own FtF (the widest part of the f reduce pass).
+        self._kq = self._kernel_qual_static()
+        self._skip_ftf = self._kq is not None and not self.mixed
 
     evaluate = IterativeSchurStepOps.evaluate
-    post_eval = IterativeSchurStepOps.post_eval
+
+    def post_eval(self, vrep, r, args=None):
+        fl, pm, pt = self.flat, self.pm, self.pt
+        g_e, sqn_e, ete = fl.fused_post_eval_e(vrep, r)
+        g_f, sqn_f, ftf = fl.fused_post_eval_f(
+            vrep, r, with_blocks=not self._skip_ftf)
+        g = pt.combine(pm, g_e, g_f)
+        sqn = pt.combine(pm, sqn_e, sqn_f)
+        return g, sqn, (tuple(ete), tuple(ftf))
 
     def _scaled_K(self, ete, se, d2e):
         """Per-e-family K = L^{-1} lanes of scaled E'E + D_e^2."""
@@ -683,11 +697,17 @@ class DenseSchurStepOps:
         L = jnp.linalg.cholesky(S)
         if S.dtype == jnp.float32:
             # two MXU matvecs against the blocked explicit L^{-1} instead
-            # of two sequential triangular solves (~0.12 ms at n=144)
+            # of two sequential triangular solves (~0.12 ms at n=144),
+            # plus one refinement pass (see _compute_step_kernel)
             from .linear.dense import tri_inverse_lower
 
             Linv = tri_inverse_lower(L)
-            chol_apply = lambda b: Linv.T @ (Linv @ b)
+
+            def chol_apply(b):
+                z = Linv.T @ (Linv @ b)
+                resid = b - jnp.matmul(
+                    S, z, precision=jax.lax.Precision.HIGHEST)
+                return z + Linv.T @ (Linv @ resid)
         else:
             chol_apply = lambda b: jax.scipy.linalg.cho_solve((L, True), b)
 
@@ -705,26 +725,33 @@ class DenseSchurStepOps:
 
         return solve
 
-    def _kernel_qual(self, vrep):
+    def _kernel_qual_static(self):
         """One-kernel dense-Schur assembly qualification
         (ops/pallas_kernels.schur_assembly): the isc-kernel structure
         rules, no camera windows, te*te within the pw lane slots, and a
-        reduced system small enough for the in-VMEM Gram."""
+        reduced system small enough for the in-VMEM Gram. Purely static
+        (plan structure + program compute dtype)."""
         fl, pm = self.flat, self.pm
-        if not vrep or not vrep[0] or vrep[0][0] is None:
+        if jnp.dtype(self.program.compute_dtype) != jnp.float32:
             return None
         qual = fl._kernel_slots(fl.plans_e, fl.plans_f, pm.e_fams,
                                 pm.f_fams)
         if qual is None or qual[2] is not None:
             return None
         pe, pf, _ = qual
-        if vrep[0][pe.s].dtype != jnp.float32:
-            return None
         if pe.t > 8 or pe.t * pe.t > 16 or pf.t > 16:
             return None
         if pf.nv * pf.t > 1024:  # (t_full, t_full) Gram must fit VMEM
             return None
         return pe, pf
+
+    def _kernel_qual(self, vrep):
+        if not vrep or not vrep[0] or vrep[0][0] is None:
+            return None
+        if (self._kq is not None
+                and vrep[0][self._kq[0].s].dtype != jnp.float32):
+            return None
+        return self._kq
 
     def _compute_step_kernel(self, q, vrep, aux, g, scale_c, D2_c):
         """Exact dense-Schur step through the ONE-kernel assembly
@@ -783,6 +810,11 @@ class DenseSchurStepOps:
 
         Linv = tri_inverse_lower(L)
         z = Linv.T @ (Linv @ rhs)
+        # one refinement pass on the reduced solve: the f32 explicit
+        # L^{-1} apply leaves ~1e-4 relative error that stalls the last
+        # LM digits on TPU (two extra (t_full, t_full) matvecs — free)
+        resid = rhs - jnp.matmul(S, z, precision=jax.lax.Precision.HIGHEST)
+        z = z + Linv.T @ (Linv @ resid)
         # implicit back substitution: y_e = K'(u - K E_s'F_s z)
         fz = fl.right_f(vrep, sf * z)
         Az = self._kmatvec(K_e, se * fl.left_e(vrep, fz))
@@ -846,6 +878,7 @@ class ExplicitSchurStepOps(DenseSchurStepOps):
 
     def __init__(self, program, options: Options, e_families):
         super().__init__(program, options, e_families)
+        self._skip_ftf = False  # _assemble consumes the carried F'F blocks
         self.eta = options.eta
         self.max_li = options.max_linear_solver_iterations
         self.min_li = options.min_linear_solver_iterations
@@ -1492,26 +1525,25 @@ class FusedTrustRegionMinimizer:
             cost_final, out.it.astype(jnp.float64),
             out.term.astype(jnp.float64),
         ])
-        # ONE f64 output leaf: every extra jit output costs a runtime
-        # round trip on tunneled backends (~1.4 ms per leaf, plus ~25 ms
-        # per separate host fetch measured on axon).
-        return jnp.concatenate(
-            [x_final.astype(jnp.float64), scalars, hist_mat.reshape(-1)]
-        )
+        # TWO output leaves: the solution state stays ON DEVICE (callers
+        # fetch it lazily — write_state / follow-up solves), while the
+        # small scalars+history pack is the only per-minimize host fetch.
+        # Fetching x eagerly cost ~500 KB through the tunnel every call —
+        # the dominant fixed cost of a fused minimize at BA scale.
+        return x_final, jnp.concatenate([scalars, hist_mat.reshape(-1)])
 
     # -- host wrapper ---------------------------------------------------------
 
     def minimize(self, x0, summary: Summary):
         opts = self.options
         t0 = time.monotonic()
-        packed = np.asarray(self._fn(x0, self._args))  # one fetch
+        x, small = self._fn(x0, self._args)
+        packed = np.asarray(small)  # one SMALL fetch; x stays on device
         elapsed = time.monotonic() - t0
 
-        n = int(x0.shape[0])
         H = int(self.options.max_num_iterations) + 1
-        x = packed[:n].astype(x0.dtype)
-        scalars = packed[n:n + 3]
-        hm = packed[n + 3:].reshape(10, H)
+        scalars = packed[:3]
+        hm = packed[3:].reshape(10, H)
         n_it = int(scalars[1])
         term = int(scalars[2])
         hist = _History(

@@ -456,3 +456,51 @@ def test_windowed_segment_sum_interpret(local):
     np.add.at(ref, ids[ok], x[ok])
     np.testing.assert_allclose(np.asarray(out)[:C, :w], ref, rtol=2e-4,
                                atol=2e-4)
+
+
+@pytest.mark.parametrize("P,C,B,r,tf,te", [
+    (300, 260, 2000, 2, 9, 3),    # windowed camera count, BA shapes
+    (80, 300, 900, 2, 4, 2),      # non-BA block shapes
+])
+def test_sj_assembly_windowed_interpret(P, C, B, r, tf, te):
+    """Camera-windowed block-diag(S) assembly vs a numpy reference:
+    sum over rows of Jsf'Jsf - W' Minv W per camera."""
+    rng = np.random.default_rng(P + 3 * C)
+    pt = np.sort(rng.integers(0, P, B)).astype(np.int32)
+    # camera ids with locality (windows stay narrow like real BA data)
+    cam = np.clip((pt.astype(np.int64) * C) // P
+                  + rng.integers(-20, 20, B), 0, C - 1).astype(np.int32)
+    pt[-3:] = P      # sentinel: constant point block
+    cam[5] = C       # sentinel: constant camera block
+    Jf = rng.standard_normal((B, r, tf)).astype(np.float32)
+    Je = rng.standard_normal((B, r, te)).astype(np.float32)
+    Je[pt == P] = 0.0
+    Jf[cam >= C] = 0.0
+    minv = rng.standard_normal((P, te * te)).astype(np.float32)
+    ts, tb, max_rows = pk.plan_row_tiles(pt, P + 1, target_rows=256)
+    windows = pk.plan_camera_windows(pt, cam, np.asarray(tb), P, C,
+                                     width_cap=256)
+    JT, ids_T = pk.prep_matvec_rows(
+        jnp.asarray(Jf.reshape(B, -1)), jnp.asarray(Je.reshape(B, -1)),
+        jnp.asarray(pt), jnp.asarray(cam), max_rows, r, tf, te)
+    BT = pk.BLOCKS_PER_TILE
+    gf = max(8, -(-tf // 8) * 8)
+    pw = jnp.zeros((P + 1 + BT, 128), jnp.float32)
+    pw = pw.at[:P, :te].set(1.0)
+    pw = pw.at[:P, 8:8 + te * te].set(jnp.asarray(minv))
+    out = pk.sj_assembly_windowed(
+        JT, ids_T, pw, jnp.asarray(ts), jnp.asarray(tb), windows,
+        P, C, r, tf, te, max_rows=max_rows, interpret=True)
+    got = np.asarray(out)[:C].reshape(C, tf, gf)[:, :, :tf]
+
+    ref = np.zeros((C, tf, tf))
+    for b in range(B):
+        if cam[b] >= C:
+            continue
+        ftf = sum(np.outer(Jf[b, i], Jf[b, i]) for i in range(r))
+        if pt[b] < P:
+            W = sum(np.outer(Je[b, i], Jf[b, i]) for i in range(r))
+            M = minv[pt[b]].reshape(te, te)
+            ftf = ftf - W.T @ M @ W
+        ref[cam[b]] += ftf
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=5e-4)
