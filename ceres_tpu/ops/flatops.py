@@ -846,13 +846,23 @@ class FlatSchurOps(_FlatOpsBase):
                 interpret=interp, emit_u=emit_u, windows=windows)
             return cam, (u.reshape(-1) if emit_u else None)
 
+        def normal(xc, xp_rows):
+            """(F_s'(J_s x), E_s'(J_s x)) for x = [xc; xp] in scaled
+            coords — one J pass (pallas_kernels.normal_matvec) replacing
+            the right_e/right_f + left_e/left_f XLA chains in rhs/mcc."""
+            cam, ptv = pk.normal_matvec(
+                JT, ids_T, xc, xp_rows, pe.rplan[0], pe.rplan[1],
+                pe.nv, pf.nv, r, tf, te, max_rows=max_rows,
+                interpret=interp, windows=windows)
+            return cam, ptv
+
         if windows is not None:
             # large C: global one-hot masks don't fit VMEM — assemble
             # block-diag(S) through the camera-windowed kernel
             # (pallas_kernels.sj_assembly_windowed); the single
             # (C_pad, tf*gf) accumulator is ~8 MB at C=13.7k.
             if windows[3] * tf * gf * 4 > 10 * 1024 * 1024:
-                return matvec, None  # output exceeds the VMEM budget
+                return matvec, None, normal  # SJ output exceeds VMEM
 
             def jacobi_blocks_w(minv_flat, d2f):
                 P, C = pe.nv, pf.nv
@@ -871,7 +881,7 @@ class FlatSchurOps(_FlatOpsBase):
                     d_rows, diag_embed_selector(tf, dt))
                 return [spd_inverse_flat(M, tf)]
 
-            return matvec, jacobi_blocks_w
+            return matvec, jacobi_blocks_w, normal
 
         def jacobi_blocks(minv_flat, d2f):
             P, C = pe.nv, pf.nv
@@ -895,7 +905,7 @@ class FlatSchurOps(_FlatOpsBase):
                 d_rows, diag_embed_selector(tf, dt))
             return [spd_inverse_flat(M, tf)]
 
-        return matvec, jacobi_blocks
+        return matvec, jacobi_blocks, normal
 
 
 

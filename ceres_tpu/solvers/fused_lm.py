@@ -252,6 +252,26 @@ class IterativeSchurStepOps:
         self.eta = options.eta
         self.max_li = options.max_linear_solver_iterations
         self.min_li = options.min_linear_solver_iterations
+        # Static suite qualification: when the SCHUR_JACOBI blocks come
+        # from the assembly kernel (or no preconditioner blocks are
+        # needed at all), the f-side post_eval skips the (tf*tf)-lane
+        # F'F outer — at Venice scale that outer is the widest part of
+        # the per-iteration reduce pass.
+        needs_inv = (pname in ("SCHUR_JACOBI",
+                               "SCHUR_POWER_SERIES_EXPANSION")
+                     or self.spse_init)
+        self._skip_ftf = not needs_inv  # ftf feeds only the SJ fallback
+        if (needs_inv and len(self.pm.f_fams) == 1
+                and jnp.dtype(program.compute_dtype) == jnp.float32):
+            qual = self.flat._kernel_slots(
+                self.flat.plans_e, self.flat.plans_f,
+                self.pm.e_fams, self.pm.f_fams)
+            if qual is not None:
+                pf, windows = qual[1], qual[2]
+                gf = max(8, -(-pf.t // 8) * 8)
+                self._skip_ftf = (
+                    windows is None
+                    or windows[3] * pf.t * gf * 4 <= 10 * 1024 * 1024)
 
     def evaluate(self, x, args=None):
         o = self.program._eval_core(x, True, False, args=args, need_grad=False)
@@ -261,7 +281,8 @@ class IterativeSchurStepOps:
     def post_eval(self, vrep, r, args=None):
         fl, pm, pt = self.flat, self.pm, self.pt
         g_e, sqn_e, ete = fl.fused_post_eval_e(vrep, r)
-        g_f, sqn_f, ftf = fl.fused_post_eval_f(vrep, r)
+        g_f, sqn_f, ftf = fl.fused_post_eval_f(
+            vrep, r, with_blocks=not self._skip_ftf)
         g = pt.combine(pm, g_e, g_f)
         sqn = pt.combine(pm, sqn_e, sqn_f)
         return g, sqn, (tuple(ete), tuple(ftf))
@@ -378,17 +399,29 @@ class IterativeSchurStepOps:
         def minv(v):
             return base.apply_inverse_rows(pm.e_fams, minv_e, v)
 
-        # rhs' = F_s'(b - E_s Minv E_s'b)   (implicit_schur_complement.cc:49)
-        # E'b is the e-part of the carried gradient J'b — no extra J pass
-        etb = se * pt.extract_e(pm, g)
-        tmp = fl.right_e(vrep, se * minv(etb))
-        rhs = sf * fl.left_f(vrep, r - tmp)
-
         # Fused one-Pallas-kernel S·z when the structure qualifies (J read
         # once per matvec; ops/pallas_kernels.implicit_schur_matvec) —
         # identical math to the flat-ops product chain below.
         suite = fl.make_kernel_suite(vrep, se, sf)
         kern = suite[0] if suite is not None else None
+        normal_k = suite[2] if suite is not None else None
+
+        # rhs' = F_s'(b - E_s Minv E_s'b)   (implicit_schur_complement.cc:49)
+        # E'b is the e-part of the carried gradient J'b — no extra J pass.
+        # With the kernel suite, F_s'E_s u is the camera output of the
+        # normal-mode kernel at [0; u] — ONE J pass instead of the
+        # right_e + left_f chain (a ~2x J-traffic saving per LM iteration
+        # at Venice scale).
+        etb = se * pt.extract_e(pm, g)
+        u0 = minv(etb)
+        if normal_k is not None:
+            (off_e, nv_e, te_e, _) = pm.e_fams[0]
+            camF, _ = normal_k(jnp.zeros((pm.f_size,), u0.dtype),
+                               u0.reshape(nv_e, te_e))
+            rhs = sf * pt.extract_f(pm, g) - camF
+        else:
+            tmp = fl.right_e(vrep, se * u0)
+            rhs = sf * fl.left_f(vrep, r - tmp)
         if kern is not None:
             minv0 = minv_e[0]
 
@@ -451,8 +484,18 @@ class IterativeSchurStepOps:
             fz = fl.right_f(vrep, sf * z)
             y_e = minv(etb - se * fl.left_e(vrep, fz))
         step = -pt.combine(pm, y_e, z)
-        mr = fl.right_e(vrep, se * (-y_e)) + fl.right_f(vrep, sf * (-z))
-        mcc = -jnp.dot(mr, r + mr / 2.0)
+        if normal_k is not None:
+            # mr'r = step'(J_s'r) = step'(scale*g);  mr'mr = step'H_s step
+            # via ONE normal-kernel pass (replaces two J chain passes)
+            (off_e, nv_e, te_e, _) = pm.e_fams[0]
+            camH, ptH = normal_k(-z, (-y_e).reshape(nv_e, te_e))
+            mr_r = jnp.dot(step, scale_c * g)
+            mr_mr = (jnp.dot(-z, camH)
+                     + jnp.sum((-y_e).reshape(nv_e, te_e) * ptH))
+            mcc = -(mr_r + 0.5 * mr_mr)
+        else:
+            mr = fl.right_e(vrep, se * (-y_e)) + fl.right_f(vrep, sf * (-z))
+            mcc = -jnp.dot(mr, r + mr / 2.0)
         return step, mcc, res.num_iterations
 
 

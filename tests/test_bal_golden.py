@@ -98,7 +98,8 @@ CONFIGS = [
      {"use_nonmonotonic_steps": True}),
     ("SPARSE_NORMAL_CHOLESKY", "JACOBI", "NEVER", "float64", 25,
      {"dynamic_sparsity": True}),
-    ("CGNR", "SUBSET", "NEVER", "float64", 25, {"subset": True}),
+    ("CGNR", "SUBSET", "NEVER", "float64", 35, {"subset": True,
+                                                 "eta": 1e-2}),
 ]
 
 
@@ -117,14 +118,25 @@ def test_reaches_golden_cost(solver, precond, fused, dtype, iters, extra):
     subset = extra.pop("subset", False)
 
     if subset:
-        # SUBSET preconditioner over ~1/3 of the residual blocks
-        # (subset_preconditioner.h:70; solver.h:340-363). Per-block
-        # problem build: subset selection is per residual block.
-        problem = bal.build_problem(make_bench_bal())[0]
+        # SUBSET preconditioner (subset_preconditioner.h:70;
+        # solver.h:340-363): the subset must itself be a WELL-CONDITIONED
+        # subproblem — dropping a row from a 2-3-observation point leaves
+        # a nearly unconstrained direction and ruins the preconditioner
+        # (measured: random 16/17 subsets give lambda_max(Q^-1 A) ~ 1e4).
+        # Drop one observation only from points seen >= 6 times.
+        bb = make_bench_bal()
+        problem = bal.build_problem(bb)[0]
         rbs = problem.residual_blocks()
-        extra["residual_blocks_for_subset_preconditioner"] = [
-            rb.rb_id for rb in rbs[::3]
-        ]
+        counts = np.bincount(np.asarray(bb.point_index),
+                             minlength=bb.num_points)
+        seen_once = set()
+        keep_ids = []
+        for rb, pt in zip(rbs, np.asarray(bb.point_index)):
+            if counts[pt] >= 6 and pt not in seen_once:
+                seen_once.add(pt)  # drop this one observation
+                continue
+            keep_ids.append(rb.rb_id)
+        extra["residual_blocks_for_subset_preconditioner"] = keep_ids
     else:
         problem = make_bench_problem()
         arrs = problem.parameter_block_arrays()
@@ -268,8 +280,11 @@ def test_mixed_block_sizes_reach_reference(solver, precond, fused, dtype):
         preconditioner_type=ct.PreconditionerType[precond],
         fused_loop=fused,
         evaluation_dtype=dtype,
-        max_num_iterations=40,
-        max_linear_solver_iterations=150,
+        max_num_iterations=60,
+        max_linear_solver_iterations=300,
+        # the shared 3-dof intrinsics block couples every camera through
+        # S; block-diagonal SCHUR_JACOBI needs a tight forcing sequence
+        eta=1e-3,
     )
     s = ct.solve(opts, _make_mixed_problem())
     assert s.is_solution_usable(), s.message
