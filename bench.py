@@ -215,9 +215,10 @@ def bench_generic(b):
     t20, s20 = _median_spread(f20)
     cost = c20()
     f6, _ = _build_fused(b, 6, "DENSE_SCHUR", "JACOBI")
-    f12, _ = _build_fused(b, 12, "DENSE_SCHUR", "JACOBI")
     amortized = 20.0 / t20
-    marginal, msp = _paired_diff(6.0, f6, f12)
+    # 6-vs-20 paired difference: ~14 iterations of signal per pair —
+    # comfortably above the ~23 ms tunnel RTT jitter (6-vs-12 was not)
+    marginal, msp = _paired_diff(14.0, f6, f20)
 
     # converged-correctness run: the fused pipeline at f64, default
     # tolerances — the pipeline-correctness gate. (The f32 protocol runs
@@ -281,13 +282,16 @@ def bench_spmv(jax, jnp, b):
             return zz + 1e-6 * cam_o
         return jax.lax.fori_loop(0, k, body, z)
 
-    f2 = jax.jit(functools.partial(k_mv, k=2))
-    f6 = jax.jit(functools.partial(k_mv, k=6))
+    f2 = jax.jit(functools.partial(k_mv, k=8))
+    f6 = jax.jit(functools.partial(k_mv, k=104))
     _sync(f2(JT, ids_T, z, minv))
     _sync(f6(JT, ids_T, z, minv))
 
+    # 96 matvecs of signal per pair (8-vs-104): the per-pair difference
+    # must dominate the ~23 ms tunnel RTT jitter to be falsifiable
+    # (32-matvec signal still showed 2x cross-process drift)
     rate, spread = _paired_diff(
-        4.0, lambda: _sync(f2(JT, ids_T, z, minv)),
+        96.0, lambda: _sync(f2(JT, ids_T, z, minv)),
         lambda: _sync(f6(JT, ids_T, z, minv)))
     per = 1.0 / rate  # seconds per matvec
     nnz = B * r * (tf + te)
