@@ -313,3 +313,37 @@ def test_covariance_sparse_qr_selected_blocks():
         )
     with pytest.raises(KeyError):
         c_sp.get_covariance_block(pts[4], pts[5])
+
+
+@pytest.mark.slow
+def test_covariance_sparse_qr_slam_scale():
+    """SPARSE_QR covariance at SLAM scale (r3: native George-Heath with
+    sparse R rows + dense trailing block): a 800-pose 2D pose graph
+    (T=2400 tangent) factors and solves in seconds, and matches the
+    normal-equations fast path on a well-conditioned problem."""
+    import time
+
+    from ceres_tpu.covariance import Covariance, CovarianceOptions
+    from ceres_tpu.models import pose_graph as pg
+
+    poses, constraints, _gt = pg.synthetic_2d(
+        num_poses=800, loop_closures=30, noise=0.02, seed=3)
+    # build_problem_2d fixes the first pose (gauge), so J has full
+    # column rank and the QR path is well-posed
+    problem, _arrays = pg.build_problem_2d(poses, constraints)
+    t0 = time.time()
+    cov = Covariance(CovarianceOptions())
+    ok = cov.compute([], problem)
+    dt_qr = time.time() - t0
+    assert ok, "sparse QR covariance failed"
+    assert dt_qr < 120.0, f"QR covariance too slow: {dt_qr:.1f}s"
+
+    cov2 = Covariance(CovarianceOptions(use_normal_equations=True))
+    assert cov2.compute([], problem)
+    import numpy as np
+    C1 = cov._cov
+    C2 = cov2._cov
+    assert C1 is not None and C2 is not None
+    num = np.linalg.norm(C1 - C2)
+    den = np.linalg.norm(C2)
+    assert num / den < 1e-6, f"QR vs normal-eq covariance mismatch {num/den:.2e}"
