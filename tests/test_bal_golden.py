@@ -55,6 +55,7 @@ def make_bench_problem():
 # "user_ordering" / "bounds" / "subset" handled in the test body.
 CONFIGS = [
     ("DENSE_SCHUR", "JACOBI", "ALWAYS", "float32", 25, {}),
+    ("DENSE_SCHUR", "JACOBI", "ALWAYS", "float64", 25, {}),
     ("DENSE_SCHUR", "JACOBI", "NEVER", "float64", 25, {}),
     ("SPARSE_SCHUR", "JACOBI", "NEVER", "float64", 25, {}),
     ("SPARSE_NORMAL_CHOLESKY", "JACOBI", "NEVER", "float64", 25, {}),
@@ -105,7 +106,7 @@ CONFIGS = [
 
 @pytest.mark.parametrize("solver,precond,fused,dtype,iters,extra", CONFIGS,
                          ids=[
-                             f"{c[0]}-{c[1]}-{c[2]}"
+                             f"{c[0]}-{c[1]}-{c[2]}-{c[3][-2:]}"
                              + ("-" + "-".join(sorted(
                                  k if not hasattr(v, "name") else v.name
                                  for k, v in c[5].items())) if c[5] else "")
