@@ -136,7 +136,15 @@ class Covariance:
             cols = list(range(T))
         E = np.zeros((T, len(cols)))
         E[cols, np.arange(len(cols))] = 1.0
-        sol = solve_cols(E)  # (T, k) = (J'J)^{-1} columns
+        try:
+            sol = solve_cols(E)  # (T, k) = (J'J)^{-1} columns
+        finally:
+            # release the native factor (module-global C++ state for the
+            # QR path: a later Covariance.compute would invalidate it
+            # anyway, and the R factor can be large)
+            close = getattr(solve_cols, "close", None)
+            if close is not None:
+                close()
         if len(cols) == T:
             self._cov = sol
         else:
@@ -247,6 +255,7 @@ class Covariance:
             Xp = qr.solve_normal_multi(Ep)
             return Xp[iperm, :]
 
+        solve.close = qr.free
         return solve
 
     def _cov_block(self, o1, t1, o2, t2) -> np.ndarray:

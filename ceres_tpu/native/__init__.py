@@ -20,20 +20,31 @@ _SO = _DIR / "_sparse_cholesky.so"
 _lib = None
 
 
-def _build():
-    cmd = [
-        "g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-        str(_SRC), "-o", str(_SO),
-    ]
-    subprocess.run(cmd, check=True, capture_output=True)
+def _ensure_built(src: pathlib.Path, so: pathlib.Path):
+    """Build `so` from `src` unless an up-to-date binary exists. The
+    trigger is a CONTENT HASH of the source (sidecar .hash file), not an
+    mtime comparison — git does not preserve mtimes, so after a fresh
+    checkout mtime ordering is arbitrary and could dlopen a stale or
+    wrong-arch binary."""
+    import hashlib
+
+    h = hashlib.sha256(src.read_bytes()).hexdigest()
+    hpath = so.with_suffix(".hash")
+    if so.exists() and hpath.exists() and hpath.read_text().strip() == h:
+        return
+    subprocess.run(
+        ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+         str(src), "-o", str(so)],
+        check=True, capture_output=True,
+    )
+    hpath.write_text(h)
 
 
 def get_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-        _build()
+    _ensure_built(_SRC, _SO)
     lib = ctypes.CDLL(str(_SO))
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -258,12 +269,7 @@ def get_qr_lib():
     global _qr_lib
     if _qr_lib is not None:
         return _qr_lib
-    if not _SO_QR.exists() or _SO_QR.stat().st_mtime < _SRC_QR.stat().st_mtime:
-        subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-             str(_SRC_QR), "-o", str(_SO_QR)],
-            check=True, capture_output=True,
-        )
+    _ensure_built(_SRC_QR, _SO_QR)
     lib = ctypes.CDLL(str(_SO_QR))
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")

@@ -444,6 +444,15 @@ class IterativeSchurStepOps:
                     and len(pm.f_fams) == 1):
                 inv_f = suite[1](minv_e[0], d2f)
             else:
+                if self._skip_ftf:
+                    # Static suite qualification skipped the F'F blocks in
+                    # post_eval but the kernel suite is unavailable at
+                    # runtime: recompute them rather than building the
+                    # preconditioner from zero placeholders (which would
+                    # yield an indefinite diag-minus-correction).
+                    _, _, ftf = fl.fused_post_eval_f(vrep, r,
+                                                     with_blocks=True)
+                    ftf = tuple(ftf)
                 inv_f = self._schur_jacobi_inverses(vrep, ftf, minv_e, se,
                                                     sf, d2f)
 
@@ -789,10 +798,17 @@ class DenseSchurStepOps:
         return pe, pf
 
     def _kernel_qual(self, vrep):
-        if not vrep or not vrep[0] or vrep[0][0] is None:
+        """Runtime mirror of _kernel_qual_static: checks the SLOTS the
+        kernel actually consumes (pe.s / pf.s), not slot 0 — a constant
+        first slot yields a None jacobian in vflat while the e/f plans
+        still qualify."""
+        if self._kq is None or not vrep or not vrep[0]:
             return None
-        if (self._kq is not None
-                and vrep[0][self._kq[0].s].dtype != jnp.float32):
+        pe, pf = self._kq
+        Je, Jf = vrep[0][pe.s], vrep[0][pf.s]
+        if Je is None or Jf is None:
+            return None
+        if Je.dtype != jnp.float32 or Jf.dtype != jnp.float32:
             return None
         return self._kq
 
@@ -876,6 +892,13 @@ class DenseSchurStepOps:
             if q is not None:
                 return self._compute_step_kernel(
                     q, vrep, aux, g, scale_c, D2_c)
+            if self._skip_ftf:
+                # Static qualification promised the kernel path (so
+                # post_eval skipped the F'F blocks) but the runtime
+                # disqualified it: recompute the blocks instead of
+                # assembling S from zero placeholders.
+                _, _, ftf = fl.fused_post_eval_f(vrep, r, with_blocks=True)
+                aux = (aux[0], tuple(ftf))
         if mixed:
             cast32 = lambda t: jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.float32), t
