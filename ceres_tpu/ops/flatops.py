@@ -819,13 +819,34 @@ class FlatSchurOps(_FlatOpsBase):
         suite = self.make_kernel_suite(vflat, se, sf)
         return None if suite is None else suite[0]
 
-    def make_kernel_suite(self, vflat, se, sf):
+    def kernel_masks(self):
+        """Streamed one-hot mask planes for the fused matvec
+        (pallas_kernels.build_matvec_masks): structure-constant, so build
+        them ONCE per minimize (outside the LM while-loop) and pass to
+        make_kernel_suite — never as a baked jit constant (GB-scale at
+        Venice size) and never per-iteration."""
+        qual = self._kernel_slots(self.plans_e, self.plans_f,
+                                  self.pm.e_fams, self.pm.f_fams)
+        if qual is None:
+            return None
+        pe, pf, _ = qual
+        from . import pallas_kernels as pk
+
+        # pe.local is sorted by point (qualification requires pe.srt) —
+        # the same id order _kernel_scaled_rows feeds prep_matvec_rows
+        return pk.build_matvec_masks(
+            jnp.asarray(pe.local, jnp.int32),
+            jnp.asarray(pf.local, jnp.int32),
+            jnp.asarray(pe.rplan[1]), pe.nv, pe.rplan[2])
+
+    def make_kernel_suite(self, vflat, se, sf, masks=None):
         """(matvec, jacobi_blocks) over ONE scaled transposed J prep, or
         None. jacobi_blocks(minv_flat, d2f) returns the inverse flats of
         block-diag(S) (schur_jacobi_preconditioner.h:78) computed by the
         assembly kernel in mode='schur_jacobi' — the XLA chain builds
         (B, te*tf) W and (B, tf*tf) corrections in HBM per LM iteration;
-        the kernel keeps them in VMEM."""
+        the kernel keeps them in VMEM. `masks` = kernel_masks() output
+        for the streamed-mask matvec (optional)."""
         qual = self._kernel_slots(self.plans_e, self.plans_f,
                                   self.pm.e_fams, self.pm.f_fams)
         if qual is None or vflat[0][qual[0].s].dtype != jnp.float32:
@@ -838,12 +859,15 @@ class FlatSchurOps(_FlatOpsBase):
         interp = PALLAS_MODE == "interpret"
         tf, te = pf.t, pe.t
         gf = max(8, -(-tf // 8) * 8)
+        num_tiles = len(pe.rplan[1]) - 1
+        unroll = 16 if num_tiles >= 4096 else 8
 
         def matvec(z, minv_flat, emit_u=False):
             cam, u = pk.isc_matvec(
                 JT, ids_T, z, minv_flat, pe.rplan[0], pe.rplan[1],
                 pe.nv, pf.nv, r, tf, te, max_rows=max_rows,
-                interpret=interp, emit_u=emit_u, windows=windows)
+                interpret=interp, emit_u=emit_u, windows=windows,
+                masks_T=masks, unroll=unroll)
             return cam, (u.reshape(-1) if emit_u else None)
 
         def normal(xc, xp_rows):
@@ -853,7 +877,8 @@ class FlatSchurOps(_FlatOpsBase):
             cam, ptv = pk.normal_matvec(
                 JT, ids_T, xc, xp_rows, pe.rplan[0], pe.rplan[1],
                 pe.nv, pf.nv, r, tf, te, max_rows=max_rows,
-                interpret=interp, windows=windows)
+                interpret=interp, windows=windows,
+                masks_T=masks, unroll=unroll)
             return cam, ptv
 
         if windows is not None:

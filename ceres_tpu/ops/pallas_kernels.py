@@ -36,6 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCKS_PER_TILE = 128
 _LANE = 128
 
+# Number of bf16 passes in the exact-split data x one-hot dots (3 = full
+# f32 accuracy, 2 ~ f16 accuracy, 1 = plain bf16). Ablation/experiment
+# knob read at trace time.
+SPLIT_PASSES = 3
+_ABL_NO_PT = False   # ablation: skip the point-side segment algebra
+_ABL_NO_CAM = False  # ablation: skip the camera gather/scatter dots
+_ABL_NO_DMA = False  # ablation: skip the per-tile HBM->VMEM copies
+
 
 def plan_block_tiles(sorted_ids: np.ndarray, num_blocks: int,
                      blocks_per_tile: int = BLOCKS_PER_TILE) -> Tuple[np.ndarray, int]:
@@ -761,6 +769,7 @@ def implicit_schur_matvec(
     win_starts=None,  # (T,) int32 128-aligned camera window base per tile
     win_width: int = 0,  # static window chunk width (multiple of 128)
     n_win: int = 1,  # static chunks per tile (window span / win_width)
+    masks_T=None,  # (256, n_pad) int8/bf16 from build_matvec_masks
 ):
     """The whole implicit-Schur product S·z in ONE Pallas kernel
     (implicit_schur_complement.cc:106 on TPU). Per observation tile:
@@ -771,7 +780,7 @@ def implicit_schur_matvec(
         q    = fz - E_s u              (point expand via the SAME one-hot)
         cam += F_s' q                  (masked camera one-hot accumulate)
 
-    Returns (cam (C_pad, gf), u (num_points+1+BT, ge)); the caller adds
+    Returns (cam (gf, C_pad) TRANSPOSED, u (num_points+1+BT, ge)); the caller adds
     d2f*z. The u output doubles as back-substitution: y_e = minv(etb) -
     u(z_final). mode="normal" computes (J'J)x instead (the CGNR hot op,
     cgnr_solver.cc role): jv = F_s x_c + E_s x_p over x rows from
@@ -813,7 +822,17 @@ def implicit_schur_matvec(
     race-free). O(rows * n_win*win_width) per tile instead of
     O(rows * C_pad): Venice-class C (~13.7k) runs at the cost of its
     locality window, removing the ~1900-camera cap
-    (visibility_based_preconditioner.cc:127 scale regime)."""
+    (visibility_based_preconditioner.cc:127 scale regime).
+
+    Streamed masks (`masks_T` given, from build_matvec_masks): the
+    structure-constant one-hot planes are DMA'd from HBM instead of being
+    rebuilt in VPU registers every matvec — the r3 cost model showed the
+    mask builds dominating (~4.3 ns/obs vs 0.24 ns/obs of J traffic).
+    Camera chunks become 128 wide (low mask = onehot(cam % 128) is
+    tile-independent; the per-row hi index (cam - base)//128 selects the
+    chunk with a (1, rows)-broadcast fold), and the point one-hot is
+    owner-relative with the in-tile validity folded into the (ge, rows)
+    contribution lanes. Identical math; the kernel becomes DMA/MXU-bound."""
     lanes_pad, n_pad = JT.shape
     BT = BLOCKS_PER_TILE
     num_tiles = tile_block0.shape[0] - 1
@@ -846,11 +865,21 @@ def implicit_schur_matvec(
     w_blk = blk_hbm.shape[1]
     nb_out = num_points + 1 + BT
     assert blk_hbm.shape[0] >= nb_out
+    streamed = masks_T is not None
+    n_chunks = (n_win * win_width) // _LANE if windowed else C_pad // _LANE
+    if streamed:
+        assert masks_T.shape == (256, JT.shape[1]), masks_T.shape
+        mdt = masks_T.dtype
+    n_split = SPLIT_PASSES
 
     def split3(x):
         hi = x.astype(bf16)
+        if n_split == 1:
+            return (hi,)
         rem = x - hi.astype(f32)
         mid = rem.astype(bf16)
+        if n_split == 2:
+            return hi, mid
         lo = (rem - mid.astype(f32)).astype(bf16)
         return hi, mid, lo
 
@@ -859,6 +888,9 @@ def implicit_schur_matvec(
             win_ref, refs = refs[0], refs[1:]
         else:
             win_ref = None
+        masks_hbm = None
+        if streamed:
+            masks_hbm, refs = refs[0], refs[1:]
         if emit_u:
             (starts_ref, block0_ref, ids_hbm, jt_hbm, z_ref,
              blk_hbm_ref, cam_out, pt_hbm) = refs
@@ -868,8 +900,8 @@ def implicit_schur_matvec(
             pt_hbm = None
         g = pl.program_id(0)
 
-        def body(ids_vmem, jt_vmem, blk_vmem, out_vmem,
-                 sem_i, sem_j, sem_b, sem_o):
+        def body(ids_vmem, jt_vmem, blk_vmem, msk_vmem, out_vmem,
+                 sem_i, sem_j, sem_b, sem_m, sem_o):
             copies = []
             for j in range(unroll):
                 row0 = pl.multiple_of(starts_ref[g * unroll + j], _LANE)
@@ -885,6 +917,12 @@ def implicit_schur_matvec(
                         blk_hbm_ref.at[pl.ds(b0, BT), :],
                         blk_vmem.at[j], sem_b.at[j]),
                 ]
+                if streamed:
+                    cps.append(pltpu.make_async_copy(
+                        masks_hbm.at[:, pl.ds(row0, max_rows)],
+                        msk_vmem.at[j], sem_m.at[j]))
+                if _ABL_NO_DMA:
+                    cps = []
                 for c in cps:
                     c.start()
                 copies.append(cps)
@@ -893,46 +931,65 @@ def implicit_schur_matvec(
             d_ll = (((1,), (1,)), ((), ()))
             HI = jax.lax.Precision.HIGHEST
 
+            def _stack16(parts):
+                """Concat split parts along sublanes, each padded to the
+                bf16 tile height (16) so slices of the fused dot's output
+                land on tile boundaries."""
+                m = parts[0].shape[0]
+                mp = max(16, -(-m // 16) * 16)
+                if mp != m:
+                    parts = [jnp.concatenate(
+                        [p, jnp.zeros((mp - m, p.shape[1]), p.dtype)],
+                        axis=0) for p in parts]
+                return jnp.concatenate(parts, axis=0), mp
+
+            # The one-hot dots have narrow data operands (gf=16 / ge=8
+            # sublanes) that the MXU pads to 128 — at 3 exact-split
+            # passes each, ~90% of the systolic work was padding
+            # (ablation r4: dots were ~12 of 26 ms/matvec at Venice
+            # scale, not the mask builds). STACKING the split passes
+            # (and, for the camera side, the window chunks) into ONE
+            # dot pays the padding once instead of 3x(chunks) times.
             def dot3(data, oh_b, d):
-                """Exact-split data (f32) x 0/1 one-hot (bf16): 3
-                single-pass bf16 dots with f32 accumulation."""
-                out = None
-                for part in split3(data):
-                    t = jax.lax.dot_general(
-                        part, oh_b, dimension_numbers=d,
+                """Exact-split data (f32, (m, K)) x 0/1 one-hot (bf16):
+                one stacked single-pass bf16 dot with f32 accumulation."""
+                parts = split3(data)
+                if len(parts) == 1:
+                    return jax.lax.dot_general(
+                        parts[0], oh_b, dimension_numbers=d,
                         preferred_element_type=f32)
-                    out = t if out is None else out + t
-                return out
+                st, mp = _stack16(list(parts))
+                out = jax.lax.dot_general(
+                    st, oh_b, dimension_numbers=d,
+                    preferred_element_type=f32)
+                m = data.shape[0]
+                return sum(out[i * mp: i * mp + m]
+                           for i in range(len(parts)))
 
             def dot3l(oh_b, data, d):
-                out = None
-                for part in split3(data):
-                    t = jax.lax.dot_general(
-                        oh_b, part, dimension_numbers=d,
+                parts = split3(data)
+                if len(parts) == 1:
+                    return jax.lax.dot_general(
+                        oh_b, parts[0], dimension_numbers=d,
                         preferred_element_type=f32)
-                    out = t if out is None else out + t
-                return out
+                st, mp = _stack16(list(parts))
+                out = jax.lax.dot_general(
+                    oh_b, st, dimension_numbers=d,
+                    preferred_element_type=f32)
+                m = data.shape[0]
+                return sum(out[:, i * mp: i * mp + m]
+                           for i in range(len(parts)))
 
-            if not normal:
-                te2p = max(8, -(-te * te // 8) * 8)
-                REPm = _sel01((ge, te2p),
-                              lambda a, b: (b % te == a) & (b < te * te))
-                REDm = _sel01((te2p, ge),
-                              lambda a, b: (a // te == b) & (a < te * te))
+            te2p = max(8, -(-te * te // 8) * 8)
 
-            if windowed:
-                cam_acc = None
+            @pl.when(g == 0)
+            def _zero_cam():
+                cam_out[:, :] = jnp.zeros((gf, C_pad), cam_out.dtype)
+
+            if not streamed:
                 csub = jax.lax.broadcasted_iota(
-                    jnp.int32, (win_width, max_rows), 0)
-
-                @pl.when(g == 0)
-                def _zero_cam():
-                    cam_out[:, :] = jnp.zeros((C_pad, gf), cam_out.dtype)
-            else:
-                cam_acc = jnp.zeros((C_pad, gf), f32)
-                csub = jax.lax.broadcasted_iota(
-                    jnp.int32, (C_pad, max_rows), 0)
-            sub = jax.lax.broadcasted_iota(jnp.int32, (BT, max_rows), 0)
+                    jnp.int32, (_LANE, max_rows), 0)
+                sub = jax.lax.broadcasted_iota(jnp.int32, (BT, max_rows), 0)
             one = jnp.ones((), f32)
             zero = jnp.zeros((), f32)
             out_cp = None
@@ -944,37 +1001,67 @@ def implicit_schur_matvec(
                 b1 = block0_ref[g * unroll + j + 1]
                 jt = jt_vmem[j]
                 pid1 = ids_vmem[j][0:1, :]
-                pid = jnp.broadcast_to(pid1, (BT, max_rows))
                 cid1 = ids_vmem[j][1:2, :]
+                in_tile = jnp.where(
+                    (pid1 >= b0) & (pid1 < b1), one, zero)
+                # Camera one-hot factored LOW x HI: the 128-wide LOW
+                # one-hot (onehot(cam % 128)) is TILE-INDEPENDENT
+                # (chunk bases are 128-aligned) and is either DMA'd
+                # (streamed) or built once per tile; the HI chunk index
+                # (cam - base)//128 selects the chunk with a cheap
+                # (1, rows)-broadcast fold. Rows whose camera lies below
+                # the window (non-owned rows of the 128-aligned DMA
+                # padding) hit chunk 0 via the truncating div, but their
+                # contributions die at the point one-hot / in-tile masks.
+                if streamed:
+                    mk = msk_vmem[j]
+                    ohc_lo = mk[0:128, :].astype(bf16)
+                    ohp_b = mk[128:256, :].astype(bf16)
+                else:
+                    lo1 = cid1 - _LANE * jax.lax.div(cid1, jnp.int32(_LANE))
+                    ohc_lo = jnp.where(
+                        jnp.broadcast_to(lo1, (_LANE, max_rows)) == csub,
+                        one, zero).astype(bf16)
+                    pid = jnp.broadcast_to(pid1, (BT, max_rows))
+                    ohp_b = jnp.where(
+                        (pid - b0 == sub) & (pid < b1) & (pid < num_points),
+                        one, zero).astype(bf16)
                 if windowed:
                     w0 = pl.multiple_of(win_ref[g * unroll + j], _LANE)
-                    # one-hot built ONCE per chunk (bf16 select, no f32
-                    # round-trip), reused by gather and scatter — the mask
-                    # build is the kernel's VPU bottleneck
-                    chunks = []
+                    hi1 = jax.lax.div(cid1 - w0, jnp.int32(_LANE))
+                else:
+                    w0 = 0
+                    hi1 = jax.lax.div(cid1, jnp.int32(_LANE))
+                chunks = []
+                zparts = []
+                for kk in range(n_chunks):
+                    c0 = pl.multiple_of(w0 + kk * _LANE, _LANE)
+                    sel = jnp.where(hi1 == kk, one, zero)
+                    chunks.append((c0, sel))
+                    if not _ABL_NO_CAM:
+                        zparts.extend(split3(z_ref[:, pl.ds(c0, _LANE)]))
+                if zparts:
+                    # ONE stacked gather dot for all chunks x split
+                    # passes (M = n_split*n_chunks*gf instead of gf)
+                    zs = jnp.concatenate(zparts, axis=0)
+                    zg_all = jax.lax.dot_general(
+                        zs, ohc_lo, dimension_numbers=d_mm,
+                        preferred_element_type=f32)
                     zg = None
-                    for kk in range(n_win):
-                        c0 = pl.multiple_of(w0 + kk * win_width, _LANE)
-                        cw = jnp.broadcast_to(cid1 - c0,
-                                              (win_width, max_rows))
-                        ohw = jnp.where(cw == csub, one,
-                                        zero).astype(bf16)
-                        chunks.append((c0, ohw))
-                        part = dot3(z_ref[:, pl.ds(c0, win_width)],
-                                    ohw, d_mm)
+                    for kk in range(n_chunks):
+                        acc = None
+                        for p in range(n_split):
+                            i0 = (kk * n_split + p) * gf
+                            sl = zg_all[i0: i0 + gf]
+                            acc = sl if acc is None else acc + sl
+                        part = acc * chunks[kk][1]
                         zg = part if zg is None else zg + part
                 else:
-                    cid = jnp.broadcast_to(cid1, (C_pad, max_rows))
-                    ohc_b = jnp.where(cid == csub, one, zero).astype(bf16)
-                ohp_b = jnp.where(
-                    (pid - b0 == sub) & (pid < b1) & (pid < num_points),
-                    one, zero).astype(bf16)
+                    zg = jnp.zeros((gf, max_rows), f32)
                 Jf_g = [jt[i * gf:(i + 1) * gf, :] for i in range(r)]
                 off_e = r * gf
                 Je_g = [jt[off_e + i * ge: off_e + (i + 1) * ge, :]
                         for i in range(r)]
-                if not windowed:
-                    zg = dot3(z_ref[:, :], ohc_b, d_mm)  # (gf, rows)
                 fz = [jnp.sum(Jf_g[i] * zg, axis=0, keepdims=True)
                       for i in range(r)]  # r x (1, rows)
                 blk = blk_vmem[j][:, :]
@@ -985,19 +1072,38 @@ def implicit_schur_matvec(
                     ce = sum(
                         Je_g[i] * jnp.broadcast_to(jv[i], (ge, max_rows))
                         for i in range(r))
+                    if streamed:
+                        # the streamed point one-hot is owner-relative:
+                        # zero non-owned rows' contributions here instead
+                        # of in the mask
+                        ce = ce * jnp.broadcast_to(in_tile, (ge, max_rows))
                     tile_out = dot3l(ohp_b, ce, d_ll)  # (BT, ge)
                     q = jv
+                elif _ABL_NO_PT:
+                    tile_out = jnp.zeros((BT, ge), f32)
+                    q = fz
                 else:
                     ce = sum(
                         Je_g[i] * jnp.broadcast_to(fz[i], (ge, max_rows))
                         for i in range(r))
-                    etfz = dot3l(ohp_b, ce, d_ll)  # (BT, ge)
-                    rep = jax.lax.dot_general(
-                        etfz, REPm, dimension_numbers=d_mm,
-                        preferred_element_type=f32, precision=HI)
-                    tile_out = jax.lax.dot_general(
-                        blk[:, :te2p] * rep, REDm, dimension_numbers=d_mm,
-                        preferred_element_type=f32, precision=HI)
+                    if streamed:
+                        ce = ce * jnp.broadcast_to(in_tile, (ge, max_rows))
+                    # u[p] = Minv[p] (E'fz)[p] = sum_{rows of p} Minv[p] ce
+                    # — gather Minv per ROW (one stacked dot, like the
+                    # normal-mode xp_rows), apply the (te x te) matvec as
+                    # per-row sublane algebra, scatter w with the SAME
+                    # one-hot. This replaces the f32-HIGHEST REPm/REDm
+                    # expansion dots that dominated the point side
+                    # (~340 ns/tile of padded HIGHEST passes, ablation r4).
+                    minv_rows = dot3(
+                        jnp.transpose(blk[:, :te2p]), ohp_b, d_mm
+                    )  # (te2p, rows): Minv lanes of the row's point
+                    w = jnp.concatenate(
+                        [sum(minv_rows[i * te + k: i * te + k + 1, :]
+                             * ce[k: k + 1, :] for k in range(te))
+                         for i in range(te)] +
+                        [jnp.zeros((ge - te, max_rows), f32)], axis=0)
+                    tile_out = dot3l(ohp_b, w, d_ll)  # (BT, ge) = u
                     u_rows = dot3(jnp.transpose(tile_out), ohp_b, d_mm)
                     q = [fz[i] - jnp.sum(Je_g[i] * u_rows, axis=0,
                                          keepdims=True) for i in range(r)]
@@ -1018,39 +1124,46 @@ def implicit_schur_matvec(
                         out_vmem.at[j], pt_hbm.at[pl.ds(b0a, BT), :], sem_o)
                     out_cp.start()
                 # mask boundary rows on the narrow cf tile (gf sublanes)
-                in_tile = jnp.where(
-                    (pid1 >= b0) & (pid1 < b1), one, zero)
                 cf = sum(
                     Jf_g[i] * jnp.broadcast_to(q[i], (gf, max_rows))
                     for i in range(r)) * jnp.broadcast_to(
                         in_tile, (gf, max_rows))
-                if windowed:
-                    for c0, ohw in chunks:
-                        camq = dot3l(ohw, cf, d_ll)  # (win_width, gf)
-                        cur = cam_out[pl.ds(c0, win_width), :]
-                        cam_out[pl.ds(c0, win_width), :] = (
+                if not _ABL_NO_CAM:
+                    # ONE stacked scatter dot for all chunks x split
+                    # passes, then per-chunk RMW of the 128-row window
+                    cf_parts = []
+                    for c0, sel in chunks:
+                        cf_parts.extend(split3(
+                            cf * jnp.broadcast_to(sel, (gf, max_rows))))
+                    cfs = jnp.concatenate(cf_parts, axis=0)
+                    # transposed accumulator (gf, C_pad): full 128-lane
+                    # RMW windows instead of 16-lane-narrow ones
+                    cam_all = jax.lax.dot_general(
+                        cfs, ohc_lo, dimension_numbers=d_ll,
+                        preferred_element_type=f32)  # (nc*ns*gf, 128)
+                    for kk, (c0, sel) in enumerate(chunks):
+                        camq = None
+                        for p in range(n_split):
+                            i0 = (kk * n_split + p) * gf
+                            sl = cam_all[i0: i0 + gf, :]
+                            camq = sl if camq is None else camq + sl
+                        cur = cam_out[:, pl.ds(c0, _LANE)]
+                        cam_out[:, pl.ds(c0, _LANE)] = (
                             cur + camq.astype(cam_out.dtype))
-                else:
-                    cam_acc = cam_acc + dot3l(ohc_b, cf, d_ll)
             if out_cp is not None:
                 out_cp.wait()
 
-            if not windowed:
-                @pl.when(g == 0)
-                def _init():
-                    cam_out[:, :] = cam_acc.astype(cam_out.dtype)
-
-                @pl.when(g > 0)
-                def _acc():
-                    cam_out[:, :] = (cam_out[:, :]
-                                     + cam_acc.astype(cam_out.dtype))
-
+        msk_scratch = (pltpu.VMEM((unroll, 256, max_rows), mdt)
+                       if streamed else
+                       pltpu.VMEM((unroll, 8, _LANE), jnp.int8))
         pl.run_scoped(
             body,
             pltpu.VMEM((unroll, 8, max_rows), jnp.int32),
             pltpu.VMEM((unroll, lanes_pad, max_rows), dt),
             pltpu.VMEM((unroll, BT, w_blk), blk_hbm.dtype),
+            msk_scratch,
             pltpu.VMEM((unroll, BT, _LANE), dt),
+            pltpu.SemaphoreType.DMA((unroll,)),
             pltpu.SemaphoreType.DMA((unroll,)),
             pltpu.SemaphoreType.DMA((unroll,)),
             pltpu.SemaphoreType.DMA((unroll,)),
@@ -1066,12 +1179,15 @@ def implicit_schur_matvec(
         pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # per-point rows
     ]
     inputs = (tile_starts, tile_block0, ids_T, JT, z_T, blk_hbm)
+    if streamed:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)] + in_specs
+        inputs = (masks_T,) + inputs
     if windowed:
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
         inputs = (win_starts,) + inputs
-    cam_spec = pl.BlockSpec((C_pad, gf), lambda i: (0, 0),
+    cam_spec = pl.BlockSpec((gf, C_pad), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
-    cam_shape = jax.ShapeDtypeStruct((C_pad, gf), dt)
+    cam_shape = jax.ShapeDtypeStruct((gf, C_pad), dt)
     with jax.enable_x64(False):
         if emit_u:
             cam_out, pt_out = pl.pallas_call(
@@ -1423,6 +1539,47 @@ def prep_matvec_rows(Jf, Je, pt_ids, cam_ids, max_rows, r, tf, te):
     return JT, ids_T
 
 
+def build_matvec_masks(pt_ids, cam_ids, tile_block0, num_points,
+                       max_rows, dtype=jnp.int8):
+    """STRUCTURE-CONSTANT one-hot mask planes for the streamed-mask matvec
+    (implicit_schur_matvec masks_T=...). The in-kernel mask builds
+    (camera-window + point one-hots, ~3 VPU ops x 384 elements per row)
+    were the kernel's bottleneck — ~4.3 ns/obs vs a ~0.24 ns/obs J-traffic
+    bound (ROADMAP r3 cost model). The masks depend only on the sparsity
+    STRUCTURE, so they are built once (outside the LM loop) and streamed
+    from HBM: the kernel's VPU work collapses to int8->bf16 converts plus
+    a per-row hi-chunk fold.
+
+    Layout (256, n_pad) `dtype` (int8 by default — half the DMA of bf16):
+     - rows [0, 128): camera LOW one-hot = onehot(cam % 128). Window chunk
+       bases are 128-aligned, so (cam - base) % 128 == cam % 128 for every
+       tile — the low mask is TILE-INDEPENDENT; the kernel selects the
+       chunk via the cheap per-row hi index (cam - base) // 128.
+     - rows [128, 256): point one-hot RELATIVE TO THE OWNER TILE's first
+       point (tile_block0). Rows that appear in a neighboring tile's
+       128-aligned DMA window scatter into wrong slots there; the kernel
+       zeroes their contributions with the (1, rows) in-tile mask (which
+       it already computes), so only the owner tile counts them.
+    Sentinel ids (<0 or >= num_points) get all-zero one-hot rows."""
+    pt_ids = jnp.asarray(pt_ids, jnp.int32)
+    cam_ids = jnp.asarray(cam_ids, jnp.int32)
+    B = pt_ids.shape[0]
+    n_pad = B + max_rows
+    tb = jnp.asarray(tile_block0, jnp.int32)
+    # owner tile of each row's point: t with tb[t] <= pid < tb[t+1]
+    pid_c = jnp.clip(pt_ids, 0, num_points)
+    owner = jnp.searchsorted(tb[1:-1], pid_c, side="right").astype(jnp.int32)
+    b0 = tb[owner]
+    iot = jnp.arange(128, dtype=jnp.int32)[:, None]
+    ohc = ((cam_ids[None, :] % 128) == iot) & (cam_ids[None, :] >= 0)
+    loc = jnp.where((pt_ids >= 0) & (pt_ids < num_points),
+                    pt_ids - b0, jnp.int32(-1))
+    ohp = loc[None, :] == iot
+    m = jnp.concatenate([ohc, ohp], axis=0).astype(dtype)
+    return jnp.concatenate(
+        [m, jnp.zeros((256, max_rows), dtype)], axis=1)
+
+
 def _cam_pad(C, windows):
     C_pad = max(_LANE, -(-(C + 1) // _LANE) * _LANE)
     if windows is not None:
@@ -1432,11 +1589,12 @@ def _cam_pad(C, windows):
 
 def isc_matvec(JT, ids_T, z, minv_flat, tile_starts, tile_block0,
                num_points, C, r, tf, te, max_rows=512, unroll=4,
-               interpret=False, emit_u=True, windows=None):
+               interpret=False, emit_u=True, windows=None, masks_T=None):
     """Fused S·z (see implicit_schur_matvec): z (C*tf,) camera vector,
     minv_flat (num_points, te*te). Returns (Sz_wo_diag (C*tf,),
     u (num_points, te) or None when emit_u=False) — caller adds d2f*z.
-    `windows` = plan_camera_windows output for the large-C path."""
+    `windows` = plan_camera_windows output for the large-C path;
+    `masks_T` = build_matvec_masks output for the streamed-mask path."""
     dt = JT.dtype
     C_pad = _cam_pad(C, windows)
     gf = max(8, -(-tf // 8) * 8)
@@ -1451,14 +1609,14 @@ def isc_matvec(JT, ids_T, z, minv_flat, tile_starts, tile_block0,
     cam, u = implicit_schur_matvec(
         JT, ids_T, z_T, blk, tile_starts, tile_block0, num_points,
         C, r, tf, te, max_rows=max_rows, unroll=unroll, interpret=interpret,
-        mode="isc", emit_u=emit_u, **wkw)
-    return (cam[:C, :tf].reshape(-1),
+        mode="isc", emit_u=emit_u, masks_T=masks_T, **wkw)
+    return (cam[:tf, :C].T.reshape(-1),
             u[:num_points, :te] if emit_u else None)
 
 
 def normal_matvec(JT, ids_T, xc, xp, tile_starts, tile_block0,
                   num_points, C, r, tf, te, max_rows=512, unroll=4,
-                  interpret=False, windows=None):
+                  interpret=False, windows=None, masks_T=None):
     """Fused (J'J)x for the e/f split (CGNR hot op): xc (C*tf,),
     xp (num_points, te). Returns (cam (C*tf,), pt (num_points, te)) —
     caller adds D² x."""
@@ -1475,8 +1633,8 @@ def normal_matvec(JT, ids_T, xc, xp, tile_starts, tile_block0,
     cam, pt = implicit_schur_matvec(
         JT, ids_T, z_T, blk, tile_starts, tile_block0, num_points,
         C, r, tf, te, max_rows=max_rows, unroll=unroll, interpret=interpret,
-        mode="normal", emit_u=True, **wkw)
-    return cam[:C, :tf].reshape(-1), pt[:num_points, :te]
+        mode="normal", emit_u=True, masks_T=masks_T, **wkw)
+    return cam[:tf, :C].T.reshape(-1), pt[:num_points, :te]
 
 
 def jt_u_sorted(

@@ -1524,16 +1524,57 @@ def make_camera_sharded_step(mesh: Mesh, k: int = 1, axis: str = "cam",
 
 def solve_ba_camera_sharded(b, num_iterations=10, mesh=None, k=None,
                             radius0=1e4, axis: str = "cam",
-                            cg_iters: int = 10):
+                            cg_iters: int = 10, halo: "bool | str" = "auto"):
     """End-to-end fully-sharded (camera + point tables partitioned) LM on
     a BALProblem-like `b`. Returns (BAState in the PADDED shard layouts,
-    CameraShardPlan)."""
+    plan). `halo` selects the point-side closure:
+
+     - True: visibility-cut halo exchange (plan_camera_halo) — every
+       point-side collective is cut-sized; per-device working set
+       O(P/n + cut). The scaling tier for problems where BOTH state
+       axes exceed one chip (SURVEY §5.7).
+     - False: dense one-all-gather layout (plan_camera_sharding) —
+       better when the visibility cut approaches P (dense BAL-style
+       random visibility), where halo lists would replicate the table
+       anyway with extra index traffic.
+     - "auto": halo iff the total halo volume is under half of the
+       replicated-table volume."""
     mesh = mesh or make_mesh(axis=axis)
     n = mesh.devices.size
-    plan = plan_camera_sharding(b.camera_index, b.point_index, b.cameras,
-                                b.points, b.observations, n)
+    if halo == "auto" or halo is True:
+        hplan = plan_camera_halo(b.camera_index, b.point_index, b.cameras,
+                                 b.points, b.observations, n)
+        # per-device halo rows (n*Hs) vs per-device replicated table
+        # (n*Pl): below half, the cut layout wins
+        if halo == "auto" and n * hplan.Hs > hplan.pts.shape[0] // 2:
+            hplan = None  # cut ~ P: dense all-gather moves less
+    else:
+        hplan = None
     sh = NamedSharding(mesh, P(axis))
     sh2 = NamedSharding(mesh, P(axis, None))
+    if hplan is not None:
+        plan = hplan
+        cams = jax.device_put(jnp.asarray(plan.cams), sh2)
+        pts = jax.device_put(jnp.asarray(plan.pts), sh2)
+        cam_local = jax.device_put(jnp.asarray(plan.cam_local), sh)
+        pt_ref = jax.device_put(jnp.asarray(plan.pt_halo), sh)
+        srv = jax.device_put(jnp.asarray(plan.srv_idx),
+                             NamedSharding(mesh, P(axis, None, None)))
+        obs = jax.device_put(jnp.asarray(plan.obs), sh2)
+        w = jax.device_put(jnp.asarray(plan.w), sh)
+        k = k or num_iterations
+        step = make_camera_halo_step(mesh, k=k, axis=axis,
+                                     cg_iters=cg_iters)
+        st = BAState(cams, pts, jnp.asarray(radius0, cams.dtype),
+                     jnp.asarray(0.0, cams.dtype))
+        done = 0
+        while done < num_iterations:
+            st = step(st.cams, st.pts, cam_local, pt_ref, obs, w, srv,
+                      st.radius)
+            done += k
+        return st, plan
+    plan = plan_camera_sharding(b.camera_index, b.point_index, b.cameras,
+                                b.points, b.observations, n)
     cams = jax.device_put(jnp.asarray(plan.cams), sh2)
     pts = jax.device_put(jnp.asarray(plan.pts), sh2)
     cam_local = jax.device_put(jnp.asarray(plan.cam_local), sh)
@@ -1550,3 +1591,265 @@ def solve_ba_camera_sharded(b, num_iterations=10, mesh=None, k=None,
         st = step(st.cams, st.pts, cam_local, pt_slot, obs, w, st.radius)
         done += k
     return st, plan
+
+
+# ---------------------------------------------------------------------------
+# Visibility-cut halo exchange (VERDICT r3 #1 "halo-exchange sharding";
+# SURVEY §5.7-5.8 prescription; reference analog: nnz-balanced
+# partitioning + partitioned views, partitioned_matrix_view.h:66,
+# block_structure.h:86-91). The dense camera-sharded layout above
+# replicates the WHOLE point table per device per iteration and psums
+# full-P transients inside every CG iteration; here each shard exchanges
+# only the point segments its observations touch (the visibility CUT —
+# power-law visibility makes cut << P):
+#
+#  - plan_camera_halo builds, per (requester i, owner j) pair, the sorted
+#    list of j-local point rows i needs, padded to the static max Hs;
+#    observations address points by HALO-LOCAL index (j*Hs + k).
+#  - forward exchange (_halo_fwd): each owner serves the rows each
+#    requester asked for — ONE tiled all-to-all of (n*Hs, d).
+#  - reverse exchange (_halo_rev): halo-space contributions return to
+#    their owners through the same lists and scatter-add into the owned
+#    slice — point reductions close in CUT space; no P-sized array ever
+#    crosses the ICI, and no device materializes the full point table.
+# ---------------------------------------------------------------------------
+
+
+class CameraHaloPlan(NamedTuple):
+    """Host-side layout for the halo-exchange fully-sharded LM step."""
+
+    cams: np.ndarray      # (n*Cl, 9) padded camera table, shard-major
+    pts: np.ndarray       # (n*Pl, 3) padded point table, shard-major
+    cam_local: np.ndarray  # (n*Bl,) int32 LOCAL camera id within the shard
+    pt_halo: np.ndarray   # (n*Bl,) int32 HALO-LOCAL point index (j*Hs+k)
+    obs: np.ndarray       # (n*Bl, 2)
+    w: np.ndarray         # (n*Bl,) validity weights (0 on padding rows)
+    srv_idx: np.ndarray   # (n, n, Hs) int32: srv_idx[j, i] = j-local rows
+    #                       shard j serves to requester i (0-padded)
+    camera_slot: np.ndarray  # (C,) padded-slot index of each original camera
+    point_slot: np.ndarray   # (P,) padded-slot index of each original point
+    Cl: int
+    Pl: int
+    Bl: int
+    Hs: int               # max halo rows requested from any single owner
+    n: int
+
+
+def plan_camera_halo(camera_index, point_index, cameras, points,
+                     observations, n: int) -> CameraHaloPlan:
+    """plan_camera_sharding + per-shard visibility-cut halo lists."""
+    base = plan_camera_sharding(camera_index, point_index, cameras, points,
+                                observations, n)
+    Pl, Bl = base.Pl, base.Bl
+    slot = np.asarray(base.pt_slot)
+    reqs = []  # reqs[i][j] = sorted unique j-local rows shard i needs
+    Hs = 1
+    for i in range(n):
+        u = np.unique(slot[i * Bl: (i + 1) * Bl])
+        owner = u // Pl
+        per = [np.ascontiguousarray((u[owner == j] % Pl).astype(np.int32))
+               for j in range(n)]
+        Hs = max(Hs, max(p.shape[0] for p in per))
+        reqs.append(per)
+    srv = np.zeros((n, n, Hs), np.int32)
+    for i in range(n):
+        for j in range(n):
+            srv[j, i, : reqs[i][j].shape[0]] = reqs[i][j]
+    # observation point references -> halo-local ids
+    pt_halo = np.zeros(n * Bl, np.int32)
+    for i in range(n):
+        sl = slice(i * Bl, (i + 1) * Bl)
+        s = slot[sl]
+        j = s // Pl
+        loc = (s % Pl).astype(np.int32)
+        k = np.empty(s.shape[0], np.int32)
+        for jj in range(n):
+            m = j == jj
+            if m.any():
+                k[m] = np.searchsorted(reqs[i][jj], loc[m]).astype(np.int32)
+        pt_halo[sl] = (j * Hs + k).astype(np.int32)
+    return CameraHaloPlan(base.cams, base.pts, base.cam_local, pt_halo,
+                          base.obs, base.w, srv, base.camera_slot,
+                          base.point_slot, base.Cl, Pl, Bl, Hs, n)
+
+
+def _halo_fwd(v_own, srv_l, axis):
+    """Serve owned rows to every requester: v_own (Pl, d), srv_l (n, Hs)
+    j-local rows to send to each destination. Returns this shard's halo
+    table (n*Hs, d) — chunk j holds the rows it requested from shard j,
+    in its own (sorted) request order."""
+    send = v_own[srv_l.reshape(-1)]
+    return jax.lax.all_to_all(send, axis, 0, 0, tiled=True)
+
+
+def _halo_rev(contrib_halo, srv_l, axis, Pl):
+    """Adjoint of _halo_fwd: return halo-space contributions (n*Hs, d)
+    to their owners and scatter-add into the owned slice (Pl, d)."""
+    back = jax.lax.all_to_all(contrib_halo, axis, 0, 0, tiled=True)
+    return jnp.zeros((Pl, contrib_halo.shape[1]), contrib_halo.dtype).at[
+        srv_l.reshape(-1)].add(back)
+
+
+def lm_step_camera_halo(cams_l, pts_own, cam_local, pt_halo, obs, srv_l,
+                        radius, axis_name, w=None, cg_iters: int = 10):
+    """One LM iteration with the camera table device-local and the point
+    table OWNER-SHARDED, closed via cut-sized halo exchanges (same LM/CG
+    math as lm_step_camera_sharded; accept rule =
+    min_relative_decrease, levenberg_marquardt_strategy.cc:69 radius
+    update):
+
+     - camera-side reductions shard-local (zero-halo property);
+     - point-side reductions close in HALO space: segment-sum by halo id,
+       one reverse all-to-all, owner scatter-add — never a P-sized psum;
+     - CG state lives in OWNED point space (Pl rows/device); each matvec
+       pays one forward + one reverse cut-sized exchange.
+
+    Returns (new cams_l, new pts_own, radius, cost)."""
+    Pl = pts_own.shape[0]
+    n = srv_l.shape[0]
+    Hs = srv_l.shape[1]
+    Hl = n * Hs
+
+    def psum(x):
+        return jax.lax.psum(x, axis_name)
+
+    halo_pts = _halo_fwd(pts_own, srv_l, axis_name)
+    r, Jc, Jp = _evaluate(cams_l, halo_pts, cam_local, pt_halo, obs, w)
+    cost = psum(0.5 * jnp.sum(r * r))
+    C_l = cams_l.shape[0]
+    reduce_c, reduce_h = _make_reducers(cam_local, pt_halo, C_l, Hl, None)
+
+    def reduce_p(contrib):
+        return _halo_rev(reduce_h(contrib), srv_l, axis_name, Pl)
+
+    B, rr, tc = Jc.shape
+    tp = Jp.shape[2]
+    R, S = _flat_selectors(rr, tc, tp, Jc.dtype)
+    J = jnp.concatenate(
+        [Jc.reshape(B, rr * tc), Jp.reshape(B, rr * tp)], axis=1)
+
+    def split(ct_pt):
+        return ct_pt[:, :tc], ct_pt[:, tc:]
+
+    jtr = _mmf(J * _mmf(r, S.T), R.T)
+    jsq = _mmf(J * J, R.T)
+    gcb, gpb = split(jtr)
+    d2cb, d2pb = split(jsq)
+    gc = reduce_c(gcb)          # local camera rows — no collective
+    d2c = reduce_c(d2cb)
+    # ONE reverse exchange for both point-side reductions
+    gd = reduce_p(jnp.concatenate([gpb, d2pb], axis=1))
+    gp, d2p = gd[:, :tp], gd[:, tp:]
+    sc = 1.0 / (1.0 + jnp.sqrt(d2c))
+    sp = 1.0 / (1.0 + jnp.sqrt(d2p))
+    sp_halo = _halo_fwd(sp, srv_l, axis_name)
+    Js = J * _mmf(jnp.concatenate([sc[cam_local], sp_halo[pt_halo]],
+                                  axis=1), R)
+    diag_c = jnp.clip(sc * sc * d2c, 1e-6, 1e32)
+    diag_p = jnp.clip(sp * sp * d2p, 1e-6, 1e32)
+    D2c = diag_c / radius
+    D2p = diag_p / radius
+    rhs_c = sc * gc
+    rhs_p = sp * gp
+    Minv_c = 1.0 / (diag_c + D2c)
+    Minv_p = 1.0 / (diag_p + D2p)
+
+    def matvec(vc, vp):
+        vp_h = _halo_fwd(vp, srv_l, axis_name)
+        seg = jnp.concatenate([vc[cam_local], vp_h[pt_halo]], axis=1)
+        jv = _mmf(Js * _mmf(seg, R), S)
+        back = _mmf(Js * _mmf(jv, S.T), R.T)
+        cb, pb = split(back)
+        return reduce_c(cb) + D2c * vc, reduce_p(pb) + D2p * vp
+
+    def dots(ac, bc, ap, bp):
+        return psum(jnp.sum(ac * bc) + jnp.sum(ap * bp))
+
+    def cg_body(_, state):
+        xc, xp, rc, rp, pc, pp, rz = state
+        qc, qp = matvec(pc, pp)
+        pq = dots(pc, qc, pp, qp)
+        alpha = rz / jnp.maximum(pq, 1e-300)
+        xc = xc + alpha * pc
+        xp = xp + alpha * pp
+        rc = rc - alpha * qc
+        rp = rp - alpha * qp
+        zc = Minv_c * rc
+        zp = Minv_p * rp
+        rz_new = dots(rc, zc, rp, zp)
+        beta = rz_new / jnp.maximum(rz, 1e-300)
+        pc = zc + beta * pc
+        pp = zp + beta * pp
+        return xc, xp, rc, rp, pc, pp, rz_new
+
+    zc0 = Minv_c * rhs_c
+    zp0 = Minv_p * rhs_p
+    rz0 = dots(rhs_c, zc0, rhs_p, zp0)
+    init = (jnp.zeros_like(cams_l), jnp.zeros_like(pts_own), rhs_c, rhs_p,
+            zc0, zp0, rz0)
+    yc, yp, *_ = jax.lax.fori_loop(0, cg_iters, cg_body, init)
+    step_c, step_p = -yc, -yp
+
+    new_cams = cams_l + step_c * sc
+    new_pts = pts_own + step_p * sp
+    # ONE forward exchange for the step (jstep/mcc) AND candidate points
+    both = _halo_fwd(jnp.concatenate([step_p, new_pts], axis=1), srv_l,
+                     axis_name)
+    step_p_h, cand_h = both[:, :tp], both[:, tp:]
+    segs_step = jnp.concatenate(
+        [step_c[cam_local], step_p_h[pt_halo]], axis=1)
+    jstep = _mmf(Js * _mmf(segs_step, R), S)
+    model_cost_change = psum(-jnp.sum(jstep * (r + jstep / 2.0)))
+
+    new_cost = psum(ba_cost(new_cams, cand_h, cam_local, pt_halo, obs, w))
+    rel_decrease = (cost - new_cost) / jnp.maximum(model_cost_change, 1e-300)
+    accept = (model_cost_change > 0) & (rel_decrease > 1e-3)
+
+    cams_out = jnp.where(accept, new_cams, cams_l)
+    pts_out = jnp.where(accept, new_pts, pts_own)
+    radius_out = jnp.where(
+        accept,
+        jnp.minimum(
+            radius / jnp.maximum(
+                1.0 / 3.0, 1.0 - (2.0 * rel_decrease - 1.0) ** 3),
+            1e16,
+        ),
+        radius / 2.0,
+    )
+    cost_out = jnp.where(accept, new_cost, cost)
+    return cams_out, pts_out, radius_out, cost_out
+
+
+def make_camera_halo_step(mesh: Mesh, k: int = 1, axis: str = "cam",
+                          cg_iters: int = 10):
+    """shard_map'd k-iteration halo-exchange LM step. Returns
+    step(cams_sh, pts_sh, cam_local_sh, pt_halo_sh, obs_sh, w_sh, srv,
+    radius) -> BAState with BOTH tables partitioned over `axis`."""
+    from jax import shard_map
+
+    def body(cams_l, pts_l, cam_local, pt_halo, obs_l, w_l, srv_l, radius):
+        srv_l = srv_l[0]  # (1, n, Hs) shard block -> (n, Hs)
+
+        def it(_, st):
+            c, p, rad, co = st
+            return lm_step_camera_halo(
+                c, p, cam_local, pt_halo, obs_l, srv_l, rad, axis,
+                w=w_l, cg_iters=cg_iters)
+        c, p, rad, co = jax.lax.fori_loop(
+            0, k, it, (cams_l, pts_l, radius, jnp.asarray(0.0, radius.dtype)))
+        return c, p, rad, co
+
+    sh = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis), P(axis),
+                  P(axis, None), P(axis), P(axis, None, None), P()),
+        out_specs=(P(axis, None), P(axis, None), P(), P()),
+    )
+
+    def step(cams_sh, pts_sh, cam_local_sh, pt_halo_sh, obs_sh, w_sh, srv,
+             radius):
+        c, p, r, co = sh(cams_sh, pts_sh, cam_local_sh, pt_halo_sh, obs_sh,
+                         w_sh, srv, radius)
+        return BAState(c, p, r, co)
+
+    return jax.jit(step)

@@ -278,6 +278,12 @@ class IterativeSchurStepOps:
         vflat = tuple(tuple(r) for r in self.flat.flatten(o["block_jacs"]))
         return o["cost"], o["residuals"], vflat
 
+    def prepare_invariants(self):
+        """Build the structure-constant streamed mask planes for the
+        fused matvec ONCE per minimize (called by the fused loop before
+        lax.while_loop; the body captures them as loop invariants)."""
+        self._masks = self.flat.kernel_masks()
+
     def post_eval(self, vrep, r, args=None):
         fl, pm, pt = self.flat, self.pm, self.pt
         g_e, sqn_e, ete = fl.fused_post_eval_e(vrep, r)
@@ -402,7 +408,8 @@ class IterativeSchurStepOps:
         # Fused one-Pallas-kernel S·z when the structure qualifies (J read
         # once per matvec; ops/pallas_kernels.implicit_schur_matvec) —
         # identical math to the flat-ops product chain below.
-        suite = fl.make_kernel_suite(vrep, se, sf)
+        suite = fl.make_kernel_suite(vrep, se, sf,
+                                     masks=getattr(self, "_masks", None))
         kern = suite[0] if suite is not None else None
         normal_k = suite[2] if suite is not None else None
 
@@ -1071,6 +1078,11 @@ class DoglegOpsWrapper:
     def evaluate(self, x, args=None):
         return self.inner.evaluate(x, args)
 
+    def prepare_invariants(self):
+        prep = getattr(self.inner, "prepare_invariants", None)
+        if prep is not None:
+            prep()
+
     def post_eval(self, vrep, r, args=None):
         return self.inner.post_eval(vrep, r, args)
 
@@ -1278,6 +1290,13 @@ class FusedTrustRegionMinimizer:
                 )
                 return jnp.where(active, 0.0, 1.0)
 
+        prep = getattr(ops, "prepare_invariants", None)
+        if prep is not None:
+            # structure-constant device tensors (e.g. the streamed matvec
+            # mask planes) built ONCE here, before the while loop — the
+            # body captures them as loop-invariant inputs instead of
+            # recomputing (or baking GB-scale constants into the payload)
+            prep()
         cost0, r0, vrep0 = ops.evaluate(x0, args)
         g0, sqn0, aux0 = ops.post_eval(vrep0, r0, args)
         sqn0_64 = sqn0.astype(jnp.float64)
