@@ -51,7 +51,13 @@ def _note(msg):
 import numpy as np
 
 REPEATS = 5
-PLAUSIBLE_ROOFLINE_GB_S = 50.0
+# r3's 150 GB/s "measured roofline" was dispatch-bound (8 chained jit
+# calls through a ~25 ms-RTT tunnel). The r4 protocol (fori_loop of 64
+# copies inside ONE jit, paired 256-vs-64 differencing) measures
+# ~671 GB/s on v5e — so anything below 400 means the host/tunnel is too
+# noisy to trust.
+PLAUSIBLE_ROOFLINE_GB_S = 400.0
+V5E_HBM_SPEC_GB_S = 819.0
 
 # f64 host-loop DENSE_SCHUR converged cost on the committed BAL-16 bench
 # instance (seeds 0/1, shapes below) — the correctness bar for every
@@ -82,7 +88,11 @@ def _paired_diff(iters, f_lo, f_hi, repeats=REPEATS):
     """iters/sec from PAIRED (f_hi - f_lo) wall-time differences: the two
     runs of each pair execute back-to-back, so slow tunnel phases hit both
     sides of the difference; the median of the per-pair differences is
-    far more stable than a difference of independent medians."""
+    far more stable than a difference of independent medians.
+
+    Returns (rate | None, spread): a non-positive median difference means
+    tunnel noise swamped the signal — the measurement is unusable and is
+    reported as null (ADVICE r3), never as a clamped absurd rate."""
     ds = []
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -95,7 +105,9 @@ def _paired_diff(iters, f_lo, f_hi, repeats=REPEATS):
     ds.sort()
     med = ds[len(ds) // 2]
     spread = (ds[-1] - ds[0]) / max(abs(med), 1e-12)
-    return iters / max(med, 1e-9), spread
+    if med <= 0:
+        return None, spread
+    return iters / med, spread
 
 
 def _bal16():
@@ -230,7 +242,19 @@ def bench_generic(b):
                           evaluation_dtype="float64",
                           max_linear_solver_iterations=100)
     converged_cost = cc()
-    return amortized, marginal, cost, converged_cost, max(s20, msp)
+    # f64 THROUGHPUT headline (VERDICT r3 weak #6): the dtype that
+    # reaches the golden cost exactly (the reference evaluates in f64
+    # always, jet.h / program_evaluator.h) — published so
+    # "matching-or-beating at reference accuracy" has a measured value.
+    f20_64, _ = _build_fused(b, 20, "DENSE_SCHUR", "JACOBI",
+                             evaluation_dtype="float64")
+    t64, s64 = _median_spread(f20_64)
+    f6_64, _ = _build_fused(b, 6, "DENSE_SCHUR", "JACOBI",
+                            evaluation_dtype="float64")
+    amort64 = 20.0 / t64
+    marg64, m64sp = _paired_diff(14.0, f6_64, f20_64)
+    return (amortized, marginal, cost, converged_cost, max(s20, msp),
+            amort64, marg64, max(s64, m64sp))
 
 
 def bench_large_c():
@@ -272,60 +296,89 @@ def bench_spmv(jax, jnp, b):
     JT, ids_T = jax.jit(functools.partial(
         pk.prep_matvec_rows, max_rows=max_rows, r=r, tf=tf, te=te))(
         Jf, Je, jnp.asarray(pt), jnp.asarray(cam))
+    masks = jax.jit(functools.partial(
+        pk.build_matvec_masks, num_points=P, max_rows=max_rows))(
+        jnp.asarray(pt), jnp.asarray(cam), tbj)
     _sync(JT)
 
-    def k_mv(JT, ids_T, z, minv, k):
+    def k_mv(JT, ids_T, z, minv, masks, k):
         def body(i, zz):
             cam_o, _ = pk.isc_matvec(JT, ids_T, zz, minv, tsj, tbj, P, C,
                                      r, tf, te, max_rows=max_rows,
-                                     emit_u=False)
+                                     emit_u=False, masks_T=masks,
+                                     unroll=8)
             return zz + 1e-6 * cam_o
         return jax.lax.fori_loop(0, k, body, z)
 
     f2 = jax.jit(functools.partial(k_mv, k=8))
     f6 = jax.jit(functools.partial(k_mv, k=104))
-    _sync(f2(JT, ids_T, z, minv))
-    _sync(f6(JT, ids_T, z, minv))
+    _sync(f2(JT, ids_T, z, minv, masks))
+    _sync(f6(JT, ids_T, z, minv, masks))
 
-    # 96 matvecs of signal per pair (8-vs-104): the per-pair difference
-    # must dominate the ~23 ms tunnel RTT jitter to be falsifiable
-    # (32-matvec signal still showed 2x cross-process drift)
+    # 96 matvecs of signal per pair (8-vs-104), all inside single jits
+    # (fori_loop): the per-pair difference must dominate the ~25 ms
+    # tunnel RTT jitter to be falsifiable
     rate, spread = _paired_diff(
-        96.0, lambda: _sync(f2(JT, ids_T, z, minv)),
-        lambda: _sync(f6(JT, ids_T, z, minv)))
+        96.0, lambda: _sync(f2(JT, ids_T, z, minv, masks)),
+        lambda: _sync(f6(JT, ids_T, z, minv, masks)))
+    if rate is None:
+        return None, None, None, spread
     per = 1.0 / rate  # seconds per matvec
     nnz = B * r * (tf + te)
     gnnz = 2 * nnz / per / 1e9
-    # bytes the kernel actually moves per S·z (J + ids + per-point rows)
+    # bytes the kernel actually moves per S·z (J + ids + masks +
+    # per-point rows)
     T = len(tb) - 1
-    bytes_mv = (JT.size + ids_T.size) * 4 + T * pk.BLOCKS_PER_TILE * 128 * 4
+    bytes_mv = ((JT.size + ids_T.size) * 4 + masks.size
+                + T * pk.BLOCKS_PER_TILE * 128 * 4)
     return gnnz, per * 1e3, bytes_mv / per, spread
 
 
+def measure_rtt(jax, jnp):
+    """Empty-jit dispatch round trip (ms): the fixed per-call cost every
+    synchronous fetch pays through this tunnel. Published so amortized
+    vs marginal throughput gaps are adjudicable from the JSON alone
+    (VERDICT r3 weak #3)."""
+    f = jax.jit(lambda a: a + 1.0)
+    s = jnp.float32(0.0)
+    _sync(f(s))
+    ts = []
+    for _ in range(11):
+        t0 = time.perf_counter()
+        _sync(f(s))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2] * 1e3
+
+
 def measure_roofline(jax, jnp):
-    """Measured copy bandwidth (same sync discipline). Best of REPEATS
-    attempts — the tunnel can stall any single attempt; if even the best
-    is implausibly low the host was too noisy and results are degraded."""
+    """Copy bandwidth from ONE jit running a fori_loop of dependent
+    copies, timed as the PAIRED difference of 256-vs-64 loop trips — no
+    per-dispatch tunnel overhead in the measurement (the r3 protocol's 8
+    chained jit calls measured the dispatch path, not HBM: 150 GB/s on
+    an ~819 GB/s part)."""
     rng = np.random.default_rng(1)
     big = jnp.asarray(rng.standard_normal((4096, 16384)), jnp.float32)
-    cp = jax.jit(lambda a: a * 1.0000001)
-    _sync(cp(big))
 
-    def run():
-        o = big
-        for _ in range(8):
-            o = cp(o)
-        _sync(o)
+    def kcopy(a, k):
+        return jax.lax.fori_loop(0, k, lambda i, o: o * 1.0000001, a)
 
-    best = None
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        run()
-        dt = time.perf_counter() - t0
-        bw = 8 * 2 * big.size * 4 / dt
-        best = bw if best is None else max(best, bw)
-    return best / 1e9
+    f_lo = jax.jit(functools.partial(kcopy, k=64))
+    f_hi = jax.jit(functools.partial(kcopy, k=256))
+    _sync(f_lo(big))
+    _sync(f_hi(big))
+    rate, spread = _paired_diff(
+        192.0, lambda: _sync(f_lo(big)), lambda: _sync(f_hi(big)))
+    if rate is None:
+        return 0.0, spread  # forces degraded
+    return rate * 2 * big.size * 4 / 1e9, spread
 
+
+
+
+def _r(x, nd=3):
+    """round or pass None through (unusable paired measurements)."""
+    return round(x, nd) if x is not None else None
 
 def main():
     import jax
@@ -334,17 +387,22 @@ def main():
     jax.config.update("jax_enable_x64", True)
 
     b = _bal16()
-    _note("specialized...")
+    _note("rtt+roofline...")
+    rtt_ms = measure_rtt(jax, jnp)
+    bw, bw_spread = measure_roofline(jax, jnp)
+    _note(f"rtt {rtt_ms:.1f} ms, roofline {bw:.0f} GB/s; specialized...")
     lm_amort, lm_marg, final_cost, lm_spread = bench_specialized(jnp, jax, b)
-    _note(f"specialized done ({lm_amort:.0f}/{lm_marg:.0f} it/s); spmv...")
+    _note(f"specialized done ({lm_amort:.0f}/{lm_marg or 0:.0f} it/s); spmv...")
     gnnz, mv_ms, mv_bytes_per_s, spmv_spread = bench_spmv(jax, jnp, _bal16())
-    _note(f"spmv done ({gnnz:.2f} Gnnz/s); roofline...")
-    bw = measure_roofline(jax, jnp)
-    hbm_frac = (mv_bytes_per_s / 1e9) / bw
-    _note(f"roofline {bw/1e9:.0f} GB/s; generic...")
-    (gen_amort, gen_marg, gen_cost, gen_converged,
-     gen_spread) = bench_generic(_bal16())
-    _note(f"generic done ({gen_amort:.0f}/{gen_marg:.0f} it/s); large-C...")
+    hbm_frac = ((mv_bytes_per_s / 1e9) / bw
+                if mv_bytes_per_s and bw else None)
+    hbm_frac_spec = ((mv_bytes_per_s / 1e9) / V5E_HBM_SPEC_GB_S
+                     if mv_bytes_per_s else None)
+    _note(f"spmv done ({gnnz or 0:.2f} Gnnz/s); generic...")
+    (gen_amort, gen_marg, gen_cost, gen_converged, gen_spread,
+     gen_amort64, gen_marg64, gen64_spread) = bench_generic(_bal16())
+    _note(f"generic done ({gen_amort:.0f}/{gen_marg or 0:.0f} it/s, "
+          f"f64 {gen_amort64:.0f}/{gen_marg64 or 0:.0f}); large-C...")
     try:
         large_it_s, large_cost, large_meta, large_spread = bench_large_c()
     except Exception as e:  # large instance needs the real chip's HBM
@@ -378,26 +436,34 @@ def main():
         "value": round(lm_amort, 3),
         "unit": "iter/s",
         "vs_baseline": round(vs, 3),
-        "lm_it_per_s_marginal": round(lm_marg, 3),
+        "lm_it_per_s_marginal": _r(lm_marg),
         "generic_fused_lm_it_per_s": round(gen_amort, 3),
-        "generic_fused_lm_it_per_s_marginal": round(gen_marg, 3),
+        "generic_fused_lm_it_per_s_marginal": _r(gen_marg),
+        "generic_fused_lm_it_per_s_rtt_corrected": _r(
+            20.0 / max(20.0 / gen_amort - rtt_ms / 1e3, 1e-9)),
+        "lm_it_per_s_f64": round(gen_amort64, 3),
+        "lm_it_per_s_f64_marginal": _r(gen_marg64),
         "generic_final_cost": round(gen_cost, 2),
         "generic_converged_cost": round(gen_converged, 2),
         "generic_cost_ok": gen_cost_ok,
-        "large_c_it_per_s": (round(large_it_s, 3) if large_it_s else None),
-        "large_c_final_cost": (round(large_cost, 2) if large_cost else None),
+        "large_c_it_per_s": _r(large_it_s),
+        "large_c_final_cost": _r(large_cost, 2),
         "large_c_shape": large_meta,
-        "spmv_gnnz_per_s_fused": round(gnnz, 3),
-        "spmv_ms_per_matvec": round(mv_ms, 3),
-        "spmv_hbm_fraction": round(hbm_frac, 3),
+        "spmv_gnnz_per_s_fused": _r(gnnz),
+        "spmv_ms_per_matvec": _r(mv_ms),
+        "spmv_hbm_fraction": _r(hbm_frac),
+        "spmv_hbm_fraction_spec": _r(hbm_frac_spec),
         "copy_roofline_gb_s": round(bw, 1),
+        "hbm_spec_gb_s": V5E_HBM_SPEC_GB_S,
+        "rtt_ms": round(rtt_ms, 2),
         "repeats": REPEATS,
         "spread": {
             "lm": round(lm_spread, 3),
             "generic": round(gen_spread, 3),
-            "spmv": round(spmv_spread, 3),
-            "large_c": (round(large_spread, 3)
-                        if large_spread is not None else None),
+            "generic_f64": round(gen64_spread, 3),
+            "spmv": _r(spmv_spread),
+            "roofline": round(bw_spread, 3),
+            "large_c": _r(large_spread),
         },
         "degraded": degraded,
         "final_cost": final_cost,

@@ -839,6 +839,48 @@ class FlatSchurOps(_FlatOpsBase):
             jnp.asarray(pf.local, jnp.int32),
             jnp.asarray(pe.rplan[1]), pe.nv, pe.rplan[2])
 
+    def post_eval_kernel(self, vflat, u, masks=None):
+        """One-pass fused post-evaluation reduce
+        (pallas_kernels.post_eval_fused): g_e/sqn_e/E'E blocks +
+        g_f/sqn_f in a single J read, replacing the multi-pass XLA
+        selector chain (~95 ms/iter at Venice scale). Returns
+        (g_e, sqn_e, ete_blocks, g_f, sqn_f) in partition layouts, or
+        None when the structure doesn't qualify."""
+        qual = self._kernel_slots(self.plans_e, self.plans_f,
+                                  self.pm.e_fams, self.pm.f_fams)
+        if qual is None or vflat[0][qual[0].s].dtype != jnp.float32:
+            return None
+        pe, pf, windows = qual
+        from . import pallas_kernels as pk
+
+        kind = self.kinds[0]
+        Jf, Je = vflat[0][pf.s], vflat[0][pe.s]
+        tf, te = pf.t, pe.t
+        max_rows = pe.rplan[2]
+        JT, ids_T = pk.prep_matvec_rows(
+            Jf, Je, pe.local, pf.local, max_rows, kind.r, tf, te)
+        B = Jf.shape[0]
+        rows = u[kind.row_offset: kind.row_offset + kind.B * kind.r]
+        rows = rows.reshape(kind.B, kind.r)
+        rT = jnp.zeros((8, B + max_rows), Jf.dtype)
+        rT = jax.lax.dynamic_update_slice(rT, rows.T.astype(Jf.dtype),
+                                          (0, 0))
+        wkw = dict(win_starts=windows[0], win_width=windows[1],
+                   n_win=windows[2]) if windows is not None else {}
+        num_tiles = len(pe.rplan[1]) - 1
+        cam, ptab = pk.post_eval_fused(
+            JT, ids_T, rT, pe.rplan[0], pe.rplan[1], pe.nv, pf.nv,
+            kind.r, tf, te, max_rows=max_rows, masks_T=masks,
+            unroll=16 if num_tiles >= 4096 else 8,
+            interpret=PALLAS_MODE == "interpret", **wkw)
+        gf = max(8, -(-tf // 8) * 8)
+        g_e = ptab[:pe.nv, :te].reshape(-1)
+        sqn_e = ptab[:pe.nv, te: 2 * te].reshape(-1)
+        ete = ptab[:pe.nv, 2 * te: 2 * te + te * te]
+        g_f = cam[:tf, :pf.nv].T.reshape(-1)
+        sqn_f = cam[gf: gf + tf, :pf.nv].T.reshape(-1)
+        return g_e, sqn_e, ete, g_f, sqn_f
+
     def make_kernel_suite(self, vflat, se, sf, masks=None):
         """(matvec, jacobi_blocks) over ONE scaled transposed J prep, or
         None. jacobi_blocks(minv_flat, d2f) returns the inverse flats of

@@ -1637,6 +1637,292 @@ def normal_matvec(JT, ids_T, xc, xp, tile_starts, tile_block0,
     return cam[:tf, :C].T.reshape(-1), pt[:num_points, :te]
 
 
+def post_eval_fused(
+    JT,  # (r*gf + r*ge, n_pad) UNscaled grouped J lanes [Jf | Je]
+    ids_T,  # (8, n_pad) int32 id planes (prep_matvec_rows)
+    rT,  # (8, n_pad) residual rows: sublane i = residual component i
+    tile_starts,
+    tile_block0,
+    num_points: int,
+    C: int,
+    r: int,
+    tf: int,
+    te: int,
+    max_rows: int = 512,
+    unroll: int = 8,
+    interpret: bool = False,
+    win_starts=None,
+    win_width: int = 0,
+    n_win: int = 1,
+    masks_T=None,
+):
+    """The ENTIRE per-iteration post-evaluation reduce in ONE J pass
+    (program_evaluator.h:252-284's gradient accumulation + Jacobi-scale
+    column norms + the eliminator's E'E diagonal blocks,
+    schur_eliminator_impl.h:184 chunk pass): per observation tile
+
+        g_e  += Je' u      sqn_e += Je.^2     ete += Je' Je   (per point)
+        g_f  += Jf' u      sqn_f += Jf.^2                     (per camera)
+
+    Returns (cam (2*gf, C_pad) transposed: sublanes [0,gf) = g_f rows,
+    [gf, 2gf) = sqn_f rows; pt (num_points+1+BT, 128): lanes [0,te) g_e,
+    [te,2te) sqn_e, [2te, 2te+te*te) ete flat).
+
+    The XLA chain this replaces (fused_post_eval) builds (B, 2t+t*t)
+    contribution arrays through selector matmuls — several B-wide HBM
+    round trips per iteration (~95 ms of the 642 ms Venice iteration in
+    r3). Here J is read once and everything reduces in VMEM."""
+    lanes_pad, n_pad = JT.shape
+    BT = BLOCKS_PER_TILE
+    num_tiles = tile_block0.shape[0] - 1
+    grid = -(-num_tiles // unroll)
+    num_tiles_pad = grid * unroll
+    gf = max(8, -(-tf // 8) * 8)
+    ge = max(8, -(-te // 8) * 8)
+    windowed = win_starts is not None
+    n_chunks = (n_win * win_width) // _LANE if windowed else None
+    streamed = masks_T is not None
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    dt = JT.dtype
+    assert lanes_pad == r * gf + r * ge
+    we = 2 * te + te * te
+    assert we <= _LANE
+    if windowed:
+        c_hi = int(np.asarray(win_starts).max()) + n_win * win_width
+        C_pad = max(_LANE, -(-(C + 1) // _LANE) * _LANE, c_hi)
+        win_starts = jnp.asarray(win_starts, jnp.int32)
+    else:
+        C_pad = max(_LANE, -(-(C + 1) // _LANE) * _LANE)
+    n_split = SPLIT_PASSES
+
+    def split3(x):
+        hi = x.astype(bf16)
+        if n_split == 1:
+            return (hi,)
+        rem = x - hi.astype(f32)
+        mid = rem.astype(bf16)
+        if n_split == 2:
+            return hi, mid
+        lo = (rem - mid.astype(f32)).astype(bf16)
+        return hi, mid, lo
+
+    if num_tiles_pad > num_tiles:
+        pad = num_tiles_pad - num_tiles
+        tile_starts = jnp.concatenate(
+            [jnp.asarray(tile_starts, jnp.int32),
+             jnp.broadcast_to(jnp.asarray(tile_starts)[-1:], (pad,))])
+        tile_block0 = jnp.concatenate(
+            [jnp.asarray(tile_block0, jnp.int32),
+             jnp.broadcast_to(jnp.asarray(tile_block0)[-1:], (pad,))])
+        if windowed:
+            win_starts = jnp.concatenate(
+                [win_starts, jnp.broadcast_to(win_starts[-1:], (pad,))])
+    nb_out = num_points + 1 + BT
+
+    def kernel(*refs):
+        if windowed:
+            win_ref, refs = refs[0], refs[1:]
+        else:
+            win_ref = None
+        masks_hbm = None
+        if streamed:
+            masks_hbm, refs = refs[0], refs[1:]
+        (starts_ref, block0_ref, ids_hbm, jt_hbm, r_hbm, cam_out,
+         pt_hbm) = refs
+        g = pl.program_id(0)
+        C_pad_l = cam_out.shape[1]
+        nck = n_chunks if windowed else C_pad_l // _LANE
+
+        def body(ids_vmem, jt_vmem, r_vmem, msk_vmem, out_vmem,
+                 sem_i, sem_j, sem_r, sem_m, sem_o):
+            copies = []
+            for j in range(unroll):
+                row0 = pl.multiple_of(starts_ref[g * unroll + j], _LANE)
+                cps = [
+                    pltpu.make_async_copy(
+                        ids_hbm.at[:, pl.ds(row0, max_rows)],
+                        ids_vmem.at[j], sem_i.at[j]),
+                    pltpu.make_async_copy(
+                        jt_hbm.at[:, pl.ds(row0, max_rows)],
+                        jt_vmem.at[j], sem_j.at[j]),
+                    pltpu.make_async_copy(
+                        r_hbm.at[:, pl.ds(row0, max_rows)],
+                        r_vmem.at[j], sem_r.at[j]),
+                ]
+                if streamed:
+                    cps.append(pltpu.make_async_copy(
+                        masks_hbm.at[:, pl.ds(row0, max_rows)],
+                        msk_vmem.at[j], sem_m.at[j]))
+                for c in cps:
+                    c.start()
+                copies.append(cps)
+
+            d_mm = (((1,), (0,)), ((), ()))
+            d_ll = (((1,), (1,)), ((), ()))
+
+            @pl.when(g == 0)
+            def _zero_cam():
+                cam_out[:, :] = jnp.zeros(
+                    (2 * gf, C_pad_l), cam_out.dtype)
+
+            if not streamed:
+                csub = jax.lax.broadcasted_iota(
+                    jnp.int32, (_LANE, max_rows), 0)
+                sub = jax.lax.broadcasted_iota(jnp.int32, (BT, max_rows), 0)
+            one = jnp.ones((), f32)
+            zero = jnp.zeros((), f32)
+            out_cp = None
+
+            for j in range(unroll):
+                for c in copies[j]:
+                    c.wait()
+                b0 = block0_ref[g * unroll + j]
+                b1 = block0_ref[g * unroll + j + 1]
+                jt = jt_vmem[j]
+                pid1 = ids_vmem[j][0:1, :]
+                cid1 = ids_vmem[j][1:2, :]
+                in_tile = jnp.where(
+                    (pid1 >= b0) & (pid1 < b1), one, zero)
+                if streamed:
+                    mk = msk_vmem[j]
+                    ohc_lo = mk[0:128, :].astype(bf16)
+                    ohp_b = mk[128:256, :].astype(bf16)
+                else:
+                    lo1 = cid1 - _LANE * jax.lax.div(cid1, jnp.int32(_LANE))
+                    ohc_lo = jnp.where(
+                        jnp.broadcast_to(lo1, (_LANE, max_rows)) == csub,
+                        one, zero).astype(bf16)
+                    pid = jnp.broadcast_to(pid1, (BT, max_rows))
+                    ohp_b = jnp.where(
+                        (pid - b0 == sub) & (pid < b1)
+                        & (pid < num_points), one, zero).astype(bf16)
+                if windowed:
+                    w0 = pl.multiple_of(win_ref[g * unroll + j], _LANE)
+                    hi1 = jax.lax.div(cid1 - w0, jnp.int32(_LANE))
+                else:
+                    w0 = 0
+                    hi1 = jax.lax.div(cid1, jnp.int32(_LANE))
+                Jf_g = [jt[i * gf:(i + 1) * gf, :] for i in range(r)]
+                off_e = r * gf
+                Je_g = [jt[off_e + i * ge: off_e + (i + 1) * ge, :]
+                        for i in range(r)]
+                u_r = [r_vmem[j][i:i + 1, :] for i in range(r)]
+
+                # e-side per-row lanes: [g_e | sqn_e | ete] (we <= 16)
+                ge_rows = sum(Je_g[i] * jnp.broadcast_to(
+                    u_r[i], (ge, max_rows)) for i in range(r))
+                se_rows = sum(Je_g[i] * Je_g[i] for i in range(r))
+                parts_e = [ge_rows[:te, :], se_rows[:te, :]]
+                for a in range(te):
+                    ete_a = sum(
+                        Je_g[i][a:a + 1, :] * Je_g[i][:te, :]
+                        for i in range(r))
+                    parts_e.append(ete_a)
+                w_e = jnp.concatenate(parts_e, axis=0)  # (we, rows)
+                wep = max(16, -(-we // 16) * 16)
+                if wep != we:
+                    w_e = jnp.concatenate(
+                        [w_e, jnp.zeros((wep - we, max_rows), f32)], 0)
+                w_e = w_e * jnp.broadcast_to(in_tile, (wep, max_rows))
+                # stacked split dot against the point one-hot
+                pe_parts = split3(w_e)
+                st = jnp.concatenate(pe_parts, axis=0)
+                out_all = jax.lax.dot_general(
+                    ohp_b, st, dimension_numbers=d_ll,
+                    preferred_element_type=f32)  # (BT, ns*wep)
+                tile_out = sum(out_all[:, i * wep: i * wep + wep]
+                               for i in range(len(pe_parts)))
+                if out_cp is not None:
+                    out_cp.wait()
+                out_vmem[j, :, :] = jnp.concatenate([
+                    tile_out,
+                    jnp.zeros((BT, _LANE - wep), f32)], axis=1
+                ).astype(out_vmem.dtype)
+                b0a = pl.multiple_of(block0_ref[g * unroll + j], 8)
+                out_cp = pltpu.make_async_copy(
+                    out_vmem.at[j], pt_hbm.at[pl.ds(b0a, BT), :], sem_o)
+                out_cp.start()
+
+                # f-side per-row lanes: [g_f rows | sqn_f rows] (2*gf)
+                gf_rows = sum(Jf_g[i] * jnp.broadcast_to(
+                    u_r[i], (gf, max_rows)) for i in range(r))
+                sf_rows = sum(Jf_g[i] * Jf_g[i] for i in range(r))
+                w_f = jnp.concatenate([gf_rows, sf_rows], axis=0)
+                w_f = w_f * jnp.broadcast_to(in_tile, (2 * gf, max_rows))
+                cf_parts = []
+                chunks = []
+                for kk in range(nck):
+                    c0 = pl.multiple_of(w0 + kk * _LANE, _LANE)
+                    sel = jnp.where(hi1 == kk, one, zero)
+                    chunks.append((c0, sel))
+                    cf_parts.extend(split3(
+                        w_f * jnp.broadcast_to(sel, (2 * gf, max_rows))))
+                cfs = jnp.concatenate(cf_parts, axis=0)
+                cam_all = jax.lax.dot_general(
+                    cfs, ohc_lo, dimension_numbers=d_ll,
+                    preferred_element_type=f32)  # (nck*ns*2gf, 128)
+                m2 = 2 * gf
+                for kk, (c0, sel) in enumerate(chunks):
+                    camq = None
+                    for p in range(len(pe_parts)):
+                        i0 = (kk * len(pe_parts) + p) * m2
+                        sl = cam_all[i0: i0 + m2, :]
+                        camq = sl if camq is None else camq + sl
+                    cur = cam_out[:, pl.ds(c0, _LANE)]
+                    cam_out[:, pl.ds(c0, _LANE)] = (
+                        cur + camq.astype(cam_out.dtype))
+            if out_cp is not None:
+                out_cp.wait()
+
+        msk_scratch = (pltpu.VMEM((unroll, 256, max_rows), masks_T.dtype)
+                       if streamed else
+                       pltpu.VMEM((unroll, 8, _LANE), jnp.int8))
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((unroll, 8, max_rows), jnp.int32),
+            pltpu.VMEM((unroll, lanes_pad, max_rows), dt),
+            pltpu.VMEM((unroll, 8, max_rows), rT.dtype),
+            msk_scratch,
+            pltpu.VMEM((unroll, BT, _LANE), dt),
+            pltpu.SemaphoreType.DMA((unroll,)),
+            pltpu.SemaphoreType.DMA((unroll,)),
+            pltpu.SemaphoreType.DMA((unroll,)),
+            pltpu.SemaphoreType.DMA((unroll,)),
+            pltpu.SemaphoreType.DMA(()),
+        )
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # rT
+    ]
+    inputs = (tile_starts, tile_block0, ids_T, JT, rT)
+    if streamed:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)] + in_specs
+        inputs = (masks_T,) + inputs
+    if windowed:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        inputs = (win_starts,) + inputs
+    cam_spec = pl.BlockSpec((2 * gf, C_pad), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    with jax.enable_x64(False):
+        cam_out, pt_out = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=(cam_spec,
+                       pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)),
+            out_shape=(jax.ShapeDtypeStruct((2 * gf, C_pad), dt),
+                       jax.ShapeDtypeStruct((nb_out, _LANE), dt)),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(*inputs)
+    return cam_out, pt_out
+
+
 def jt_u_sorted(
     J_blocks,  # (N, r, t) sorted by target block
     u,  # (N, r)

@@ -286,6 +286,19 @@ class IterativeSchurStepOps:
 
     def post_eval(self, vrep, r, args=None):
         fl, pm, pt = self.flat, self.pm, self.pt
+        if self._skip_ftf:
+            # one-pass fused reduce (the F'F blocks are not needed:
+            # the step kernel emits its own)
+            kr = fl.post_eval_kernel(vrep, r,
+                                     masks=getattr(self, "_masks", None))
+            if kr is not None:
+                g_e, sqn_e, ete, g_f, sqn_f = kr
+                g = pt.combine(pm, g_e, g_f)
+                sqn = pt.combine(pm, sqn_e, sqn_f)
+                ftf0 = tuple(
+                    jnp.zeros((nv, t * t), g.dtype)
+                    for (_, nv, t, _) in pm.f_fams)
+                return g, sqn, ((ete,), ftf0)
         g_e, sqn_e, ete = fl.fused_post_eval_e(vrep, r)
         g_f, sqn_f, ftf = fl.fused_post_eval_f(
             vrep, r, with_blocks=not self._skip_ftf)
@@ -560,15 +573,8 @@ class DenseSchurStepOps:
         self._skip_ftf = self._kq is not None and not self.mixed
 
     evaluate = IterativeSchurStepOps.evaluate
-
-    def post_eval(self, vrep, r, args=None):
-        fl, pm, pt = self.flat, self.pm, self.pt
-        g_e, sqn_e, ete = fl.fused_post_eval_e(vrep, r)
-        g_f, sqn_f, ftf = fl.fused_post_eval_f(
-            vrep, r, with_blocks=not self._skip_ftf)
-        g = pt.combine(pm, g_e, g_f)
-        sqn = pt.combine(pm, sqn_e, sqn_f)
-        return g, sqn, (tuple(ete), tuple(ftf))
+    prepare_invariants = IterativeSchurStepOps.prepare_invariants
+    post_eval = IterativeSchurStepOps.post_eval
 
     def _scaled_K(self, ete, se, d2e):
         """Per-e-family K = L^{-1} lanes of scaled E'E + D_e^2."""

@@ -32,8 +32,11 @@ def collective_counts(hlo_text):
         line = line.strip()
         if line.startswith("ROOT"):
             line = line[4:].lstrip()
-        # count op INSTANCES (lines like "x = all-reduce(...)"), not uses
-        m = re.match(r"[%\w.\-]+\s*=\s*\S+\s+([a-z\-]+)", line)
+        # count op INSTANCES (lines like "x = all-reduce(...)"), not
+        # uses; the result type may be a TUPLE "(f64[..], ..)" with
+        # spaces (e.g. CPU all-to-all), so match both forms
+        m = re.match(
+            r"[%\w.\-]+\s*=\s*(?:\([^)]*\)|\S+)\s+([a-z\-]+)\(", line)
         if not m:
             continue
         op = m.group(1)
@@ -152,3 +155,85 @@ def test_generic_sharded_evaluator_collectives():
     counts = collective_counts(hlo)
     assert counts.get("all-to-all", 0) == 0, counts
     assert counts.get("all-reduce", 0) >= 1, counts
+
+
+def test_camera_halo_step_collectives():
+    """Halo-exchange fully-sharded step (VERDICT r3 #3): every point-side
+    collective is CUT-sized — no P-sized operand in any collective, no
+    all-gather of the point table at all; all-to-alls are (n*Hs, d)."""
+    import jax
+    import jax.numpy as jnp
+
+    b = _bal_small()
+    n = 8
+    mesh = sharded_ba.make_mesh(n, axis="cam")
+    plan = sharded_ba.plan_camera_halo(
+        b.camera_index, b.point_index, b.cameras, b.points,
+        b.observations, n)
+    cg_iters = 4
+    step = sharded_ba.make_camera_halo_step(mesh, k=1, axis="cam",
+                                            cg_iters=cg_iters)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("cam"))
+    sh2 = NamedSharding(mesh, P("cam", None))
+    args = (
+        jax.device_put(jnp.asarray(plan.cams), sh2),
+        jax.device_put(jnp.asarray(plan.pts), sh2),
+        jax.device_put(jnp.asarray(plan.cam_local), sh),
+        jax.device_put(jnp.asarray(plan.pt_halo), sh),
+        jax.device_put(jnp.asarray(plan.obs), sh2),
+        jax.device_put(jnp.asarray(plan.w), sh),
+        jax.device_put(jnp.asarray(plan.srv_idx),
+                       NamedSharding(mesh, P("cam", None, None))),
+        jnp.asarray(1e4, jnp.float64),
+    )
+    lowered = step.lower(*args)
+    hlo = lowered.compile().as_text()
+    counts = collective_counts(hlo)
+    # NO all-gather of the point table
+    assert counts.get("all-gather", 0) == 0, counts
+    # halo exchanges: <= (4 + 2*cg) all-to-alls per iteration (XLA may
+    # fuse or split some)
+    a2a = counts.get("all-to-all", 0)
+    assert 1 <= a2a <= 6 + 2 * cg_iters, counts
+    # no P-sized operand in ANY collective: every collective operand's
+    # leading dim must be <= n*Hs (the cut), never P_pad
+    P_pad = plan.pts.shape[0]
+    Hl = plan.n * plan.Hs
+    assert Hl < P_pad, (Hl, P_pad)  # the test instance has a real cut
+    for line in hlo.splitlines():
+        line = line.strip()
+        if line.startswith("ROOT"):
+            line = line[4:].lstrip()
+        m = re.match(
+            r"[%\w.\-]+\s*=\s*((?:\([^)]*\)|\S+))\s+"
+            r"(all-reduce|all-gather|all-to-all|collective-permute|"
+            r"reduce-scatter)\(", line)
+        if not m:
+            continue
+        shapes = re.findall(r"f\d+\[([\d,]*)\]", m.group(1))
+        for s in shapes:
+            if not s:
+                continue
+            dims = [int(d) for d in s.split(",")]
+            assert max(dims) < P_pad, (
+                f"P-sized collective operand: {line[:120]}")
+
+
+def test_camera_halo_matches_dense_sharded():
+    """Halo step == dense-gather step to fp64 tightness on the same
+    plan-compatible problem (1e-10: same math, different collectives)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    b = _bal_small()
+    bp = b
+    st_d, _ = sharded_ba.solve_ba_camera_sharded(
+        bp, num_iterations=2, mesh=sharded_ba.make_mesh(8, axis="cam"),
+        k=1, cg_iters=6, halo=False)
+    st_h, plan_h = sharded_ba.solve_ba_camera_sharded(
+        bp, num_iterations=2, mesh=sharded_ba.make_mesh(8, axis="cam"),
+        k=1, cg_iters=6, halo=True)
+    np.testing.assert_allclose(float(st_h.cost), float(st_d.cost),
+                               rtol=1e-10)

@@ -43,3 +43,26 @@ def test_lre_computation():
     assert nist.compute_lre(np.asarray([1.0]), np.asarray([1.0])) == 11.0
     assert nist.compute_lre(np.asarray([1.0]), np.asarray([1.1])) == pytest.approx(1.0)
     assert nist.compute_lre(np.asarray([1.0]), np.asarray([2.0])) == 0.0
+
+
+@pytest.mark.slow
+def test_nist_full_suite():
+    """The FULL StRD acceptance sweep, test-enforced (VERDICT r3 #7;
+    reference: examples/nist.cc runs all 27 problems x certified starts
+    and scores LRE digits, docs/source/features.rst:70). README's
+    53/54-starts claim is CI truth here: every certified start must
+    reach LRE > 4 digits except BoxBOD's first (crude) start, the one
+    start the reference's plain LM configuration also misses."""
+    results = nist.run_suite(DATA)
+    total = sum(len(v) for v in results.values())
+    assert total == 54, f"expected 54 certified starts, got {total}"
+    failures = [
+        (name, i, lre)
+        for name, res in results.items()
+        for i, (lre, ok) in enumerate(res)
+        if not ok
+    ]
+    allowed = {("BoxBOD.dat", 0)}
+    unexpected = [f for f in failures if (f[0], f[1]) not in allowed]
+    assert not unexpected, f"unexpected NIST failures: {unexpected}"
+    assert len(failures) <= 1, failures

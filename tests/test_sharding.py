@@ -328,3 +328,45 @@ def test_camera_sharded_lm_matches_unsharded():
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(float(st.cost), float(st_ref.cost),
                                rtol=1e-10)
+
+
+def test_camera_halo_lm_matches_unsharded():
+    """Visibility-cut halo-exchange tier (SURVEY §5.7/5.8: gather only
+    the point segments each camera shard's observations touch) vs the
+    single-device CG step at f64 — parity to 1e-10, with BOTH state
+    tables partitioned and only cut-sized collectives."""
+    import numpy as np
+
+    b = bal.synthetic_bal(num_cameras=24, num_points=300, visibility=0.2,
+                          noise=0.3, seed=11)
+    bp = bal.perturb(b, 0.02, 0.1, 0.1)
+    bp = bal.BALProblem(bp.cameras.astype(np.float64),
+                        bp.points.astype(np.float64),
+                        bp.camera_index, bp.point_index,
+                        bp.observations.astype(np.float64))
+
+    import jax.numpy as jnp
+    st_ref = sharded_ba.BAState(
+        jnp.asarray(bp.cameras), jnp.asarray(bp.points),
+        jnp.asarray(1e4, jnp.float64), jnp.asarray(0.0, jnp.float64))
+    for _ in range(3):
+        st_ref = sharded_ba.lm_step(
+            st_ref.cams, st_ref.pts, jnp.asarray(bp.camera_index),
+            jnp.asarray(bp.point_index), jnp.asarray(bp.observations),
+            st_ref.radius, cg_iters=8)
+
+    st, plan = sharded_ba.solve_ba_camera_sharded(
+        bp, num_iterations=3, mesh=sharded_ba.make_mesh(8, axis="cam"),
+        k=1, cg_iters=8, halo=True)
+    assert isinstance(plan, sharded_ba.CameraHaloPlan)
+    assert len(st.cams.sharding.device_set) == 8
+    assert st.pts.addressable_shards[0].data.shape[0] == plan.Pl
+
+    cams_out = np.asarray(st.cams)[plan.camera_slot]
+    pts_out = np.asarray(st.pts)[plan.point_slot]
+    np.testing.assert_allclose(cams_out, np.asarray(st_ref.cams),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(pts_out, np.asarray(st_ref.pts),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(float(st.cost), float(st_ref.cost),
+                               rtol=1e-10)
