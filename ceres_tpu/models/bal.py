@@ -34,9 +34,52 @@ def snavely_reprojection_residual(camera, point, observed):
     return jnp.stack([predicted_x - observed[0], predicted_y - observed[1]])
 
 
+def snavely_residual_rows(cam, pt, obs):
+    """ROW-VECTORIZED snavely residual for the fused Pallas evaluation
+    kernel (ops/pallas_kernels.eval_fused): operands are (lanes, rows)
+    arrays — cam (>=9, rows), pt (>=3, rows), obs (>=2, rows) — and the
+    body uses only Mosaic-lowerable constructs (broadcast row slices, no
+    jnp.cross / keepdims indexing, branch via plain where). Same math as
+    snavely_reprojection_residual including the small-angle branch."""
+    ax, ay, az = cam[0:1], cam[1:2], cam[2:3]
+    px, py, pz = pt[0:1], pt[1:2], pt[2:3]
+    theta2 = ax * ax + ay * ay + az * az
+    # Branch-free Rodrigues: theta = sqrt(theta2 + tiny) has the correct
+    # theta -> 0 limit through every term (w*st -> aa, w*wdp*(1-ct) -> 0)
+    # and keeps the jvp smooth; Mosaic rejects the (1, rows) boolean
+    # select the branchy form needs. Error vs the exact small-angle
+    # series is O(theta^2) below sqrt(eps) — inside f32 roundoff.
+    tiny = jnp.asarray(1e-30, cam.dtype)
+    theta = jnp.sqrt(theta2 + tiny)
+    inv_t = 1.0 / theta
+    wx, wy, wz = ax * inv_t, ay * inv_t, az * inv_t
+    ct = jnp.cos(theta)
+    st = jnp.sin(theta)
+    # w x p
+    cxx = wy * pz - wz * py
+    cyy = wz * px - wx * pz
+    czz = wx * py - wy * px
+    wdp = wx * px + wy * py + wz * pz
+    k = wdp * (1.0 - ct)
+    rx = px * ct + cxx * st + wx * k + cam[3:4]
+    ry = py * ct + cyy * st + wy * k + cam[4:5]
+    rz = pz * ct + czz * st + wz * k + cam[5:6]
+    xp = -rx / rz
+    yp = -ry / rz
+    r2 = xp * xp + yp * yp
+    distortion = 1.0 + r2 * (cam[7:8] + cam[8:9] * r2)
+    f = cam[6:7]
+    return jnp.concatenate(
+        [f * distortion * xp - obs[0:1], f * distortion * yp - obs[1:2]],
+        axis=0)
+
+
 SNAVELY_COST = AutoDiffCostFunction(
     snavely_reprojection_residual, 2, [9, 3], name="snavely"
 )
+# slot order in the cost is [camera, point]; the rows form takes
+# (cam_rows, pt_rows, obs_rows)
+SNAVELY_COST.residual_rows = snavely_residual_rows
 
 
 @dataclasses.dataclass

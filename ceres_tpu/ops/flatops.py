@@ -839,6 +839,252 @@ class FlatSchurOps(_FlatOpsBase):
             jnp.asarray(pf.local, jnp.int32),
             jnp.asarray(pe.rplan[1]), pe.nv, pe.rplan[2])
 
+    def eval_kernel_qual(self, program):
+        """Static qualification for the fused EVALUATION kernel
+        (pallas_kernels.eval_fused): the matvec structure rules PLUS
+        single 2-slot kind, no loss, Euclidean families both sides, a
+        row-vectorized residual (cost.residual_rows), float observation
+        data totalling <= 8 lanes, f32 compute. Returns
+        (pe, pf, windows, rows_fn, fam_f, fam_e, data_leaves) or None."""
+        qual = self._kernel_slots(self.plans_e, self.plans_f,
+                                  self.pm.e_fams, self.pm.f_fams)
+        if qual is None:
+            return None
+        if jnp.dtype(program.compute_dtype) != jnp.float32:
+            return None
+        if len(program.kinds) != 1:
+            return None
+        kind = program.kinds[0]  # the PROGRAM kind (cost/loss/data/fams)
+        if kind.loss is not None or len(kind.slots) != 2:
+            return None
+        rows_fn = getattr(kind.cost, "residual_rows", None)
+        if rows_fn is None or kind.r > 8:
+            return None
+        pe, pf, windows = qual
+        fam_f = kind.slots[pf.s].family
+        fam_e = kind.slots[pe.s].family
+        from ..manifolds import EuclideanManifold
+
+        for fam in (fam_f, fam_e):
+            m = getattr(fam, "manifold", None)
+            if m is not None and not isinstance(m, EuclideanManifold):
+                return None
+        if fam_e.asize > 8 or fam_f.asize > 16 or pe.t > 8 or pf.t > 16:
+            return None
+        if kind.data is None:
+            return None
+        leaves = jax.tree_util.tree_leaves(kind.data)
+        lanes = 0
+        for lf in leaves:
+            a = np.asarray(lf)
+            if a.dtype.kind not in "fiu" or a.shape[0] != kind.B:
+                return None
+            lanes += int(np.prod(a.shape[1:])) if a.ndim > 1 else 1
+        if lanes > 8:
+            return None
+        return pe, pf, windows, rows_fn, fam_f, fam_e, leaves
+
+    def eval_invariants(self, program, q):
+        """Loop-invariant device tensors for eval_fused, built ONCE per
+        minimize (prepare_invariants): id planes + transposed data
+        lanes + streamed masks. All from baked numpy constants; the
+        (8, n_pad) products are computed in-graph, pre-loop."""
+        from . import pallas_kernels as pk
+
+        pe, pf, windows, rows_fn, fam_f, fam_e, leaves = q
+        kind = program.kinds[0]
+        max_rows = pe.rplan[2]
+        B = kind.B
+        n_pad = pk.padded_rows(B, max_rows)
+        cols = []
+        for lf in leaves:
+            a = jnp.asarray(np.asarray(lf), jnp.float32)
+            cols.append(a.reshape(B, -1))
+        data = jnp.concatenate(cols, axis=1)  # (B, d)
+        d = data.shape[1]
+        obs_T = jnp.zeros((max(8, d), n_pad), jnp.float32)
+        obs_T = jax.lax.dynamic_update_slice(obs_T, data.T, (0, 0))
+        pid_row = jnp.concatenate(
+            [jnp.asarray(pe.local, jnp.int32),
+             jnp.full((n_pad - B,), -1, jnp.int32)])
+        cid_row = jnp.concatenate(
+            [jnp.asarray(pf.local, jnp.int32),
+             jnp.full((n_pad - B,), -1, jnp.int32)])
+        ids_T = jnp.concatenate([
+            pid_row[None, :], cid_row[None, :],
+            jnp.zeros((6, n_pad), jnp.int32)], axis=0)
+        masks = pk.build_matvec_masks(
+            jnp.asarray(pe.local, jnp.int32),
+            jnp.asarray(pf.local, jnp.int32),
+            jnp.asarray(pe.rplan[1]), pe.nv, max_rows)
+        return {"obs_T": obs_T, "ids_T": ids_T, "masks": masks}
+
+    def eval_fused_x(self, program, q, inv, x):
+        """Fused evaluation at state x: returns (cost f64, rT, JT)."""
+        from . import pallas_kernels as pk
+
+        pe, pf, windows, rows_fn, fam_f, fam_e, _ = q
+        kind = program.kinds[0]
+        max_rows = pe.rplan[2]
+        xf = jax.lax.dynamic_slice(
+            x, (fam_f.state_offset,),
+            (fam_f.count * fam_f.asize,)).astype(jnp.float32)
+        xe = jax.lax.dynamic_slice(
+            x, (fam_e.state_offset,),
+            (fam_e.count * fam_e.asize,)).astype(jnp.float32)
+        C, af = fam_f.count, fam_f.asize
+        P, ae = fam_e.count, fam_e.asize
+        ga = max(16, -(-af // 8) * 8)
+        C_pad = pk._cam_pad(C, windows)
+        xf_T = jnp.zeros((ga, C_pad), jnp.float32)
+        xf_T = jax.lax.dynamic_update_slice(
+            xf_T, xf.reshape(C, af).T, (0, 0))
+        nb = P + 1 + pk.BLOCKS_PER_TILE
+        pw = jnp.zeros((nb, 128), jnp.float32)
+        pw = jax.lax.dynamic_update_slice(pw, xe.reshape(P, ae), (0, 0))
+        wkw = dict(win_starts=windows[0], win_width=windows[1],
+                   n_win=windows[2]) if windows is not None else {}
+        num_tiles = len(pe.rplan[1]) - 1
+        jt, rt, cost_part = pk.eval_fused(
+            xf_T, pw, inv["obs_T"], inv["ids_T"], pe.rplan[0], pe.rplan[1],
+            P, C, kind.r, pf.t, pe.t, rows_fn, max_rows=max_rows,
+            unroll=16 if num_tiles >= 4096 else 8,
+            interpret=PALLAS_MODE == "interpret",
+            masks_T=inv["masks"], **wkw)
+        cost = (0.5 * jnp.sum(cost_part.astype(jnp.float64))
+                + jnp.asarray(program.fixed_cost, jnp.float64))
+        return cost, rt, jt
+
+    def post_eval_kernel_jt(self, JT, rT, ids_T, masks=None):
+        """post_eval_fused over prebuilt transposed lanes (the jt-form
+        evaluation path: no prep transpose at all)."""
+        qual = self._kernel_slots(self.plans_e, self.plans_f,
+                                  self.pm.e_fams, self.pm.f_fams)
+        if qual is None:
+            return None
+        pe, pf, windows = qual
+        from . import pallas_kernels as pk
+
+        kind = self.kinds[0]
+        tf, te = pf.t, pe.t
+        max_rows = pe.rplan[2]
+        wkw = dict(win_starts=windows[0], win_width=windows[1],
+                   n_win=windows[2]) if windows is not None else {}
+        num_tiles = len(pe.rplan[1]) - 1
+        cam, ptab = pk.post_eval_fused(
+            JT, ids_T, rT, pe.rplan[0], pe.rplan[1], pe.nv, pf.nv,
+            kind.r, tf, te, max_rows=max_rows, masks_T=masks,
+            unroll=16 if num_tiles >= 4096 else 8,
+            interpret=PALLAS_MODE == "interpret", **wkw)
+        gf = max(8, -(-tf // 8) * 8)
+        g_e = ptab[:pe.nv, :te].reshape(-1)
+        sqn_e = ptab[:pe.nv, te: 2 * te].reshape(-1)
+        ete = ptab[:pe.nv, 2 * te: 2 * te + te * te]
+        g_f = cam[:tf, :pf.nv].T.reshape(-1)
+        sqn_f = cam[gf: gf + tf, :pf.nv].T.reshape(-1)
+        return g_e, sqn_e, ete, g_f, sqn_f
+
+    def make_kernel_suite_raw(self, JT, ids_T, se, sf, masks=None):
+        """Scale-FOLDED kernel suite over UNSCALED transposed lanes (the
+        jt-form path): no (B,·)-wide scaled prep pass at all. The Jacobi
+        scales fold into the small operands instead:
+
+          matvec:  S_s z = sf (.) F'(fz - E u'),  fz = F (sf (.) z),
+                   u' = [se Minv_s se] E'fz      (pw carries the fold)
+          normal:  J_s'J_s x through pre-scaled inputs / post-scaled
+                   outputs
+          SJ:      blocks_s[c] = sf_c (x) sf_c (.) (F'F - W' Minv_s W)
+                   with W = diag(se) E'F (the kernel's sp slot)
+
+        Returns (matvec, jacobi_blocks, normal, fold_minv)."""
+        qual = self._kernel_slots(self.plans_e, self.plans_f,
+                                  self.pm.e_fams, self.pm.f_fams)
+        if qual is None:
+            return None
+        pe, pf, windows = qual
+        from . import pallas_kernels as pk
+
+        kind = self.kinds[0]
+        r = kind.r
+        tf, te = pf.t, pe.t
+        gf = max(8, -(-tf // 8) * 8)
+        max_rows = pe.rplan[2]
+        interp = PALLAS_MODE == "interpret"
+        num_tiles = len(pe.rplan[1]) - 1
+        unroll = 16 if num_tiles >= 4096 else 8
+        P, C = pe.nv, pf.nv
+        se_rows = se.reshape(P, te)
+        sf_rows = sf.reshape(C, tf)
+        se_outer = (se_rows[:, :, None] * se_rows[:, None, :]).reshape(
+            P, te * te)
+
+        def fold_minv(minv_flat):
+            return minv_flat * se_outer
+
+        def matvec(z, minv_folded, emit_u=False):
+            cam, u = pk.isc_matvec(
+                JT, ids_T, sf * z, minv_folded, pe.rplan[0], pe.rplan[1],
+                P, C, r, tf, te, max_rows=max_rows, interpret=interp,
+                emit_u=emit_u, windows=windows, masks_T=masks,
+                unroll=unroll)
+            cam = sf * cam
+            if emit_u:
+                return cam, (u / se_rows).reshape(-1)
+            return cam, None
+
+        def normal(xc, xp_rows):
+            cam, ptv = pk.normal_matvec(
+                JT, ids_T, sf * xc, xp_rows * se_rows, pe.rplan[0],
+                pe.rplan[1], P, C, r, tf, te, max_rows=max_rows,
+                interpret=interp, windows=windows, masks_T=masks,
+                unroll=unroll)
+            return sf * cam, ptv * se_rows
+
+        def _sj_from_flat(flat, minv_folded_unused, d2f):
+            blocks = flat[:C].reshape(C, tf, gf)[:, :, :tf]
+            blocks = blocks * (sf_rows[:, :, None] * sf_rows[:, None, :])
+            d_rows = d2f.reshape(C, tf)
+            M = blocks.reshape(C, tf * tf) + _mm(
+                d_rows, diag_embed_selector(tf, jnp.float32))
+            return [spd_inverse_flat(M, tf)]
+
+        if windows is not None:
+            if windows[3] * tf * gf * 4 > 10 * 1024 * 1024:
+                return matvec, None, normal, fold_minv
+
+            def jacobi_blocks_w(minv_flat, d2f):
+                BT = pk.BLOCKS_PER_TILE
+                pw = jnp.zeros((P + 1 + BT, 128), jnp.float32)
+                pw = jax.lax.dynamic_update_slice(pw, se_rows, (0, 0))
+                pw = jax.lax.dynamic_update_slice(
+                    pw, minv_flat, (0, 8))
+                flat = pk.sj_assembly_windowed(
+                    JT, ids_T, pw, pe.rplan[0], pe.rplan[1], windows,
+                    P, C, r, tf, te, max_rows=max_rows, interpret=interp)
+                return _sj_from_flat(flat, None, d2f)
+
+            return matvec, jacobi_blocks_w, normal, fold_minv
+
+        def jacobi_blocks(minv_flat, d2f):
+            BT = pk.BLOCKS_PER_TILE
+            pw = jnp.zeros((P + 1 + BT, 128), jnp.float32)
+            pw = jax.lax.dynamic_update_slice(pw, se_rows, (0, 0))
+            pw = jax.lax.dynamic_update_slice(pw, minv_flat, (0, 8))
+            C_pad = max(128, -(-(C + 1) // 128) * 128)
+            sc_T = jnp.zeros((gf, C_pad), jnp.float32)
+            sc_T = jax.lax.dynamic_update_slice(sc_T, sf_rows.T, (0, 0))
+            corr, ftf, _ = pk.schur_assembly(
+                JT, ids_T, sc_T, pw, pe.rplan[0], pe.rplan[1], P, C, r,
+                tf, te, max_rows=max_rows, interpret=interp,
+                mode="schur_jacobi")
+            blocks = (ftf - corr)[:C].reshape(C, tf, gf)[:, :, :tf]
+            d_rows = d2f.reshape(C, tf)
+            M = blocks.reshape(C, tf * tf) + _mm(
+                d_rows, diag_embed_selector(tf, jnp.float32))
+            return [spd_inverse_flat(M, tf)]
+
+        return matvec, jacobi_blocks, normal, fold_minv
+
     def post_eval_kernel(self, vflat, u, masks=None):
         """One-pass fused post-evaluation reduce
         (pallas_kernels.post_eval_fused): g_e/sqn_e/E'E blocks +
@@ -862,7 +1108,7 @@ class FlatSchurOps(_FlatOpsBase):
         B = Jf.shape[0]
         rows = u[kind.row_offset: kind.row_offset + kind.B * kind.r]
         rows = rows.reshape(kind.B, kind.r)
-        rT = jnp.zeros((8, B + max_rows), Jf.dtype)
+        rT = jnp.zeros((8, pk.padded_rows(B, max_rows)), Jf.dtype)
         rT = jax.lax.dynamic_update_slice(rT, rows.T.astype(Jf.dtype),
                                           (0, 0))
         wkw = dict(win_starts=windows[0], win_width=windows[1],

@@ -1507,6 +1507,14 @@ def schur_assembly(
     return ata, ftf, u
 
 
+def padded_rows(B: int, max_rows: int) -> int:
+    """Common padded row-axis width: rows [B, ceil128(B)) absorb the
+    last real tile's window; rows [ceil128(B), n_pad) are the DISJOINT
+    write region for unroll-padding tiles (eval_fused writes there so
+    they can never clobber real rows)."""
+    return -(-B // _LANE) * _LANE + max_rows
+
+
 def prep_matvec_rows(Jf, Je, pt_ids, cam_ids, max_rows, r, tf, te):
     """Host/jit-side prep for implicit_schur_matvec, once per evaluation
     (loop-invariant across CG iterations): transposed GROUPED J lanes —
@@ -1515,7 +1523,7 @@ def prep_matvec_rows(Jf, Je, pt_ids, cam_ids, max_rows, r, tf, te):
     sublane-replicated id planes. Padding rows get id -1."""
     B = Jf.shape[0]
     dt = Jf.dtype
-    n_pad = B + max_rows
+    n_pad = padded_rows(B, max_rows)
 
     def group(J, t):
         g = max(8, -(-t // 8) * 8)
@@ -1525,13 +1533,14 @@ def prep_matvec_rows(Jf, Je, pt_ids, cam_ids, max_rows, r, tf, te):
         Jg = jax.lax.dynamic_update_slice(Jg, J.reshape(B, r, t), (0, 0, 0))
         return Jg.reshape(B, r * g)
 
+    pad = n_pad - B
     JT = jnp.concatenate([group(Jf, tf).T, group(Je, te).T], axis=0)
     JT = jnp.concatenate(
-        [JT, jnp.zeros((JT.shape[0], max_rows), dt)], axis=1)
+        [JT, jnp.zeros((JT.shape[0], pad), dt)], axis=1)
     pid_row = jnp.concatenate(
-        [pt_ids.astype(jnp.int32), jnp.full((max_rows,), -1, jnp.int32)])
+        [pt_ids.astype(jnp.int32), jnp.full((pad,), -1, jnp.int32)])
     cid_row = jnp.concatenate(
-        [cam_ids.astype(jnp.int32), jnp.full((max_rows,), -1, jnp.int32)])
+        [cam_ids.astype(jnp.int32), jnp.full((pad,), -1, jnp.int32)])
     # ONE id plane: pid on sublane 0, cid on sublane 1 (halves the id DMA)
     ids_T = jnp.concatenate([
         pid_row[None, :], cid_row[None, :],
@@ -1564,7 +1573,7 @@ def build_matvec_masks(pt_ids, cam_ids, tile_block0, num_points,
     pt_ids = jnp.asarray(pt_ids, jnp.int32)
     cam_ids = jnp.asarray(cam_ids, jnp.int32)
     B = pt_ids.shape[0]
-    n_pad = B + max_rows
+    n_pad = padded_rows(B, max_rows)
     tb = jnp.asarray(tile_block0, jnp.int32)
     # owner tile of each row's point: t with tb[t] <= pid < tb[t+1]
     pid_c = jnp.clip(pt_ids, 0, num_points)
@@ -1577,7 +1586,7 @@ def build_matvec_masks(pt_ids, cam_ids, tile_block0, num_points,
     ohp = loc[None, :] == iot
     m = jnp.concatenate([ohc, ohp], axis=0).astype(dtype)
     return jnp.concatenate(
-        [m, jnp.zeros((256, max_rows), dtype)], axis=1)
+        [m, jnp.zeros((256, n_pad - B), dtype)], axis=1)
 
 
 def _cam_pad(C, windows):
@@ -1921,6 +1930,345 @@ def post_eval_fused(
             interpret=interpret,
         )(*inputs)
     return cam_out, pt_out
+
+
+def eval_fused(
+    xf_T,  # (ga, C_pad) camera AMBIENT params, transposed, zero-padded
+    pw_pts,  # (>= P+1+BT, 128) point params rows (lanes [0, ae))
+    obs_T,  # (do, n_pad) per-observation data lanes
+    ids_T,  # (8, n_pad) id planes (prep_matvec_rows layout)
+    tile_starts,
+    tile_block0,
+    num_points: int,
+    C: int,
+    r: int,
+    tf: int,
+    te: int,
+    rows_fn,  # (cam (ga, rows), pt (ae_pad, rows), obs) -> (r, rows)
+    max_rows: int = 512,
+    unroll: int = 8,
+    interpret: bool = False,
+    win_starts=None,
+    win_width: int = 0,
+    n_win: int = 1,
+    masks_T=None,
+):
+    """The ENTIRE residual + Jacobian evaluation in ONE kernel for the
+    qualified (single-kind, Euclidean, lossless) structure — the
+    ProgramEvaluator hot loop (program_evaluator.h:189) on TPU terms:
+    per observation tile
+
+        cam  = one-hot gather of camera params   (exact 3-split dots)
+        pt   = one-hot gather of point params
+        res  = rows_fn(cam, pt, obs)             (user residual, traced
+                                                  in row-vectorized form)
+        J    = tf+te jvp passes of rows_fn       (forward-mode, in VMEM)
+
+    and writes rT + the TRANSPOSED grouped JT lanes directly — the form
+    every downstream kernel (post_eval_fused, implicit_schur_matvec,
+    sj_assembly_windowed) consumes. The XLA chain this replaces paid
+    ~100 ms/iteration at Venice scale (gathers + unfused elementwise +
+    rank-3 jacobian materialization + the transposing prep); observed
+    kernel cost is a few ms. Also returns the masked cost partials.
+
+    Correctness of the overlapping 128-aligned tile windows: rows are
+    written by every tile whose DMA window covers them, sequential-grid
+    last-writer-wins; the final writer is the OWNER tile, whose camera
+    window / point table slice cover its rows by plan construction
+    (non-owner tiles may compute garbage for those rows — dead writes).
+    """
+    BT = BLOCKS_PER_TILE
+    num_tiles = tile_block0.shape[0] - 1
+    grid = -(-num_tiles // unroll)
+    num_tiles_pad = grid * unroll
+    gf = max(8, -(-tf // 8) * 8)
+    ge = max(8, -(-te // 8) * 8)
+    lanes_pad = r * gf + r * ge
+    ga, C_pad = xf_T.shape
+    do_, n_pad = obs_T.shape
+    windowed = win_starts is not None
+    n_chunks = (n_win * win_width) // _LANE if windowed else C_pad // _LANE
+    streamed = masks_T is not None
+    f32 = jnp.float32
+    bf16 = jnp.bfloat16
+    n_split = SPLIT_PASSES
+    assert max_rows % _LANE == 0 and max_rows // _LANE <= 8
+
+    def split3(x):
+        hi = x.astype(bf16)
+        if n_split == 1:
+            return (hi,)
+        rem = x - hi.astype(f32)
+        mid = rem.astype(bf16)
+        if n_split == 2:
+            return hi, mid
+        lo = (rem - mid.astype(f32)).astype(bf16)
+        return hi, mid, lo
+
+    if windowed:
+        win_starts = jnp.asarray(win_starts, jnp.int32)
+    if num_tiles_pad > num_tiles:
+        # padding tiles get a DISJOINT row window (the [ceil128(B), n_pad)
+        # region, sentinel rows only) and an empty point range, so their
+        # garbage writes can never clobber a real tile's rows
+        pad = num_tiles_pad - num_tiles
+        row0_pad = n_pad - max_rows
+        # padding tiles are indices [T, T+pad): they read starts[T:] —
+        # the final real starts entry is read by NO real tile (b1 comes
+        # from block0), so it too becomes the disjoint padding window
+        tile_starts = jnp.concatenate(
+            [jnp.asarray(tile_starts, jnp.int32)[:-1],
+             jnp.full((pad + 1,), row0_pad, jnp.int32)])
+        tile_block0 = jnp.concatenate(
+            [jnp.asarray(tile_block0, jnp.int32),
+             jnp.broadcast_to(jnp.asarray(tile_block0)[-1:], (pad,))])
+        if windowed:
+            win_starts = jnp.concatenate(
+                [win_starts, jnp.broadcast_to(win_starts[-1:], (pad,))])
+
+    def kernel(*refs):
+        if windowed:
+            win_ref, refs = refs[0], refs[1:]
+        else:
+            win_ref = None
+        masks_hbm = None
+        if streamed:
+            masks_hbm, refs = refs[0], refs[1:]
+        (starts_ref, block0_ref, ids_hbm, obs_hbm, xf_ref, pw_hbm_ref,
+         jt_hbm, rt_hbm, cost_out) = refs
+        g = pl.program_id(0)
+
+        def body(ids_vmem, obs_vmem, pw_vmem, msk_vmem, jt_vmem, rt_vmem,
+                 sem_i, sem_ob, sem_p, sem_m, sem_j, sem_r):
+            copies = []
+            for j in range(unroll):
+                row0 = pl.multiple_of(starts_ref[g * unroll + j], _LANE)
+                b0 = pl.multiple_of(block0_ref[g * unroll + j], 8)
+                cps = [
+                    pltpu.make_async_copy(
+                        ids_hbm.at[:, pl.ds(row0, max_rows)],
+                        ids_vmem.at[j], sem_i.at[j]),
+                    pltpu.make_async_copy(
+                        obs_hbm.at[:, pl.ds(row0, max_rows)],
+                        obs_vmem.at[j], sem_ob.at[j]),
+                    pltpu.make_async_copy(
+                        pw_hbm_ref.at[pl.ds(b0, BT), :],
+                        pw_vmem.at[j], sem_p.at[j]),
+                ]
+                if streamed:
+                    cps.append(pltpu.make_async_copy(
+                        masks_hbm.at[:, pl.ds(row0, max_rows)],
+                        msk_vmem.at[j], sem_m.at[j]))
+                for c in cps:
+                    c.start()
+                copies.append(cps)
+
+            d_mm = (((1,), (0,)), ((), ()))
+
+            @pl.when(g == 0)
+            def _zero_cost():
+                cost_out[:, :] = jnp.zeros((8, _LANE), cost_out.dtype)
+
+            if not streamed:
+                csub = jax.lax.broadcasted_iota(
+                    jnp.int32, (_LANE, max_rows), 0)
+                sub = jax.lax.broadcasted_iota(jnp.int32, (BT, max_rows), 0)
+            one = jnp.ones((), f32)
+            zero = jnp.zeros((), f32)
+            jt_cp = rt_cp = None
+            cost_acc = jnp.zeros((8, max_rows), f32)
+
+            for j in range(unroll):
+                for c in copies[j]:
+                    c.wait()
+                b0 = block0_ref[g * unroll + j]
+                b1 = block0_ref[g * unroll + j + 1]
+                pid1 = ids_vmem[j][0:1, :]
+                cid1 = ids_vmem[j][1:2, :]
+                in_tile = jnp.where(
+                    (pid1 >= b0) & (pid1 < b1), one, zero)
+                if streamed:
+                    mk = msk_vmem[j]
+                    ohc_lo = mk[0:128, :].astype(bf16)
+                    ohp_b = mk[128:256, :].astype(bf16)
+                else:
+                    lo1 = cid1 - _LANE * jax.lax.div(cid1, jnp.int32(_LANE))
+                    ohc_lo = jnp.where(
+                        jnp.broadcast_to(lo1, (_LANE, max_rows)) == csub,
+                        one, zero).astype(bf16)
+                    pid = jnp.broadcast_to(pid1, (BT, max_rows))
+                    ohp_b = jnp.where(
+                        (pid - b0 == sub) & (pid < b1)
+                        & (pid < num_points), one, zero).astype(bf16)
+                if windowed:
+                    w0 = pl.multiple_of(win_ref[g * unroll + j], _LANE)
+                    hi1 = jax.lax.div(cid1 - w0, jnp.int32(_LANE))
+                else:
+                    w0 = 0
+                    hi1 = jax.lax.div(cid1, jnp.int32(_LANE))
+                # EXACT camera param gather (split3 is lossless: the
+                # bf16 components reconstruct the f32 value, and the
+                # one-hot dot sums exactly one term per row)
+                zparts = []
+                chunks = []
+                for kk in range(n_chunks):
+                    c0 = pl.multiple_of(w0 + kk * _LANE, _LANE)
+                    sel = jnp.where(hi1 == kk, one, zero)
+                    chunks.append((c0, sel))
+                    zparts.extend(split3(xf_ref[:, pl.ds(c0, _LANE)]))
+                zs = jnp.concatenate(zparts, axis=0)
+                zg_all = jax.lax.dot_general(
+                    zs, ohc_lo, dimension_numbers=d_mm,
+                    preferred_element_type=f32)
+                cam_rows = None
+                for kk in range(n_chunks):
+                    acc = None
+                    for p in range(n_split):
+                        i0 = (kk * n_split + p) * ga
+                        sl = zg_all[i0: i0 + ga]
+                        acc = sl if acc is None else acc + sl
+                    part = acc * chunks[kk][1]
+                    cam_rows = part if cam_rows is None else cam_rows + part
+                # EXACT point param gather
+                pw = pw_vmem[j]
+                pparts = list(split3(jnp.transpose(pw[:, 0:8])))
+                pst = jnp.concatenate(pparts, axis=0)
+                pg_all = jax.lax.dot_general(
+                    pst, ohp_b, dimension_numbers=d_mm,
+                    preferred_element_type=f32)
+                pt_rows = sum(pg_all[i * 8: i * 8 + 8]
+                              for i in range(len(pparts)))
+                obs_rows = obs_vmem[j][:, :]
+
+                res = rows_fn(cam_rows, pt_rows, obs_rows)  # (r, rows)
+                jf_lanes = [[None] * gf for _ in range(r)]
+                je_lanes = [[None] * ge for _ in range(r)]
+                iot_a = jax.lax.broadcasted_iota(
+                    jnp.int32, (ga, max_rows), 0)
+                iot_e = jax.lax.broadcasted_iota(jnp.int32, (8, max_rows), 0)
+                # '+ x*0' defeats constant folding of the one-hot basis
+                # tangents: Mosaic crashes slicing the folded splat
+                # constants (vector_extract_slice on a dim-1 layout)
+                zt_a = cam_rows * 0.0
+                zt_e = pt_rows * 0.0
+                for d in range(tf):
+                    tc = jnp.where(iot_a == d, one, zero) + zt_a
+                    _, jr = jax.jvp(
+                        lambda c, p: rows_fn(c, p, obs_rows),
+                        (cam_rows, pt_rows), (tc, zt_e))
+                    for i in range(r):
+                        jf_lanes[i][d] = jr[i:i + 1, :]
+                for d in range(te):
+                    tp = jnp.where(iot_e == d, one, zero) + zt_e
+                    _, jr = jax.jvp(
+                        lambda c, p: rows_fn(c, p, obs_rows),
+                        (cam_rows, pt_rows), (zt_a, tp))
+                    for i in range(r):
+                        je_lanes[i][d] = jr[i:i + 1, :]
+                zrow = jnp.zeros((1, max_rows), f32)
+                lanes = []
+                for i in range(r):
+                    lanes.extend(jf_lanes[i][d] if jf_lanes[i][d] is not None
+                                 else zrow for d in range(gf))
+                for i in range(r):
+                    lanes.extend(je_lanes[i][d] if je_lanes[i][d] is not None
+                                 else zrow for d in range(ge))
+                jt_tile = jnp.concatenate(lanes, axis=0)
+                # sentinel padding rows (and non-owned rows whose gathers
+                # returned zero params) can produce inf/NaN from the user
+                # function — SELECT zeros (where), never multiply: 0*NaN
+                # stays NaN and would poison downstream dots
+                valid1 = (pid1 >= 0) & (cid1 >= 0)
+                jt_tile = jnp.where(
+                    jnp.broadcast_to(valid1, (lanes_pad, max_rows)),
+                    jt_tile, zero)
+                res = jnp.where(
+                    jnp.broadcast_to(valid1, (r, max_rows)), res, zero)
+                if jt_cp is not None:
+                    jt_cp.wait()
+                    rt_cp.wait()
+                jt_vmem[j, :, :] = jt_tile
+                rt_vmem[j, :, :] = jnp.concatenate(
+                    [res, jnp.zeros((8 - r, max_rows), f32)], axis=0)
+                row0w = pl.multiple_of(starts_ref[g * unroll + j], _LANE)
+                jt_cp = pltpu.make_async_copy(
+                    jt_vmem.at[j], jt_hbm.at[:, pl.ds(row0w, max_rows)],
+                    sem_j)
+                rt_cp = pltpu.make_async_copy(
+                    rt_vmem.at[j], rt_hbm.at[:, pl.ds(row0w, max_rows)],
+                    sem_r)
+                jt_cp.start()
+                rt_cp.start()
+                # masked cost partials; WHERE-masked: non-owned rows may
+                # hold NaN (0*NaN would keep it)
+                s_row = jnp.where(
+                    in_tile > 0.5,
+                    jnp.sum(res * res, axis=0, keepdims=True), zero)
+                cost_acc = cost_acc + jnp.concatenate(
+                    [s_row, jnp.zeros((7, max_rows), f32)], axis=0)
+            if jt_cp is not None:
+                jt_cp.wait()
+                rt_cp.wait()
+            folded = None
+            for k in range(max_rows // _LANE):
+                piece = cost_acc[:, k * _LANE:(k + 1) * _LANE]
+                folded = piece if folded is None else folded + piece
+            cost_out[:, :] = cost_out[:, :] + folded.astype(cost_out.dtype)
+
+        msk_scratch = (pltpu.VMEM((unroll, 256, max_rows), masks_T.dtype)
+                       if streamed else
+                       pltpu.VMEM((unroll, 8, _LANE), jnp.int8))
+        pl.run_scoped(
+            body,
+            pltpu.VMEM((unroll, 8, max_rows), jnp.int32),
+            pltpu.VMEM((unroll, do_, max_rows), obs_T.dtype),
+            pltpu.VMEM((unroll, BT, _LANE), pw_pts.dtype),
+            msk_scratch,
+            pltpu.VMEM((unroll, lanes_pad, max_rows), f32),
+            pltpu.VMEM((unroll, 8, max_rows), f32),
+            pltpu.SemaphoreType.DMA((unroll,)),
+            pltpu.SemaphoreType.DMA((unroll,)),
+            pltpu.SemaphoreType.DMA((unroll,)),
+            pltpu.SemaphoreType.DMA((unroll,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        )
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # xf_T
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # pw_pts
+    ]
+    inputs = (tile_starts, tile_block0, ids_T, obs_T, xf_T, pw_pts)
+    if streamed:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)] + in_specs
+        inputs = (masks_T,) + inputs
+    if windowed:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        inputs = (win_starts,) + inputs
+    with jax.enable_x64(False):
+        jt, rt, cost_part = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                pl.BlockSpec((8, _LANE), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((lanes_pad, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((8, _LANE), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(*inputs)
+    return jt, rt, cost_part
 
 
 def jt_u_sorted(

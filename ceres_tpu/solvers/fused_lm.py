@@ -206,10 +206,22 @@ class CgnrStepOps:
         return step, mcc, res.num_iterations
 
 
+class JTForm(NamedTuple):
+    """Evaluation result in TRANSPOSED-lane form (the jt-mode fast path):
+    jt = (r*gf + r*ge, n_pad) unscaled grouped Jacobian lanes, rt =
+    (8, n_pad) residual rows — exactly what the downstream Pallas
+    kernels consume, with no (B, .)-major arrays anywhere."""
+
+    jt: jax.Array
+    rt: jax.Array
+
+
 class IterativeSchurStepOps:
     """Implicit-Schur PCG (iterative_schur_complement_solver.cc:64) on flat
     lanes, SCHUR_JACOBI or IDENTITY preconditioner, scale folded into the
     partition vectors."""
+
+    _jt_qual = None
 
     def __init__(self, program, options: Options, e_families):
         from ..ops import partition as pt_mod
@@ -272,20 +284,53 @@ class IterativeSchurStepOps:
                 self._skip_ftf = (
                     windows is None
                     or windows[3] * pf.t * gf * 4 <= 10 * 1024 * 1024)
+        # jt-mode: fully-fused evaluation (eval_fused emits transposed
+        # lanes directly; post_eval / matvec / SJ kernels consume them
+        # with the Jacobi scales FOLDED into the small operands — no
+        # (B,·)-wide eval, flatten, or scaled-prep pass per iteration).
+        self._jt_qual = None
+        from ..types import TrustRegionStrategyType
+
+        if (pname in ("SCHUR_JACOBI", "IDENTITY") and not self.spse_init
+                and not self.mixed and self._skip_ftf
+                and options.trust_region_strategy_type
+                == TrustRegionStrategyType.LEVENBERG_MARQUARDT):
+            self._jt_qual = self.flat.eval_kernel_qual(program)
 
     def evaluate(self, x, args=None):
+        if self._jt_qual is not None and args is None:
+            cost, rt, jt = self.flat.eval_fused_x(
+                self.program, self._jt_qual, self._inv, x)
+            return cost, rt, JTForm(jt=jt, rt=rt)
         o = self.program._eval_core(x, True, False, args=args, need_grad=False)
         vflat = tuple(tuple(r) for r in self.flat.flatten(o["block_jacs"]))
         return o["cost"], o["residuals"], vflat
 
     def prepare_invariants(self):
-        """Build the structure-constant streamed mask planes for the
-        fused matvec ONCE per minimize (called by the fused loop before
-        lax.while_loop; the body captures them as loop invariants)."""
-        self._masks = self.flat.kernel_masks()
+        """Build the structure-constant streamed mask planes (and, in
+        jt-mode, the id/data planes for eval_fused) ONCE per minimize
+        (called by the fused loop before lax.while_loop; the body
+        captures them as loop invariants)."""
+        if self._jt_qual is not None:
+            self._inv = self.flat.eval_invariants(self.program,
+                                                  self._jt_qual)
+            self._masks = self._inv["masks"]
+        else:
+            self._masks = self.flat.kernel_masks()
 
     def post_eval(self, vrep, r, args=None):
         fl, pm, pt = self.flat, self.pm, self.pt
+        if isinstance(vrep, JTForm):
+            kr = fl.post_eval_kernel_jt(vrep.jt, vrep.rt,
+                                        self._inv["ids_T"],
+                                        masks=self._masks)
+            g_e, sqn_e, ete, g_f, sqn_f = kr
+            g = pt.combine(pm, g_e, g_f)
+            sqn = pt.combine(pm, sqn_e, sqn_f)
+            ftf0 = tuple(
+                jnp.zeros((nv, t * t), g.dtype)
+                for (_, nv, t, _) in pm.f_fams)
+            return g, sqn, ((ete,), ftf0)
         if self._skip_ftf:
             # one-pass fused reduce (the F'F blocks are not needed:
             # the step kernel emits its own)
@@ -421,8 +466,15 @@ class IterativeSchurStepOps:
         # Fused one-Pallas-kernel S·z when the structure qualifies (J read
         # once per matvec; ops/pallas_kernels.implicit_schur_matvec) —
         # identical math to the flat-ops product chain below.
-        suite = fl.make_kernel_suite(vrep, se, sf,
-                                     masks=getattr(self, "_masks", None))
+        jt_form = isinstance(vrep, JTForm)
+        if jt_form:
+            suite = fl.make_kernel_suite_raw(
+                vrep.jt, self._inv["ids_T"], se, sf, masks=self._masks)
+            minv_fold = suite[3](minv_e[0])
+        else:
+            suite = fl.make_kernel_suite(vrep, se, sf,
+                                         masks=getattr(self, "_masks", None))
+            minv_fold = minv_e[0] if minv_e else None
         kern = suite[0] if suite is not None else None
         normal_k = suite[2] if suite is not None else None
 
@@ -443,7 +495,7 @@ class IterativeSchurStepOps:
             tmp = fl.right_e(vrep, se * u0)
             rhs = sf * fl.left_f(vrep, r - tmp)
         if kern is not None:
-            minv0 = minv_e[0]
+            minv0 = minv_fold
 
             def lhs(z):
                 cam, _ = kern(z, minv0)
@@ -464,6 +516,7 @@ class IterativeSchurStepOps:
                     and len(pm.f_fams) == 1):
                 inv_f = suite[1](minv_e[0], d2f)
             else:
+                assert not jt_form, "jt-mode requires the SJ kernel"
                 if self._skip_ftf:
                     # Static suite qualification skipped the F'F blocks in
                     # post_eval but the kernel suite is unavailable at
@@ -572,6 +625,7 @@ class DenseSchurStepOps:
         self._kq = self._kernel_qual_static()
         self._skip_ftf = self._kq is not None and not self.mixed
 
+    _jt_qual = None  # jt-mode is the ITERATIVE_SCHUR fast path only
     evaluate = IterativeSchurStepOps.evaluate
     prepare_invariants = IterativeSchurStepOps.prepare_invariants
     post_eval = IterativeSchurStepOps.post_eval

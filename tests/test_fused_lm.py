@@ -352,3 +352,47 @@ def test_inner_iterations_fused_matches_host():
     assert fused.is_solution_usable() and host.is_solution_usable()
     assert fused.final_cost == pytest.approx(host.final_cost, rel=1e-2,
                                              abs=1e-8)
+
+
+@pytest.mark.slow
+def test_jt_mode_matches_host_loop():
+    """jt-mode (fused Pallas evaluation + scale-folded kernel suite,
+    interpret): the ITERATIVE_SCHUR f32 pipeline with eval_fused must
+    match the host-loop f64 reference to f32 evaluation tolerance."""
+    import ceres_tpu as ct
+    from ceres_tpu.ops import flatops
+    from ceres_tpu.models import bal
+    from ceres_tpu.solvers import fused_lm
+
+    old = flatops.PALLAS_MODE
+    flatops.PALLAS_MODE = "interpret"
+    try:
+        b0 = bal.synthetic_bal(num_cameras=6, num_points=80, visibility=0.4,
+                               noise=1.0, seed=0)
+
+        def mk():
+            p, _, _ = bal.build_problem_batched(
+                bal.perturb(b0, 0.02, 0.1, 0.1, seed=1))
+            return p
+
+        opts = ct.Options(
+            linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+            preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+            fused_loop="ALWAYS", max_num_iterations=15,
+            evaluation_dtype="float32")
+        # assert the jt path is actually taken (not silently skipped)
+        from ceres_tpu.program import CompiledProgram
+        from ceres_tpu.utils import ordering as om
+        prog = CompiledProgram(mk(), compute_dtype="float32")
+        ops = fused_lm.IterativeSchurStepOps(
+            prog, opts, om.eligible_e_sets(prog))
+        assert ops._jt_qual is not None
+
+        s = ct.solve(opts, mk())
+        s_ref = ct.solve(ct.Options(
+            linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+            preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+            fused_loop="NEVER", max_num_iterations=15), mk())
+        assert abs(s.final_cost - s_ref.final_cost) / s_ref.final_cost < 5e-3
+    finally:
+        flatops.PALLAS_MODE = old
