@@ -624,6 +624,13 @@ class DenseSchurStepOps:
         # emits its own FtF (the widest part of the f reduce pass).
         self._kq = self._kernel_qual_static()
         self._skip_ftf = self._kq is not None and not self.mixed
+        from ..types import TrustRegionStrategyType
+
+        self._jt_qual = None
+        if (self._skip_ftf
+                and options.trust_region_strategy_type
+                == TrustRegionStrategyType.LEVENBERG_MARQUARDT):
+            self._jt_qual = self.flat.eval_kernel_qual(program)
 
     _jt_qual = None  # jt-mode is the ITERATIVE_SCHUR fast path only
     evaluate = IterativeSchurStepOps.evaluate
@@ -904,10 +911,14 @@ class DenseSchurStepOps:
         kind = fl.kinds[0]
         P, C, te, tf = pe.nv, pf.nv, pe.t, pf.t
         gf = max(8, -(-tf // 8) * 8)
-        Jf, Je = vrep[0][pf.s], vrep[0][pe.s]
         max_rows = pe.rplan[2]
-        JT, ids_T = pk.prep_matvec_rows(
-            Jf, Je, pe.local, pf.local, max_rows, kind.r, tf, te)
+        jt_form = isinstance(vrep, JTForm)
+        if jt_form:
+            JT, ids_T = vrep.jt, self._inv["ids_T"]
+        else:
+            Jf, Je = vrep[0][pf.s], vrep[0][pe.s]
+            JT, ids_T = pk.prep_matvec_rows(
+                Jf, Je, pe.local, pf.local, max_rows, kind.r, tf, te)
         BT = pk.BLOCKS_PER_TILE
         pw = jnp.zeros((P + 1 + BT, 128), dt)
         pw = jax.lax.dynamic_update_slice(pw, se.reshape(P, te), (0, 0))
@@ -942,8 +953,14 @@ class DenseSchurStepOps:
         resid = rhs - jnp.matmul(S, z, precision=jax.lax.Precision.HIGHEST)
         z = z + Linv.T @ (Linv @ resid)
         # implicit back substitution: y_e = K'(u - K E_s'F_s z)
-        fz = fl.right_f(vrep, sf * z)
-        Az = self._kmatvec(K_e, se * fl.left_e(vrep, fz))
+        if jt_form:
+            suite = fl.make_kernel_suite_raw(
+                JT, ids_T, se, sf, masks=self._masks)
+            _, ptv = suite[2](z, jnp.zeros((P, te), dt))
+            Az = self._kmatvec(K_e, ptv.reshape(-1))
+        else:
+            fz = fl.right_f(vrep, sf * z)
+            Az = self._kmatvec(K_e, se * fl.left_e(vrep, fz))
         y_e = self._kmatvec(K_e, u_vec - Az, transpose=True)
         step = -pt.combine(pm, y_e, z)
         g_dot = jnp.dot(b, step)
@@ -953,6 +970,9 @@ class DenseSchurStepOps:
 
     def compute_step(self, vrep, aux, g, r, scale_c, D2_c, args=None):
         fl, pm, pt = self.flat, self.pm, self.pt
+        if isinstance(vrep, JTForm):
+            return self._compute_step_kernel(
+                self._kq, vrep, aux, g, scale_c, D2_c)
         mixed = self.mixed and r.dtype == jnp.float64
         if not mixed:
             q = self._kernel_qual(vrep)
@@ -1012,6 +1032,7 @@ class ExplicitSchurStepOps(DenseSchurStepOps):
     def __init__(self, program, options: Options, e_families):
         super().__init__(program, options, e_families)
         self._skip_ftf = False  # _assemble consumes the carried F'F blocks
+        self._jt_qual = None  # compute_step assembles from vrep directly
         self.eta = options.eta
         self.max_li = options.max_linear_solver_iterations
         self.min_li = options.min_linear_solver_iterations
