@@ -278,6 +278,12 @@ def get_qr_lib():
     lib.ct_qr_factor.argtypes = [
         ctypes.c_int32, ctypes.c_int32, i64p, i32p, f64p,
     ]
+    lib.ct_qr_factor_split.restype = ctypes.c_int64
+    lib.ct_qr_factor_split.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, i64p, i32p, f64p, ctypes.c_int32,
+    ]
+    lib.ct_qr_set_dense.restype = None
+    lib.ct_qr_set_dense.argtypes = [f64p]
     lib.ct_qr_diag.restype = None
     lib.ct_qr_diag.argtypes = [f64p]
     lib.ct_qr_solve_multi.restype = ctypes.c_int32
@@ -299,18 +305,38 @@ class SparseQR:
 
     _live = None
 
-    def __init__(self, nrows, ncols, indptr, indices, data):
+    def __init__(self, nrows, ncols, indptr, indices, data,
+                 schur_tail_split: "int | None" = None):
+        """schur_tail_split: factor only columns [0, split) by row-Givens
+        and DISCARD remainders reaching [split, ncols) — the caller must
+        install R_cc = chol(S)' via set_dense before diag()/solves
+        (the TPU-offloaded dense-tail mode, sparse_qr.cc notes)."""
         lib = get_qr_lib()
         self._lib = lib
         self.ncols = int(ncols)
-        nnz = lib.ct_qr_factor(
-            int(nrows), int(ncols),
-            np.ascontiguousarray(indptr, np.int64),
-            np.ascontiguousarray(indices, np.int32),
-            np.ascontiguousarray(data, np.float64),
-        )
+        if schur_tail_split is None:
+            nnz = lib.ct_qr_factor(
+                int(nrows), int(ncols),
+                np.ascontiguousarray(indptr, np.int64),
+                np.ascontiguousarray(indices, np.int32),
+                np.ascontiguousarray(data, np.float64),
+            )
+        else:
+            nnz = lib.ct_qr_factor_split(
+                int(nrows), int(ncols),
+                np.ascontiguousarray(indptr, np.int64),
+                np.ascontiguousarray(indices, np.int32),
+                np.ascontiguousarray(data, np.float64),
+                int(schur_tail_split),
+            )
         self.nnz_R = int(nnz)
         SparseQR._live = self
+
+    def set_dense(self, Rcc: np.ndarray):
+        """Install the (m, m) row-major upper-triangular trailing block."""
+        assert SparseQR._live is self, "another SparseQR replaced this one"
+        self._lib.ct_qr_set_dense(
+            np.ascontiguousarray(Rcc, np.float64))
 
     def diag(self) -> np.ndarray:
         """|diag(R)|; 0.0 marks a structurally empty (rank-deficient) row."""

@@ -42,6 +42,7 @@ int32_t g_ncols = 0;
 int32_t g_split = 0;           // dense region start column (== ncols: none)
 std::vector<double> g_D;       // dense rows, (ncols-g_split)^2 row-major
 std::vector<uint8_t> g_Dused;  // dense row occupancy
+int32_t g_discard = 0;         // Schur-tail mode: drop dense-region rows
 int64_t g_rot = 0, g_ops = 0;  // diagnostics: rotations, merge work
 
 // Rotate sparse row `w` (indices >= k sorted, w.idx[0] == k) against R[k]
@@ -166,15 +167,26 @@ void ct_qr_stats(int64_t* out) {
 
 // Factor the nrows x ncols CSR matrix (indptr int64[nrows+1], indices
 // int32[nnz] sorted within each row, data f64[nnz]); zero-valued entries
-// are skipped. Returns nnz(R) (>= 0) on success.
-int64_t ct_qr_factor(int32_t nrows, int32_t ncols, const int64_t* indptr,
-                     const int32_t* indices, const double* data) {
+// are skipped. Returns nnz(R) (>= 0) on success. split0 < ncols forces
+// the dense region at split0 from the start; discard drops dense-region
+// remainders (Schur-tail mode, see ct_qr_factor_split).
+static int64_t factor_impl(int32_t nrows, int32_t ncols,
+                           const int64_t* indptr, const int32_t* indices,
+                           const double* data, int32_t split0,
+                           int32_t discard) {
   g_R.assign(ncols, SparseRow{});
   g_ncols = ncols;
   g_split = ncols;
+  g_discard = discard;
   g_D.clear();
   g_Dused.clear();
   g_rot = g_ops = 0;
+  if (split0 < ncols) {
+    const int32_t m = ncols - split0;
+    g_split = split0;
+    g_D.assign((int64_t)m * m, 0.0);
+    g_Dused.assign(m, 0);
+  }
   // George & Heath row ordering: process rows by ascending leading column
   // (bucket sort) — keeps intermediate fill low.
   std::vector<int32_t> lead(nrows);
@@ -210,6 +222,7 @@ int64_t ct_qr_factor(int32_t nrows, int32_t ncols, const int64_t* indptr,
     while (!widx.empty()) {
       int32_t k = widx[0];
       if (k >= g_split) {
+        if (g_discard) break;  // Schur-tail mode: R_cc comes from chol(S)
         // hand the remainder to the dense trailing block
         const int32_t m = g_ncols - g_split;
         wd.assign(m, 0.0);
@@ -227,7 +240,7 @@ int64_t ct_qr_factor(int32_t nrows, int32_t ncols, const int64_t* indptr,
       // Root-supernode switch: a dense-ish sparse row this deep means
       // every later merge here pays |row|^2 — flip to the dense block.
       const int32_t rem = g_ncols - k;
-      if (rem <= DENSE_MAX &&
+      if (!g_discard && rem <= DENSE_MAX &&
           (int32_t)Rk.idx.size() >= (rem >> 2) + 8) {
         activate_dense(k);
         continue;  // re-dispatch this row into the dense path
@@ -243,6 +256,11 @@ int64_t ct_qr_factor(int32_t nrows, int32_t ncols, const int64_t* indptr,
       if (g_Dused[k]) nnz += m - k;
   }
   return nnz;
+}
+
+int64_t ct_qr_factor(int32_t nrows, int32_t ncols, const int64_t* indptr,
+                     const int32_t* indices, const double* data) {
+  return factor_impl(nrows, ncols, indptr, indices, data, ncols, 0);
 }
 
 // |R[k,k]| per column; 0.0 where the row is structurally empty (rank
@@ -298,6 +316,32 @@ int32_t ct_qr_solve_multi(int32_t k, const double* B, double* X) {
     for (int32_t i = 0; i < n; ++i) X[(int64_t)i * k + c] = y[i];
   }
   return 0;
+}
+
+// Schur-tail factorization (covariance_impl.cc:539's SuiteSparseQR role
+// with the camera core offloaded, VERDICT r3 #8): factor ONLY the sparse
+// columns [0, split) — rows whose remainder reaches the trailing block
+// are DISCARDED, because R_cc is determined analytically:
+//   R'R = J'J  =>  R_cc' R_cc = H_cc - H_ce H_ee^{-1} H_ec = S,
+// the camera Schur complement (R_ec = R_ee^{-T} H_ec makes the cross
+// term H_ce H_ee^{-1} H_ec exactly) — and S + its Cholesky factor come
+// from the TPU Schur assembly. The caller pushes chol(S)' back with
+// ct_qr_set_dense before diag()/solve_multi().
+int64_t ct_qr_factor_split(int32_t nrows, int32_t ncols,
+                           const int64_t* indptr, const int32_t* indices,
+                           const double* data, int32_t split) {
+  return factor_impl(nrows, ncols, indptr, indices, data, split, 1);
+}
+
+// Install the dense trailing block: Rcc is (m, m) row-major upper
+// triangular with m == ncols - split.
+void ct_qr_set_dense(const double* Rcc) {
+  const int32_t m = g_ncols - g_split;
+  g_D.assign((int64_t)m * m, 0.0);
+  g_Dused.assign(m, 1);
+  for (int32_t k = 0; k < m; ++k)
+    std::memcpy(g_D.data() + (int64_t)k * m + k,
+                Rcc + (int64_t)k * m + k, (m - k) * sizeof(double));
 }
 
 void ct_qr_free() {

@@ -347,3 +347,77 @@ def test_covariance_sparse_qr_slam_scale():
     num = np.linalg.norm(C1 - C2)
     den = np.linalg.norm(C2)
     assert num / den < 1e-6, f"QR vs normal-eq covariance mismatch {num/den:.2e}"
+
+
+def test_covariance_schur_tail_parity():
+    """Schur-tail sparse QR (r4, VERDICT r3 #8): the dense camera core of
+    R comes from chol(S) assembled on the accelerator — must match the
+    pure row-Givens QR covariance to fp tolerance on a full-rank BA."""
+    import numpy as np
+
+    import ceres_tpu as ct
+    from ceres_tpu.covariance import Covariance, CovarianceOptions
+    from ceres_tpu.models import bal
+
+    b = bal.synthetic_bal(num_cameras=64, num_points=300, visibility=0.15,
+                          noise=0.5, seed=0)
+    prob, cams, pts = bal.build_problem_batched(b)
+    w = 1e-2  # Tikhonov anchors fix the gauge for BOTH paths
+    import jax.numpy as jnp
+
+    anchor_c = ct.AutoDiffCostFunction(lambda c, d: w * (c - d), 9, [9])
+    anchor_p = ct.AutoDiffCostFunction(lambda p, d: w * (p - d), 3, [3])
+    arr_c, arr_p = prob._block_arrays
+    prob.add_residual_block_batch(
+        anchor_c, None, [(arr_c, np.arange(b.num_cameras))], data=cams.copy())
+    prob.add_residual_block_batch(
+        anchor_p, None, [(arr_p, np.arange(b.num_points))], data=pts.copy())
+    ct.solve(ct.Options(linear_solver_type=ct.LinearSolverType.DENSE_SCHUR,
+                        max_num_iterations=15), prob)
+    cov_tail = Covariance(CovarianceOptions(schur_tail_min_cols=128))
+    cov_ref = Covariance(CovarianceOptions(schur_tail_min_cols=0))
+    assert cov_tail.compute([], prob)
+    assert cov_ref.compute([], prob)
+    rel = np.abs(cov_tail._cov - cov_ref._cov).max() / np.abs(
+        cov_ref._cov).max()
+    assert rel < 1e-7, f"schur-tail covariance mismatch {rel:.2e}"
+
+
+@pytest.mark.slow
+def test_covariance_schur_tail_full_ba_scale():
+    """Full-BA covariance at the r3-identified scale wall: a 9*C-wide
+    camera core (C=400 -> 3600 columns) where host row-Givens on the
+    dense block is the multi-1e11-flop term. With the Schur-tail offload
+    the full covariance completes within the budget, and matches the
+    normal-equations path (well-conditioned synthetic)."""
+    import time
+
+    import numpy as np
+
+    import ceres_tpu as ct
+    from ceres_tpu.covariance import Covariance, CovarianceOptions
+    from ceres_tpu.models import bal
+
+    b = bal.synthetic_bal_large(num_cameras=400, num_points=2500,
+                                mean_track=6.0, cam_window=40, seed=0)
+    prob, cams, pts = bal.build_problem_batched(b)
+    w = 1e-2
+    anchor_c = ct.AutoDiffCostFunction(lambda c, d: w * (c - d), 9, [9])
+    anchor_p = ct.AutoDiffCostFunction(lambda p, d: w * (p - d), 3, [3])
+    arr_c, arr_p = prob._block_arrays
+    prob.add_residual_block_batch(
+        anchor_c, None, [(arr_c, np.arange(b.num_cameras))], data=cams.copy())
+    prob.add_residual_block_batch(
+        anchor_p, None, [(arr_p, np.arange(b.num_points))], data=pts.copy())
+    t0 = time.time()
+    cov = Covariance(CovarianceOptions())
+    ok = cov.compute([], prob)
+    dt = time.time() - t0
+    assert ok, "schur-tail covariance failed"
+    assert dt < 300.0, f"full-BA covariance too slow: {dt:.1f}s"
+
+    cov2 = Covariance(CovarianceOptions(use_normal_equations=True))
+    assert cov2.compute([], prob)
+    C1, C2 = cov._cov, cov2._cov
+    rel = np.linalg.norm(C1 - C2) / np.linalg.norm(C2)
+    assert rel < 1e-6, f"covariance mismatch vs normal equations {rel:.2e}"
