@@ -842,10 +842,12 @@ class FlatSchurOps(_FlatOpsBase):
     def eval_kernel_qual(self, program):
         """Static qualification for the fused EVALUATION kernel
         (pallas_kernels.eval_fused): the matvec structure rules PLUS
-        single 2-slot kind, no loss, Euclidean families both sides, a
+        single 2-slot kind, Euclidean families both sides, a
         row-vectorized residual (cost.residual_rows), float observation
-        data totalling <= 8 lanes, f32 compute. Returns
-        (pe, pf, windows, rows_fn, fam_f, fam_e, data_leaves) or None."""
+        data totalling <= 8 lanes, f32 compute. Robust losses are
+        allowed — the Triggs corrector is folded into the kernel
+        (loss_rho below). Returns (pe, pf, windows, rows_fn, fam_f,
+        fam_e, data_leaves, loss_rho) or None."""
         qual = self._kernel_slots(self.plans_e, self.plans_f,
                                   self.pm.e_fams, self.pm.f_fams)
         if qual is None:
@@ -855,8 +857,15 @@ class FlatSchurOps(_FlatOpsBase):
         if len(program.kinds) != 1:
             return None
         kind = program.kinds[0]  # the PROGRAM kind (cost/loss/data/fams)
-        if kind.loss is not None or len(kind.slots) != 2:
+        if len(kind.slots) != 2:
             return None
+        from ..loss import LossFunction, TrivialLoss
+
+        loss_rho = None
+        if kind.loss is not None and not isinstance(kind.loss, TrivialLoss):
+            if not isinstance(kind.loss, LossFunction):
+                return None
+            loss_rho = kind.loss.evaluate
         rows_fn = getattr(kind.cost, "residual_rows", None)
         if rows_fn is None or kind.r > 8:
             return None
@@ -882,7 +891,7 @@ class FlatSchurOps(_FlatOpsBase):
             lanes += int(np.prod(a.shape[1:])) if a.ndim > 1 else 1
         if lanes > 8:
             return None
-        return pe, pf, windows, rows_fn, fam_f, fam_e, leaves
+        return pe, pf, windows, rows_fn, fam_f, fam_e, leaves, loss_rho
 
     def eval_invariants(self, program, q):
         """Loop-invariant device tensors for eval_fused, built ONCE per
@@ -891,7 +900,7 @@ class FlatSchurOps(_FlatOpsBase):
         (8, n_pad) products are computed in-graph, pre-loop."""
         from . import pallas_kernels as pk
 
-        pe, pf, windows, rows_fn, fam_f, fam_e, leaves = q
+        pe, pf, windows, rows_fn, fam_f, fam_e, leaves, _loss = q
         kind = program.kinds[0]
         max_rows = pe.rplan[2]
         B = kind.B
@@ -923,7 +932,7 @@ class FlatSchurOps(_FlatOpsBase):
         """Fused evaluation at state x: returns (cost f64, rT, JT)."""
         from . import pallas_kernels as pk
 
-        pe, pf, windows, rows_fn, fam_f, fam_e, _ = q
+        pe, pf, windows, rows_fn, fam_f, fam_e, _, loss_rho = q
         kind = program.kinds[0]
         max_rows = pe.rplan[2]
         xf = jax.lax.dynamic_slice(
@@ -950,7 +959,7 @@ class FlatSchurOps(_FlatOpsBase):
             P, C, kind.r, pf.t, pe.t, rows_fn, max_rows=max_rows,
             unroll=16 if num_tiles >= 4096 else 8,
             interpret=PALLAS_MODE == "interpret",
-            masks_T=inv["masks"], **wkw)
+            masks_T=inv["masks"], loss_rho=loss_rho, **wkw)
         cost = (0.5 * jnp.sum(cost_part.astype(jnp.float64))
                 + jnp.asarray(program.fixed_cost, jnp.float64))
         return cost, rt, jt
@@ -1060,7 +1069,8 @@ class FlatSchurOps(_FlatOpsBase):
                     pw, minv_flat, (0, 8))
                 flat = pk.sj_assembly_windowed(
                     JT, ids_T, pw, pe.rplan[0], pe.rplan[1], windows,
-                    P, C, r, tf, te, max_rows=max_rows, interpret=interp)
+                    P, C, r, tf, te, max_rows=max_rows, interpret=interp,
+                    unroll=unroll)
                 return _sj_from_flat(flat, None, d2f)
 
             return matvec, jacobi_blocks_w, normal, fold_minv
@@ -1187,7 +1197,8 @@ class FlatSchurOps(_FlatOpsBase):
                 pw = jax.lax.dynamic_update_slice(pw, minv_flat, (0, 8))
                 flat = pk.sj_assembly_windowed(
                     JT, ids_T, pw, pe.rplan[0], pe.rplan[1], windows,
-                    P, C, r, tf, te, max_rows=max_rows, interpret=interp)
+                    P, C, r, tf, te, max_rows=max_rows, interpret=interp,
+                    unroll=unroll)
                 blocks = flat[:C].reshape(C, tf, gf)[:, :, :tf]
                 d_rows = d2f.reshape(C, tf)
                 M = blocks.reshape(C, tf * tf) + _mm(

@@ -1952,9 +1952,10 @@ def eval_fused(
     win_width: int = 0,
     n_win: int = 1,
     masks_T=None,
+    loss_rho=None,  # s -> (rho, rho', rho'') for robust losses
 ):
     """The ENTIRE residual + Jacobian evaluation in ONE kernel for the
-    qualified (single-kind, Euclidean, lossless) structure — the
+    qualified (single-kind, Euclidean) structure — the
     ProgramEvaluator hot loop (program_evaluator.h:189) on TPU terms:
     per observation tile
 
@@ -2166,14 +2167,56 @@ def eval_fused(
                     for i in range(r):
                         je_lanes[i][d] = jr[i:i + 1, :]
                 zrow = jnp.zeros((1, max_rows), f32)
-                lanes = []
-                for i in range(r):
-                    lanes.extend(jf_lanes[i][d] if jf_lanes[i][d] is not None
-                                 else zrow for d in range(gf))
-                for i in range(r):
-                    lanes.extend(je_lanes[i][d] if je_lanes[i][d] is not None
-                                 else zrow for d in range(ge))
-                jt_tile = jnp.concatenate(lanes, axis=0)
+                gro_f = [jnp.concatenate(
+                    [jf_lanes[i][d] if jf_lanes[i][d] is not None else zrow
+                     for d in range(gf)], axis=0) for i in range(r)]
+                gro_e = [jnp.concatenate(
+                    [je_lanes[i][d] if je_lanes[i][d] is not None else zrow
+                     for d in range(ge)], axis=0) for i in range(r)]
+                cost_row = None
+                if loss_rho is not None:
+                    # Triggs corrector folded in-kernel (corrector.cc:41-111
+                    # semantics, mirrored from loss.corrector_coefficients):
+                    # correct J with the RAW residuals, then scale the
+                    # residuals (residual_block.cc:176-194 order); the cost
+                    # partial becomes rho(s). Coefficient math runs at 8
+                    # sublanes — (1, rows) boolean selects crash Mosaic on
+                    # some layouts (see the Rodrigues note above).
+                    s8 = jnp.broadcast_to(
+                        jnp.sum(res * res, axis=0, keepdims=True),
+                        (8, max_rows))
+                    rho0_8, rho1_8, rho2_8 = loss_rho(s8)
+                    simple = (s8 == 0.0) | (rho2_8 <= 0.0)
+                    safe_sq = jnp.where(simple, one, s8)
+                    sqrt_r1 = jnp.sqrt(rho1_8)
+                    D = 1.0 + 2.0 * safe_sq * jnp.where(
+                        simple, zero, rho2_8) / rho1_8
+                    alpha = 1.0 - jnp.sqrt(jnp.maximum(D, zero))
+                    rs8 = jnp.where(simple, sqrt_r1,
+                                    sqrt_r1 / (1.0 - alpha))
+                    asq8 = jnp.where(simple, zero, alpha / safe_sq)
+                    sr1 = sqrt_r1[0:1, :]
+                    asq = asq8[0:1, :]
+                    rtj_f = sum(
+                        jnp.broadcast_to(res[i:i + 1, :], (gf, max_rows))
+                        * gro_f[i] for i in range(r))
+                    rtj_e = sum(
+                        jnp.broadcast_to(res[i:i + 1, :], (ge, max_rows))
+                        * gro_e[i] for i in range(r))
+                    gro_f = [
+                        (gro_f[i] - jnp.broadcast_to(
+                            asq * res[i:i + 1, :], (gf, max_rows)) * rtj_f)
+                        * jnp.broadcast_to(sr1, (gf, max_rows))
+                        for i in range(r)]
+                    gro_e = [
+                        (gro_e[i] - jnp.broadcast_to(
+                            asq * res[i:i + 1, :], (ge, max_rows)) * rtj_e)
+                        * jnp.broadcast_to(sr1, (ge, max_rows))
+                        for i in range(r)]
+                    cost_row = rho0_8[0:1, :]
+                    res = jnp.broadcast_to(
+                        rs8[0:1, :], (r, max_rows)) * res
+                jt_tile = jnp.concatenate(gro_f + gro_e, axis=0)
                 # sentinel padding rows (and non-owned rows whose gathers
                 # returned zero params) can produce inf/NaN from the user
                 # function — SELECT zeros (where), never multiply: 0*NaN
@@ -2200,10 +2243,11 @@ def eval_fused(
                 jt_cp.start()
                 rt_cp.start()
                 # masked cost partials; WHERE-masked: non-owned rows may
-                # hold NaN (0*NaN would keep it)
-                s_row = jnp.where(
-                    in_tile > 0.5,
-                    jnp.sum(res * res, axis=0, keepdims=True), zero)
+                # hold NaN (0*NaN would keep it). With a loss the cost is
+                # rho(s) of the RAW residual norm (res is scaled by now).
+                raw_cost = (cost_row if cost_row is not None else
+                            jnp.sum(res * res, axis=0, keepdims=True))
+                s_row = jnp.where(in_tile > 0.5, raw_cost, zero)
                 cost_acc = cost_acc + jnp.concatenate(
                     [s_row, jnp.zeros((7, max_rows), f32)], axis=0)
             if jt_cp is not None:
@@ -2442,7 +2486,7 @@ def windowed_segment_sum(contrib, ids, num_blocks: int, windows,
 
 def sj_assembly_windowed(JT, ids_T, pw_hbm, tile_starts, tile_block0,
                          windows, num_points, C, r, tf, te,
-                         max_rows=512, unroll=2, interpret=False):
+                         max_rows=512, unroll=8, interpret=False):
     """Camera-WINDOWED block-diag(S) assembly for large C
     (schur_jacobi_preconditioner.h:78 at the Venice scale): per point
     tile, compute per-row scaled F'F and W' M^{-1} W lanes in VMEM and
@@ -2520,23 +2564,28 @@ def sj_assembly_windowed(JT, ids_T, pw_hbm, tile_starts, tile_block0,
             d_mm = (((1,), (0,)), ((), ()))
             d_ll = (((1,), (1,)), ((), ()))
 
+            # STACKED exact-split dots (same rework as isc_matvec): the
+            # narrow data operands (24 sublanes of sp+Minv, and the 3
+            # split passes everywhere) pay the MXU's 128-row padding once
+            # instead of per pass.
             def dot3(data, oh_b, d):
-                out = None
-                for part in split3(data):
-                    t = jax.lax.dot_general(
-                        part, oh_b, dimension_numbers=d,
-                        preferred_element_type=f32)
-                    out = t if out is None else out + t
-                return out
+                parts = split3(data)
+                m = data.shape[0]
+                st = jnp.concatenate(parts, axis=0)
+                out = jax.lax.dot_general(
+                    st, oh_b, dimension_numbers=d,
+                    preferred_element_type=f32)
+                return sum(out[i * m:(i + 1) * m] for i in range(len(parts)))
 
             def dot3l(oh_b, data, d):
-                out = None
-                for part in split3(data):
-                    t = jax.lax.dot_general(
-                        oh_b, part, dimension_numbers=d,
-                        preferred_element_type=f32)
-                    out = t if out is None else out + t
-                return out
+                parts = split3(data)
+                m = data.shape[0]
+                st = jnp.concatenate(parts, axis=0)
+                out = jax.lax.dot_general(
+                    oh_b, st, dimension_numbers=d,
+                    preferred_element_type=f32)
+                return sum(out[:, i * m:(i + 1) * m]
+                           for i in range(len(parts)))
 
             @pl.when(g == 0)
             def _zero():
@@ -2566,8 +2615,10 @@ def sj_assembly_windowed(JT, ids_T, pw_hbm, tile_starts, tile_block0,
                 Je_g = [jt[off_e + i * ge: off_e + (i + 1) * ge, :]
                         for i in range(r)]
                 pw = pw_vmem[j]
-                sp_rows = dot3(jnp.transpose(pw[:, 0:8]), ohp_b, d_mm)
-                Minv_rows = dot3(jnp.transpose(pw[:, 8:24]), ohp_b, d_mm)
+                # ONE stacked gather for sp + Minv lanes together
+                both = dot3(jnp.transpose(pw[:, 0:24]), ohp_b, d_mm)
+                sp_rows = both[0:8]
+                Minv_rows = both[8:24]
                 Jsf = Jf_g
                 Jsp = [Je_g[i] * sp_rows for i in range(r)]
                 # W_k (gf, rows) = sum_r Jsp[r][k] * Jsf[r]

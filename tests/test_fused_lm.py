@@ -396,3 +396,71 @@ def test_jt_mode_matches_host_loop():
         assert abs(s.final_cost - s_ref.final_cost) / s_ref.final_cost < 5e-3
     finally:
         flatops.PALLAS_MODE = old
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("loss_name", ["huber", "cauchy"])
+def test_jt_mode_loss_matches_host_loop(loss_name):
+    """jt-mode with a robust loss: the Triggs corrector folded into
+    eval_fused (corrector.cc:41-111 in-kernel) must match the legacy
+    host-loop path (loss.correct_residuals_and_jacobians) both at the
+    first evaluation (cost = 0.5 sum rho) and at the solved cost."""
+    import ceres_tpu as ct
+    from ceres_tpu.ops import flatops
+    from ceres_tpu.models import bal
+    from ceres_tpu.solvers import fused_lm
+    from ceres_tpu.loss import HuberLoss, CauchyLoss
+
+    loss = {"huber": HuberLoss(1.0), "cauchy": CauchyLoss(0.5)}[loss_name]
+    old = flatops.PALLAS_MODE
+    flatops.PALLAS_MODE = "interpret"
+    try:
+        b0 = bal.synthetic_bal(num_cameras=6, num_points=80, visibility=0.4,
+                               noise=1.0, seed=0)
+
+        def mk():
+            p, _, _ = bal.build_problem_batched(
+                bal.perturb(b0, 0.02, 0.1, 0.1, seed=1), loss=loss)
+            return p
+
+        opts = ct.Options(
+            linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+            preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+            fused_loop="ALWAYS", max_num_iterations=15,
+            evaluation_dtype="float32")
+        from ceres_tpu.program import CompiledProgram
+        from ceres_tpu.utils import ordering as om
+        prog = CompiledProgram(mk(), compute_dtype="float32")
+        ops = fused_lm.IterativeSchurStepOps(
+            prog, opts, om.eligible_e_sets(prog))
+        assert ops._jt_qual is not None  # loss must not disqualify jt-mode
+        ops.prepare_invariants()
+        x = prog.initial_state()
+        cost_jt, r_jt, v_jt = ops.evaluate(x)
+        o = prog._eval_core(x, True, False, need_grad=False)
+        assert float(cost_jt) == pytest.approx(float(o["cost"]), rel=1e-5)
+        # gradient/scaling parity vs the legacy corrected evaluation
+        # (correct_residuals_and_jacobians): the corrector itself
+        g_jt, sqn_jt, _ = ops.post_eval(v_jt, r_jt)
+        import numpy as np
+        from ceres_tpu.ops import flatops as fo_mod
+        vflat = tuple(tuple(rr) for rr in ops.flat.flatten(o["block_jacs"]))
+        g_e, sqn_e, _ = ops.flat.fused_post_eval_e(vflat, o["residuals"])
+        g_f, sqn_f, _ = ops.flat.fused_post_eval_f(vflat, o["residuals"],
+                                                   with_blocks=False)
+        g_ref = ops.pt.combine(ops.pm, g_e, g_f)
+        gs = max(1e-12, float(np.max(np.abs(np.asarray(g_ref)))))
+        assert np.max(np.abs(np.asarray(g_jt) - np.asarray(g_ref))) / gs < 1e-4
+
+        # Trajectory parity: robust-loss systems are near-singular along
+        # outlier directions (sqrt(rho') -> small), so equally-good f32
+        # steps diverge; cauchy gets the looser bound.
+        tol = {"huber": 5e-3, "cauchy": 2e-2}[loss_name]
+        s = ct.solve(opts, mk())
+        s_ref = ct.solve(ct.Options(
+            linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+            preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+            fused_loop="NEVER", max_num_iterations=15), mk())
+        assert abs(s.final_cost - s_ref.final_cost) / s_ref.final_cost < tol
+    finally:
+        flatops.PALLAS_MODE = old
