@@ -1690,21 +1690,14 @@ def _halo_rev(contrib_halo, srv_l, axis, Pl):
         srv_l.reshape(-1)].add(back)
 
 
-def lm_step_camera_halo(cams_l, pts_own, cam_local, pt_halo, obs, srv_l,
-                        radius, axis_name, w=None, cg_iters: int = 10):
-    """One LM iteration with the camera table device-local and the point
-    table OWNER-SHARDED, closed via cut-sized halo exchanges (same LM/CG
-    math as lm_step_camera_sharded; accept rule =
-    min_relative_decrease, levenberg_marquardt_strategy.cc:69 radius
-    update):
-
-     - camera-side reductions shard-local (zero-halo property);
-     - point-side reductions close in HALO space: segment-sum by halo id,
-       one reverse all-to-all, owner scatter-add — never a P-sized psum;
-     - CG state lives in OWNED point space (Pl rows/device); each matvec
-       pays one forward + one reverse cut-sized exchange.
-
-    Returns (new cams_l, new pts_own, radius, cost)."""
+def _halo_linearize(cams_l, pts_own, cam_local, pt_halo, obs, srv_l,
+                    radius, axis_name, w=None,
+                    min_diag: float = 1e-6, max_diag: float = 1e32):
+    """Shared halo-tier linearization: evaluate, reduce gradients/column
+    norms through cut-sized exchanges, build the Jacobi-scaled damped
+    normal-equations operator. Used by both the fixed-rule LM step and
+    the Ceres-semantics step (identical op order — the 1e-10 parity
+    tests pin the former)."""
     Pl = pts_own.shape[0]
     n = srv_l.shape[0]
     Hs = srv_l.shape[1]
@@ -1745,8 +1738,8 @@ def lm_step_camera_halo(cams_l, pts_own, cam_local, pt_halo, obs, srv_l,
     sp_halo = _halo_fwd(sp, srv_l, axis_name)
     Js = J * _mmf(jnp.concatenate([sc[cam_local], sp_halo[pt_halo]],
                                   axis=1), R)
-    diag_c = jnp.clip(sc * sc * d2c, 1e-6, 1e32)
-    diag_p = jnp.clip(sp * sp * d2p, 1e-6, 1e32)
+    diag_c = jnp.clip(sc * sc * d2c, min_diag, max_diag)
+    diag_p = jnp.clip(sp * sp * d2p, min_diag, max_diag)
     D2c = diag_c / radius
     D2p = diag_p / radius
     rhs_c = sc * gc
@@ -1761,6 +1754,32 @@ def lm_step_camera_halo(cams_l, pts_own, cam_local, pt_halo, obs, srv_l,
         back = _mmf(Js * _mmf(jv, S.T), R.T)
         cb, pb = split(back)
         return reduce_c(cb) + D2c * vc, reduce_p(pb) + D2p * vp
+
+    return (psum, r, cost, Js, R, S, split, reduce_c, reduce_p, sc, sp,
+            gc, gp, diag_c, diag_p, D2c, D2p, rhs_c, rhs_p, Minv_c,
+            Minv_p, matvec, cam_local, pt_halo)
+
+
+def lm_step_camera_halo(cams_l, pts_own, cam_local, pt_halo, obs, srv_l,
+                        radius, axis_name, w=None, cg_iters: int = 10):
+    """One LM iteration with the camera table device-local and the point
+    table OWNER-SHARDED, closed via cut-sized halo exchanges (same LM/CG
+    math as lm_step_camera_sharded; accept rule =
+    min_relative_decrease, levenberg_marquardt_strategy.cc:69 radius
+    update):
+
+     - camera-side reductions shard-local (zero-halo property);
+     - point-side reductions close in HALO space: segment-sum by halo id,
+       one reverse all-to-all, owner scatter-add — never a P-sized psum;
+     - CG state lives in OWNED point space (Pl rows/device); each matvec
+       pays one forward + one reverse cut-sized exchange.
+
+    Returns (new cams_l, new pts_own, radius, cost)."""
+    env = _halo_linearize(cams_l, pts_own, cam_local, pt_halo, obs, srv_l,
+                          radius, axis_name, w)
+    (psum, r, cost, Js, R, S, split, reduce_c, reduce_p, sc, sp,
+     gc, gp, diag_c, diag_p, D2c, D2p, rhs_c, rhs_p, Minv_c, Minv_p,
+     matvec, cam_local_, pt_halo_) = env
 
     def dots(ac, bc, ap, bp):
         return psum(jnp.sum(ac * bc) + jnp.sum(ap * bp))
@@ -1789,6 +1808,7 @@ def lm_step_camera_halo(cams_l, pts_own, cam_local, pt_halo, obs, srv_l,
             zc0, zp0, rz0)
     yc, yp, *_ = jax.lax.fori_loop(0, cg_iters, cg_body, init)
     step_c, step_p = -yc, -yp
+    tp = pts_own.shape[1]
 
     new_cams = cams_l + step_c * sc
     new_pts = pts_own + step_p * sp
@@ -1853,3 +1873,313 @@ def make_camera_halo_step(mesh: Mesh, k: int = 1, axis: str = "cam",
         return BAState(c, p, r, co)
 
     return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# Ceres-semantics sharded LM (addresses the "simplified LM" gap): the same
+# Options subset, step evaluator, and termination taxonomy as the host
+# trust-region loop (solver.h:61-816, trust_region_minimizer.cc,
+# trust_region_step_evaluator.h), with the CG inner solve running through
+# the GENERIC conjugate_gradients (conjugate_gradients_solver.h:109's
+# vector-type template ≙ injectable psum-closed dot/norm) so eta/Nash
+# q-tolerance and the CG failure taxonomy are identical to single-chip.
+# ---------------------------------------------------------------------------
+
+# termination codes (match solvers.fused_lm's internal codes)
+HALO_RUNNING = 0
+HALO_GRADIENT_TOL = 1
+HALO_MIN_RADIUS = 2
+HALO_PARAM_TOL = 3
+HALO_FUNC_TOL = 4
+HALO_INVALID_STEPS = 5
+
+
+class ShardedLMOptions(NamedTuple):
+    """Solver::Options subset honored by the Ceres-semantics sharded LM
+    step (defaults = Ceres defaults, solver.h:61-816)."""
+
+    min_relative_decrease: float = 1e-3
+    function_tolerance: float = 1e-6
+    gradient_tolerance: float = 1e-10
+    parameter_tolerance: float = 1e-8
+    min_lm_diagonal: float = 1e-6
+    max_lm_diagonal: float = 1e32
+    min_trust_region_radius: float = 1e-32
+    max_trust_region_radius: float = 1e16
+    eta: float = 1e-1
+    max_linear_solver_iterations: int = 500
+    max_num_consecutive_invalid_steps: int = 5
+    use_nonmonotonic_steps: bool = False
+    max_consecutive_nonmonotonic_steps: int = 5
+
+    @classmethod
+    def from_options(cls, o):
+        """Lift the relevant fields from a ceres_tpu.Options."""
+        return cls(
+            min_relative_decrease=o.min_relative_decrease,
+            function_tolerance=o.function_tolerance,
+            gradient_tolerance=o.gradient_tolerance,
+            parameter_tolerance=o.parameter_tolerance,
+            min_lm_diagonal=o.min_lm_diagonal,
+            max_lm_diagonal=o.max_lm_diagonal,
+            min_trust_region_radius=o.min_trust_region_radius,
+            max_trust_region_radius=o.max_trust_region_radius,
+            eta=o.eta,
+            max_linear_solver_iterations=o.max_linear_solver_iterations,
+            max_num_consecutive_invalid_steps=(
+                o.max_num_consecutive_invalid_steps),
+            use_nonmonotonic_steps=o.use_nonmonotonic_steps,
+            max_consecutive_nonmonotonic_steps=(
+                o.max_consecutive_nonmonotonic_steps),
+        )
+
+
+class HaloCarry(NamedTuple):
+    cams: jax.Array
+    pts: jax.Array
+    radius: jax.Array
+    cost: jax.Array
+    se: tuple            # _SEState scalars
+    decrease_factor: jax.Array
+    num_invalid: jax.Array
+    any_success: jax.Array
+    term: jax.Array      # int32 HALO_* code
+    it: jax.Array
+
+
+def lm_step_camera_halo_ceres(carry: HaloCarry, cam_local, pt_halo, obs,
+                              srv_l, axis_name, w, opts: ShardedLMOptions):
+    """One Ceres-semantics LM iteration on the halo-sharded layout:
+    levenberg_marquardt_strategy.cc damping/radius rules (incl. the
+    doubling decrease factor), trust_region_step_evaluator.h
+    (non)monotonic acceptance, trust_region_minimizer.cc tolerance order
+    (parameter -> function -> gradient -> min radius), CG failure ->
+    invalid-step bound. All decisions are replicated scalars (psum-closed)
+    so every shard takes identical branches."""
+    from ..solvers.fused_lm import (_se_init, _se_quality, _se_accepted,
+                                    _SEState)
+    from ..solvers.linear.cg import conjugate_gradients, CG_FAILURE
+
+    cams_l, pts_own, radius = carry.cams, carry.pts, carry.radius
+    env = _halo_linearize(cams_l, pts_own, cam_local, pt_halo, obs, srv_l,
+                          radius, axis_name, w,
+                          min_diag=opts.min_lm_diagonal,
+                          max_diag=opts.max_lm_diagonal)
+    (psum, r, cost, Js, R, S, split, reduce_c, reduce_p, sc, sp,
+     gc, gp, diag_c, diag_p, D2c, D2p, rhs_c, rhs_p, Minv_c, Minv_p,
+     matvec, _cl, _ph) = env
+    tc = cams_l.shape[1]
+    tp = pts_own.shape[1]
+    nc = cams_l.shape[0] * tc
+
+    # first iteration: initialize the step-evaluator reference costs
+    se = _SEState(*carry.se)
+    se = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(carry.it == 0, a, b), _se_init(cost), se)
+
+    def flat(vc, vp):
+        return jnp.concatenate([vc.reshape(-1), vp.reshape(-1)])
+
+    def unflat(v):
+        return (v[:nc].reshape(cams_l.shape), v[nc:].reshape(pts_own.shape))
+
+    def lhs(v):
+        vc, vp = unflat(v)
+        qc, qp = matvec(vc, vp)
+        return flat(qc, qp)
+
+    def precond(v):
+        vc, vp = unflat(v)
+        return flat(Minv_c * vc, Minv_p * vp)
+
+    def pdot(a, b):
+        return psum(jnp.dot(a, b))
+
+    def pnorm(a):
+        return jnp.sqrt(psum(jnp.sum(a * a)))
+
+    rhs = flat(rhs_c, rhs_p)
+    res = conjugate_gradients(
+        lhs, rhs, jnp.zeros_like(rhs), precond,
+        max_num_iterations=opts.max_linear_solver_iterations,
+        residual_reset_period=10, r_tolerance=-1.0,
+        q_tolerance=opts.eta, dot=pdot, norm=pnorm)
+    yc, yp = unflat(res.x)
+    step_c, step_p = -yc, -yp
+
+    new_cams = cams_l + step_c * sc
+    new_pts = pts_own + step_p * sp
+    both = _halo_fwd(jnp.concatenate([step_p, new_pts], axis=1), srv_l,
+                     axis_name)
+    step_p_h, cand_h = both[:, :tp], both[:, tp:]
+    segs_step = jnp.concatenate(
+        [step_c[cam_local], step_p_h[pt_halo]], axis=1)
+    jstep = _mmf(Js * _mmf(segs_step, R), S)
+    mcc = psum(-jnp.sum(jstep * (r + jstep / 2.0)))
+    new_cost = psum(ba_cost(new_cams, cand_h, cam_local, pt_halo, obs, w))
+
+    # invalid step: CG failure, non-finite candidate, or non-positive
+    # model decrease (trust_region_minimizer.cc:445,467). The step
+    # finiteness check is psum-closed so `valid` stays a replicated
+    # scalar (every shard must take the same branch).
+    bad_x = psum(jnp.sum(jnp.where(jnp.isfinite(res.x), 0.0, 1.0)))
+    valid = ((res.termination != CG_FAILURE) & (mcc > 0.0)
+             & jnp.isfinite(new_cost) & (bad_x == 0.0))
+    num_invalid = jnp.where(valid, 0, carry.num_invalid + 1)
+    term = jnp.where(
+        (~valid) & (num_invalid >=
+                    opts.max_num_consecutive_invalid_steps),
+        HALO_INVALID_STEPS, HALO_RUNNING)
+
+    # tolerance checks (trust_region_minimizer.cc order)
+    x_norm = jnp.sqrt(psum(jnp.sum(cams_l * cams_l)
+                           + jnp.sum(pts_own * pts_own)))
+    step_norm = jnp.sqrt(psum(
+        jnp.sum((step_c * sc) ** 2) + jnp.sum((step_p * sp) ** 2)))
+    ptol = opts.parameter_tolerance
+    param_hit = valid & carry.any_success & (
+        step_norm <= ptol * (x_norm + ptol))
+    cost_change = cost - new_cost
+    func_hit = valid & (~param_hit) & (
+        jnp.abs(cost_change) <= opts.function_tolerance * cost)
+    term = jnp.where(param_hit, HALO_PARAM_TOL,
+                     jnp.where(func_hit, HALO_FUNC_TOL,
+                               term)).astype(jnp.int32)
+    breaking = term != HALO_RUNNING
+
+    # accept / reject through the step evaluator
+    max_steps = (opts.max_consecutive_nonmonotonic_steps
+                 if opts.use_nonmonotonic_steps else 0)
+    rel_dec = _se_quality(se, new_cost, jnp.maximum(mcc, 1e-300))
+    success = valid & (~breaking) & (rel_dec > opts.min_relative_decrease)
+
+    cams_out = jnp.where(success, new_cams, cams_l)
+    pts_out = jnp.where(success, new_pts, pts_own)
+    cost_out = jnp.where(success, new_cost, cost)
+    se_new = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(success, a, b),
+        _se_accepted(se, new_cost, jnp.maximum(mcc, 1e-300), max_steps),
+        se)
+
+    # radius update (levenberg_marquardt_strategy.cc:69-120: rho-based
+    # growth on accept; /decrease_factor with doubling on reject)
+    radius_acc = jnp.minimum(
+        radius / jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rel_dec - 1.0) ** 3),
+        opts.max_trust_region_radius)
+    radius_new = jnp.where(success, radius_acc,
+                           radius / carry.decrease_factor)
+    decrease_new = jnp.where(
+        success, jnp.asarray(2.0, radius.dtype),
+        jnp.where(breaking, carry.decrease_factor,
+                  carry.decrease_factor * 2.0))
+    radius_new = jnp.where(breaking, radius, radius_new)
+
+    # gradient max-norm (on the accepted point Ceres re-evaluates; here
+    # the pre-step gradient bounds it one iteration late, conservative)
+    gmax = jax.lax.pmax(
+        jnp.maximum(jnp.max(jnp.abs(gc)), jnp.max(jnp.abs(gp))), axis_name)
+    term = jnp.where(
+        (term == HALO_RUNNING) & success
+        & (gmax <= opts.gradient_tolerance), HALO_GRADIENT_TOL, term)
+    term = jnp.where(
+        (term == HALO_RUNNING)
+        & (radius_new <= opts.min_trust_region_radius),
+        HALO_MIN_RADIUS, term).astype(jnp.int32)
+
+    return HaloCarry(
+        cams_out, pts_out, radius_new, cost_out, tuple(se_new),
+        decrease_new, num_invalid, carry.any_success | success, term,
+        carry.it + 1)
+
+
+def make_camera_halo_ceres_step(mesh: Mesh, opts: ShardedLMOptions,
+                                k: int = 1, axis: str = "cam"):
+    """shard_map'd k-iteration Ceres-semantics halo LM step with early
+    termination. step(carry_arrays..., radius...) -> (BAState, term, it);
+    stops inside the while_loop once a termination fires."""
+    from jax import shard_map
+
+    def body(cams_l, pts_l, cam_local, pt_halo, obs_l, w_l, srv_l,
+             radius, cost, se, decrease, num_invalid, any_success, term,
+             it):
+        srv_l = srv_l[0]
+        carry = HaloCarry(cams_l, pts_l, radius, cost, tuple(se),
+                          decrease, num_invalid, any_success, term, it)
+        # replicated scalars become device-varying inside the loop body
+        # (psum outputs) — mark the whole carry varying up front so the
+        # while_loop carry type is stable under shard_map's vma tracking
+        k_end = it + k
+
+        def cond(c: HaloCarry):
+            return (c.term == HALO_RUNNING) & (c.it < k_end)
+
+        def step_once(c: HaloCarry):
+            return lm_step_camera_halo_ceres(
+                c, cam_local, pt_halo, obs_l, srv_l, axis, w_l, opts)
+
+        out = jax.lax.while_loop(cond, step_once, carry)
+        return (out.cams, out.pts, out.radius, out.cost, tuple(out.se),
+                out.decrease_factor, out.num_invalid, out.any_success,
+                out.term, out.it)
+
+    rep = P()
+    sh = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis), P(axis),
+                  P(axis, None), P(axis), P(axis, None, None),
+                  rep, rep, (rep,) * 7, rep, rep, rep, rep, rep),
+        out_specs=(P(axis, None), P(axis, None), rep, rep, (rep,) * 7,
+                   rep, rep, rep, rep, rep),
+    )
+    return jax.jit(sh)
+
+
+def solve_ba_camera_halo_ceres(b, options=None, mesh=None, k=4,
+                               axis: str = "cam", radius0=1e4,
+                               max_num_iterations=50):
+    """End-to-end halo-sharded LM under the Ceres Options surface.
+    `options` is a ceres_tpu.Options or ShardedLMOptions (None = Ceres
+    defaults). Returns (BAState, plan, TerminationType)."""
+    from ..types import TerminationType
+
+    if options is None:
+        opts = ShardedLMOptions()
+    elif isinstance(options, ShardedLMOptions):
+        opts = options
+    else:
+        opts = ShardedLMOptions.from_options(options)
+        max_num_iterations = options.max_num_iterations
+    mesh = mesh or make_mesh(axis=axis)
+    n = mesh.devices.size
+    plan = plan_camera_halo(b.camera_index, b.point_index, b.cameras,
+                            b.points, b.observations, n)
+    sh = NamedSharding(mesh, P(axis))
+    sh2 = NamedSharding(mesh, P(axis, None))
+    cams = jax.device_put(jnp.asarray(plan.cams), sh2)
+    pts = jax.device_put(jnp.asarray(plan.pts), sh2)
+    cam_local = jax.device_put(jnp.asarray(plan.cam_local), sh)
+    pt_ref = jax.device_put(jnp.asarray(plan.pt_halo), sh)
+    srv = jax.device_put(jnp.asarray(plan.srv_idx),
+                         NamedSharding(mesh, P(axis, None, None)))
+    obs = jax.device_put(jnp.asarray(plan.obs), sh2)
+    w = jax.device_put(jnp.asarray(plan.w), sh)
+    step = make_camera_halo_ceres_step(mesh, opts, k=k, axis=axis)
+    dt = cams.dtype
+    z = jnp.asarray(0.0, jnp.float64)
+    se = (z, z, z, z, z, z, jnp.asarray(0, jnp.int32))
+    st = (cams, pts, jnp.asarray(radius0, dt), jnp.asarray(0.0, jnp.float64),
+          se, jnp.asarray(2.0, dt), jnp.asarray(0, jnp.int32),
+          jnp.asarray(False), jnp.asarray(HALO_RUNNING, jnp.int32),
+          jnp.asarray(0, jnp.int32))
+    while int(st[9]) < max_num_iterations and int(st[8]) == HALO_RUNNING:
+        st = step(st[0], st[1], cam_local, pt_ref, obs, w, srv, *st[2:])
+    term_code = int(st[8])
+    if term_code in (HALO_GRADIENT_TOL, HALO_MIN_RADIUS, HALO_PARAM_TOL,
+                     HALO_FUNC_TOL):
+        term = TerminationType.CONVERGENCE
+    elif term_code == HALO_INVALID_STEPS:
+        term = TerminationType.FAILURE
+    else:
+        term = TerminationType.NO_CONVERGENCE
+    state = BAState(st[0], st[1], st[2], st[3])
+    return state, plan, term

@@ -125,19 +125,31 @@ def conjugate_gradients(
     residual_reset_period: int = 10,
     r_tolerance: float = -1.0,
     q_tolerance: float = -1.0,
+    dot: Optional[Callable] = None,
+    norm: Optional[Callable] = None,
 ) -> CGResult:
-    """Solve lhs(x) = rhs. All tolerances follow conjugate_gradients_solver.h."""
+    """Solve lhs(x) = rhs. All tolerances follow conjugate_gradients_solver.h.
+
+    `dot`/`norm` inject the inner-product implementation — the analog of
+    conjugate_gradients_solver.h:109's DenseVectorType template parameter
+    (the same CG drives CPU Vector and CudaVector there): sharded callers
+    pass psum-closed reductions so the identical tolerance/termination
+    semantics run over mesh-partitioned operands."""
     if preconditioner is None:
         preconditioner = lambda v: v
+    if dot is None:
+        dot = jnp.dot
+    if norm is None:
+        norm = jnp.linalg.norm
 
-    norm_rhs = jnp.linalg.norm(rhs)
+    norm_rhs = norm(rhs)
     tol_r = r_tolerance * norm_rhs
 
     r0 = rhs - lhs(x0)
-    norm_r0 = jnp.linalg.norm(r0)
+    norm_r0 = norm(r0)
 
     # Q0 = -x'(b + r) / 2-ish energy functional (Nash termination).
-    Q0_init = -jnp.dot(x0, rhs + r0)
+    Q0_init = -dot(x0, rhs + r0)
 
     class S(NamedTuple):
         x: jax.Array
@@ -157,7 +169,7 @@ def conjugate_gradients(
         it = s.it + 1
         z = preconditioner(s.r)
         last_rho = s.rho
-        rho = jnp.dot(s.r, z)
+        rho = dot(s.r, z)
         rho_bad = (rho == 0.0) | jnp.isinf(rho)
 
         beta = rho / last_rho
@@ -165,7 +177,7 @@ def conjugate_gradients(
         beta_bad = (s.it > 0) & ((beta == 0.0) | jnp.isinf(beta))
 
         q = lhs(p)
-        pq = jnp.dot(p, q)
+        pq = dot(p, q)
         indefinite = (pq <= 0.0) | jnp.isinf(pq)
         alpha = rho / pq
         alpha_bad = jnp.isinf(alpha)
@@ -178,9 +190,9 @@ def conjugate_gradients(
             lambda: rhs - lhs(x),
             lambda: s.r - alpha * q,
         )
-        Q1 = -jnp.dot(x, rhs + r)
+        Q1 = -dot(x, rhs + r)
         zeta = it.astype(rhs.dtype) * (Q1 - s.Q0) / Q1
-        norm_r = jnp.linalg.norm(r)
+        norm_r = norm(r)
 
         q_conv = (zeta < q_tolerance) & (it >= min_num_iterations)
         r_conv = (norm_r <= tol_r) & (it >= min_num_iterations)

@@ -370,3 +370,47 @@ def test_camera_halo_lm_matches_unsharded():
                                rtol=1e-10, atol=1e-12)
     np.testing.assert_allclose(float(st.cost), float(st_ref.cost),
                                rtol=1e-10)
+
+
+def test_camera_halo_ceres_semantics():
+    """Ceres-semantics sharded LM (solver.h Options subset on the
+    halo-sharded tier): runs the GENERIC conjugate_gradients with
+    psum-closed dot/norm (conjugate_gradients_solver.h:109 vector-type
+    templating), the trust_region_step_evaluator acceptance, and the
+    trust_region_minimizer tolerance taxonomy — must terminate via a
+    tolerance (CONVERGENCE), not the iteration cap, and reach at least
+    the fixed-rule tier's cost."""
+    from ceres_tpu.types import TerminationType
+
+    b = bal.synthetic_bal(num_cameras=24, num_points=300, visibility=0.2,
+                          noise=0.3, seed=11)
+    bp = bal.perturb(b, 0.02, 0.1, 0.1)
+    bp = bal.BALProblem(bp.cameras.astype(np.float64),
+                        bp.points.astype(np.float64),
+                        bp.camera_index, bp.point_index,
+                        bp.observations.astype(np.float64))
+
+    st, plan, term = sharded_ba.solve_ba_camera_halo_ceres(
+        bp, mesh=sharded_ba.make_mesh(8, axis="cam"), k=4,
+        max_num_iterations=60)
+    assert term == TerminationType.CONVERGENCE
+    assert st.pts.addressable_shards[0].data.shape[0] == plan.Pl
+
+    ref = sharded_ba.BAState(
+        jnp.asarray(bp.cameras), jnp.asarray(bp.points),
+        jnp.asarray(1e4, jnp.float64), jnp.asarray(0.0, jnp.float64))
+    for _ in range(60):
+        ref = sharded_ba.lm_step(
+            ref.cams, ref.pts, jnp.asarray(bp.camera_index),
+            jnp.asarray(bp.point_index), jnp.asarray(bp.observations),
+            ref.radius, cg_iters=10)
+    assert float(st.cost) <= float(ref.cost) * 1.01
+
+    # nonmonotonic option engages without breaking convergence
+    st2, _, term2 = sharded_ba.solve_ba_camera_halo_ceres(
+        bp, options=sharded_ba.ShardedLMOptions(
+            use_nonmonotonic_steps=True),
+        mesh=sharded_ba.make_mesh(8, axis="cam"), k=4,
+        max_num_iterations=60)
+    assert term2 == TerminationType.CONVERGENCE
+    assert float(st2.cost) <= float(ref.cost) * 1.02
