@@ -345,6 +345,74 @@ def scale_columns_args(args, values, scale):
     return out
 
 
+@dataclasses.dataclass
+class CRSMatrix:
+    """Compressed-row sparse matrix (the crs_matrix.h public type):
+    `rows` is the (num_rows+1,) row-pointer array, `cols`/`values` the
+    column indices and entries of each row in ascending column order."""
+
+    num_rows: int
+    num_cols: int
+    rows: np.ndarray
+    cols: np.ndarray
+    values: np.ndarray
+
+    @property
+    def nnz(self) -> int:
+        return int(self.values.size)
+
+    def to_dense(self) -> np.ndarray:
+        out = np.zeros((self.num_rows, self.num_cols), self.values.dtype)
+        r = np.repeat(np.arange(self.num_rows),
+                      np.diff(self.rows.astype(np.int64)))
+        out[r, self.cols] = self.values
+        return out
+
+
+def to_crs(meta: BlockJacobianMeta, values) -> CRSMatrix:
+    """Sparse tangent-space Jacobian as a CRSMatrix WITHOUT densifying
+    (Problem::Evaluate's CRS output, problem.h:477 / crs_matrix.h) —
+    usable at BA scale where the dense (rows x tangent) array would be
+    tens of GB. Vectorized host conversion: COO from the kind-batched
+    block tensors, lexsort, duplicate coalescing (a block pair can repeat
+    when one parameter block appears in two slots of a residual)."""
+    rows_l, cols_l, vals_l = [], [], []
+    for k, kind in enumerate(meta.kinds):
+        row_base = kind.row_offset + np.arange(
+            kind.B * kind.r, dtype=np.int64).reshape(kind.B, kind.r)
+        for s, slot in enumerate(kind.slots):
+            tidx = np.asarray(meta.arrays[slot.tangent_idx_key],
+                              dtype=np.int64)  # (B, t)
+            v = np.asarray(values[k][s])  # (B, r, t)
+            rr = np.broadcast_to(row_base[:, :, None], v.shape)
+            cc = np.broadcast_to(tidx[:, None, :], v.shape)
+            keep = cc < meta.tangent_size  # constant blocks hit sentinel T
+            rows_l.append(rr[keep])
+            cols_l.append(cc[keep])
+            vals_l.append(v[keep])
+    if rows_l:
+        rows = np.concatenate(rows_l)
+        cols = np.concatenate(cols_l)
+        vals = np.concatenate(vals_l)
+    else:  # pragma: no cover - empty program
+        rows = np.zeros(0, np.int64)
+        cols = np.zeros(0, np.int64)
+        vals = np.zeros(0, np.float64)
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    if rows.size:
+        new = np.empty(rows.size, bool)
+        new[0] = True
+        new[1:] = (rows[1:] != rows[:-1]) | (cols[1:] != cols[:-1])
+        starts = np.flatnonzero(new)
+        vals = np.add.reduceat(vals, starts)
+        rows, cols = rows[new], cols[new]
+    rowptr = np.zeros(meta.num_rows + 1, np.int64)
+    rowptr[1:] = np.cumsum(np.bincount(rows, minlength=meta.num_rows))
+    return CRSMatrix(meta.num_rows, meta.tangent_size, rowptr,
+                     cols.astype(np.int32), vals)
+
+
 def to_dense(meta: BlockJacobianMeta, values):
     """Densify for testing (the reference test pattern: compare block ops
     against a dense Eigen computation, SURVEY.md §4.1)."""

@@ -2186,6 +2186,11 @@ def eval_fused(
                         jnp.sum(res * res, axis=0, keepdims=True),
                         (8, max_rows))
                     rho0_8, rho1_8, rho2_8 = loss_rho(s8)
+                    # rho'(s) must be > 0 (reference CHECK_GT(rho[1],0),
+                    # corrector.cc:48); built-in losses guard with _TINY in
+                    # loss.py — clamp here too so a user loss with rho1=0
+                    # degrades like the host path instead of NaN lanes.
+                    rho1_8 = jnp.maximum(rho1_8, 1e-30)
                     simple = (s8 == 0.0) | (rho2_8 <= 0.0)
                     safe_sq = jnp.where(simple, one, s8)
                     sqrt_r1 = jnp.sqrt(rho1_8)

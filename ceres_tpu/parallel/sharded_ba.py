@@ -2042,6 +2042,17 @@ def lm_step_camera_halo_ceres(carry: HaloCarry, cam_local, pt_halo, obs,
     cost_change = cost - new_cost
     func_hit = valid & (~param_hit) & (
         jnp.abs(cost_change) <= opts.function_tolerance * cost)
+    # Gradient tolerance at the CURRENT iterate (an accepted point, or the
+    # initial point): Ceres' GradientToleranceReached tests ||g||_inf at
+    # the accepted iterate after relinearizing — gc/gp here ARE that
+    # gradient, so testing before the step matches reference semantics
+    # and the candidate step is discarded when it fires.
+    gmax = jax.lax.pmax(
+        jnp.maximum(jnp.max(jnp.abs(gc)), jnp.max(jnp.abs(gp))), axis_name)
+    grad_hit = gmax <= opts.gradient_tolerance
+    param_hit = param_hit & (~grad_hit)
+    func_hit = func_hit & (~grad_hit)
+    term = jnp.where(grad_hit, HALO_GRADIENT_TOL, term)
     term = jnp.where(param_hit, HALO_PARAM_TOL,
                      jnp.where(func_hit, HALO_FUNC_TOL,
                                term)).astype(jnp.int32)
@@ -2074,13 +2085,6 @@ def lm_step_camera_halo_ceres(carry: HaloCarry, cam_local, pt_halo, obs,
                   carry.decrease_factor * 2.0))
     radius_new = jnp.where(breaking, radius, radius_new)
 
-    # gradient max-norm (on the accepted point Ceres re-evaluates; here
-    # the pre-step gradient bounds it one iteration late, conservative)
-    gmax = jax.lax.pmax(
-        jnp.maximum(jnp.max(jnp.abs(gc)), jnp.max(jnp.abs(gp))), axis_name)
-    term = jnp.where(
-        (term == HALO_RUNNING) & success
-        & (gmax <= opts.gradient_tolerance), HALO_GRADIENT_TOL, term)
     term = jnp.where(
         (term == HALO_RUNNING)
         & (radius_new <= opts.min_trust_region_radius),
@@ -2105,9 +2109,10 @@ def make_camera_halo_ceres_step(mesh: Mesh, opts: ShardedLMOptions,
         srv_l = srv_l[0]
         carry = HaloCarry(cams_l, pts_l, radius, cost, tuple(se),
                           decrease, num_invalid, any_success, term, it)
-        # replicated scalars become device-varying inside the loop body
-        # (psum outputs) — mark the whole carry varying up front so the
+        # scalar carry entries enter replicated and stay replicated: every
+        # reduction inside lm_step_camera_halo_ceres is psum-closed, so the
         # while_loop carry type is stable under shard_map's vma tracking
+        # without any explicit pvary marking
         k_end = it + k
 
         def cond(c: HaloCarry):
@@ -2136,10 +2141,12 @@ def make_camera_halo_ceres_step(mesh: Mesh, opts: ShardedLMOptions,
 
 def solve_ba_camera_halo_ceres(b, options=None, mesh=None, k=4,
                                axis: str = "cam", radius0=1e4,
-                               max_num_iterations=50):
+                               max_num_iterations=None):
     """End-to-end halo-sharded LM under the Ceres Options surface.
     `options` is a ceres_tpu.Options or ShardedLMOptions (None = Ceres
-    defaults). Returns (BAState, plan, TerminationType)."""
+    defaults). An explicitly passed `max_num_iterations` wins over
+    options.max_num_iterations (default 50 when neither is given).
+    Returns (BAState, plan, TerminationType)."""
     from ..types import TerminationType
 
     if options is None:
@@ -2148,7 +2155,10 @@ def solve_ba_camera_halo_ceres(b, options=None, mesh=None, k=4,
         opts = options
     else:
         opts = ShardedLMOptions.from_options(options)
-        max_num_iterations = options.max_num_iterations
+        if max_num_iterations is None:
+            max_num_iterations = options.max_num_iterations
+    if max_num_iterations is None:
+        max_num_iterations = 50
     mesh = mesh or make_mesh(axis=axis)
     n = mesh.devices.size
     plan = plan_camera_halo(b.camera_index, b.point_index, b.cameras,

@@ -437,19 +437,34 @@ class Problem:
         residuals: bool = False,
         gradient: bool = False,
         jacobian: bool = False,
+        jacobian_format: str = "dense",
     ):
         """Whole-problem evaluation at the current parameter values.
 
         Returns (cost, residuals?, gradient?, jacobian?) with None for
         outputs not requested. Gradient/jacobian are in tangent space over
         non-constant blocks, ordered by the compiled program's layout.
-        """
+
+        `jacobian_format="crs"` returns the Jacobian as an
+        `ops.bsr.CRSMatrix` built from the block-sparse evaluation without
+        ever materializing the dense matrix (the reference's CRS contract,
+        problem.h:477 / crs_matrix.h — usable at BA scale)."""
         from .program import CompiledProgram
 
+        if jacobian_format not in ("dense", "crs"):
+            raise ValueError(f"unknown jacobian_format {jacobian_format!r}")
         prog = CompiledProgram(self, apply_loss=apply_loss_function)
         x = prog.initial_state()
         out_cost, out_res, out_grad, out_jac = None, None, None, None
-        if gradient or jacobian:
+        if jacobian and jacobian_format == "crs":
+            from .ops import bsr as bsr_mod
+
+            c, r, g, bjacs = prog.evaluate_bsr(x)
+            meta = bsr_mod.build_meta(prog)
+            out_jac = bsr_mod.to_crs(
+                meta, [[np.asarray(v) for v in kind] for kind in bjacs])
+            out_cost, out_res, out_grad = float(c), np.asarray(r), np.asarray(g)
+        elif gradient or jacobian:
             c, r, g, J = prog.evaluate_dense(x)
             out_cost, out_res, out_grad, out_jac = float(c), np.asarray(r), np.asarray(g), np.asarray(J)
         elif residuals:

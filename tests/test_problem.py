@@ -76,6 +76,44 @@ def test_evaluate_cost_residuals_gradient_jacobian():
     np.testing.assert_allclose(grad, res @ J)
 
 
+def test_evaluate_crs_jacobian_matches_dense():
+    """jacobian_format='crs' (problem.h:477 CRS contract) must agree with
+    the dense path entry-for-entry, including constant-block columns
+    being absent and multi-block residuals."""
+    rng = np.random.default_rng(3)
+    p = ct.Problem()
+    xs = [np.asarray(rng.standard_normal(2)) for _ in range(4)]
+
+    class PairCost(ct.CostFunction):
+        num_residuals = 2
+        parameter_block_sizes = (2, 2)
+
+        def residuals(self, params, data=None):
+            a, b = params
+            return jnp.asarray([a[0] * b[1] - 1.0, a[1] + b[0] ** 2])
+
+    for i in range(3):
+        p.add_residual_block(PairCost(), None, [xs[i], xs[i + 1]])
+    p.set_parameter_block_constant(xs[2])
+    c_d, r_d, g_d, J_d = p.evaluate(residuals=True, gradient=True,
+                                    jacobian=True)
+    c_s, r_s, g_s, J_s = p.evaluate(residuals=True, gradient=True,
+                                    jacobian=True, jacobian_format="crs")
+    np.testing.assert_allclose(c_s, c_d)
+    np.testing.assert_allclose(np.sort(r_s), np.sort(r_d))
+    np.testing.assert_allclose(g_s, g_d)
+    assert J_s.num_rows == J_d.shape[0]
+    assert J_s.num_cols == J_d.shape[1]
+    np.testing.assert_allclose(J_s.to_dense(), J_d, atol=1e-12)
+    # sparse: the constant block's columns never appear
+    assert J_s.nnz < J_d.size
+    # CRS invariants
+    assert J_s.rows[0] == 0 and J_s.rows[-1] == J_s.nnz
+    for i in range(J_s.num_rows):
+        cols = J_s.cols[J_s.rows[i]:J_s.rows[i + 1]]
+        assert np.all(np.diff(cols) > 0)
+
+
 def test_evaluate_without_loss():
     p = ct.Problem()
     x = np.asarray([3.0, 0.0])
