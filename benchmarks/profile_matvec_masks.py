@@ -62,24 +62,31 @@ def main():
     tile_starts = jnp.asarray(pe.rplan[0], jnp.int32)
     tile_block0 = jnp.asarray(pe.rplan[1], jnp.int32)
 
-    for label, use_masks in (("streamed", True), ("in-kernel", False)):
+    mtab = jax.jit(lambda m: pk.build_minv_tile_table(
+        m, pe.rplan[1], te))(minv_flat)
+    for label, use_masks, use_tab in (
+            ("streamed", True, False), ("in-kernel", False, False),
+            ("tiled+strm", True, True), ("tiled", False, True)):
         for unroll in (8, 16):
-            def mk(K, use_masks=use_masks, unroll=unroll):
-                def f(JT, ids_T, z, minv, masks_T):
+            def mk(K, use_masks=use_masks, unroll=unroll, use_tab=use_tab):
+                def f(JT, ids_T, z, minv, masks_T, mtab):
                     def body(_, zz):
                         cam, _ = pk.isc_matvec(
                             JT, ids_T, zz, minv, tile_starts, tile_block0,
                             P, C, r, tf, te, max_rows=max_rows,
                             windows=windows,
                             masks_T=masks_T if use_masks else None,
+                            minv_tiled=mtab if use_tab else None,
+                            emit_u=False,
                             unroll=unroll)
                         return cam / jnp.max(jnp.abs(cam))
                     out = jax.lax.fori_loop(0, K, body, z)
                     return jnp.sum(out)
                 return f
-            per = marginal(mk, (JT, ids_T, z0, minv_flat, masks))
-            print(f"isc_matvec {label:9s} unroll={unroll:2d} "
-                  f"{per*1e3:8.2f} ms/matvec", flush=True)
+            per = marginal(mk, (JT, ids_T, z0, minv_flat, masks, mtab))
+            print(f"isc_matvec {label:10s} unroll={unroll:2d} "
+                  f"{per*1e3:8.2f} ms/matvec "
+                  f"({per/4397236*1e9:.2f} ns/obs)", flush=True)
 
 
 if __name__ == "__main__":

@@ -60,6 +60,24 @@ class Manifold:
     def minus_jacobian(self, x: Array) -> Array:
         return jax.jacfwd(lambda y: self.minus(y, x))(x)
 
+    # -- rows-form PlusJacobian for the fused evaluation kernel ---------
+    # (ops/pallas_kernels.eval_fused, the jt-mode chain rule: instead of
+    # multiplying J_ambient by PlusJacobian after the fact —
+    # residual_block.cc:70-196 — the kernel feeds PlusJacobian's columns
+    # as jvp tangents, so the emitted lanes ARE tangent-space.)
+
+    #: True when plus_jacobian_columns_rows is implemented with
+    #: Mosaic-lowerable ops (sublane slices/concat/elementwise only).
+    supports_rows_columns = False
+
+    def plus_jacobian_columns_rows(self, x_rows):
+        """Column d of PlusJacobian(x) for every row at once: x_rows is
+        the block states in TRANSPOSED row form (>= ambient_size, rows);
+        returns a list of tangent_size arrays (ambient_size, rows), or
+        None when unsupported. Must be traceable inside a Pallas TPU
+        kernel body."""
+        return None
+
     # Key used to batch blocks: manifolds that compare equal may be vmapped
     # together. Default: identity-based (each instance its own group).
     def batch_key(self):
@@ -87,6 +105,15 @@ class EuclideanManifold(Manifold):
 
     def minus_jacobian(self, x):
         return jnp.eye(self.ambient_size, dtype=x.dtype)
+
+    supports_rows_columns = True
+
+    def plus_jacobian_columns_rows(self, x_rows):
+        n, rows = self.ambient_size, x_rows.shape[1]
+        iot = jax.lax.broadcasted_iota(jnp.int32, (n, rows), 0)
+        one = jnp.ones((), x_rows.dtype)
+        zero = jnp.zeros((), x_rows.dtype)
+        return [jnp.where(iot == d, one, zero) for d in range(n)]
 
     def batch_key(self):
         return ("Euclidean", self.ambient_size)
@@ -125,6 +152,16 @@ class SubsetManifold(Manifold):
 
     def minus_jacobian(self, x):
         return jnp.asarray(self._sel.T, dtype=x.dtype)
+
+    supports_rows_columns = True
+
+    def plus_jacobian_columns_rows(self, x_rows):
+        rows = x_rows.shape[1]
+        iot = jax.lax.broadcasted_iota(
+            jnp.int32, (self.ambient_size, rows), 0)
+        one = jnp.ones((), x_rows.dtype)
+        zero = jnp.zeros((), x_rows.dtype)
+        return [jnp.where(iot == int(a), one, zero) for a in self._free]
 
     def batch_key(self):
         return ("Subset", self.ambient_size, self.constant_indices)
@@ -188,6 +225,23 @@ class QuaternionManifold(Manifold):
     def _reorder_ambient_cols(self, J):
         return J
 
+    supports_rows_columns = True
+
+    #: storage order -> [w, x, y, z] index map (Eigen overrides)
+    _WXYZ_IDX = (0, 1, 2, 3)
+
+    def plus_jacobian_columns_rows(self, x_rows):
+        sl = [x_rows[i:i + 1, :] for i in range(4)]
+        w, qx, qy, qz = (sl[self._WXYZ_IDX[0]], sl[self._WXYZ_IDX[1]],
+                         sl[self._WXYZ_IDX[2]], sl[self._WXYZ_IDX[3]])
+        cols_wxyz = [[-qx, w, -qz, qy],
+                     [-qy, qz, w, -qx],
+                     [-qz, -qy, qx, w]]
+        inv = np.argsort(np.asarray(self._WXYZ_IDX))
+        return [jnp.concatenate([col[int(inv[i])] for i in range(4)],
+                                axis=0)
+                for col in cols_wxyz]
+
     def batch_key(self):
         return ("Quaternion",)
 
@@ -211,6 +265,8 @@ class EigenQuaternionManifold(QuaternionManifold):
     def _reorder_ambient_cols(self, J):
         inv = np.argsort(self._PERM)
         return J[:, jnp.asarray(inv)]
+
+    _WXYZ_IDX = (3, 0, 1, 2)  # storage [x,y,z,w] -> wxyz
 
     def batch_key(self):
         return ("EigenQuaternion",)
@@ -362,6 +418,33 @@ class ProductManifold(Manifold):
         xs = jnp.split(x, self._asplit)
         blocks = [m.minus_jacobian(xi) for m, xi in zip(self.manifolds, xs)]
         return jax.scipy.linalg.block_diag(*blocks)
+
+    @property
+    def supports_rows_columns(self):
+        return all(m.supports_rows_columns for m in self.manifolds)
+
+    def plus_jacobian_columns_rows(self, x_rows):
+        rows = x_rows.shape[1]
+        dt = x_rows.dtype
+        cols = []
+        a_off = 0
+        for m in self.manifolds:
+            sub = m.plus_jacobian_columns_rows(
+                x_rows[a_off:a_off + m.ambient_size, :])
+            if sub is None:
+                return None
+            top = a_off
+            bot = self.ambient_size - a_off - m.ambient_size
+            for c in sub:
+                parts = []
+                if top:
+                    parts.append(jnp.zeros((top, rows), dt))
+                parts.append(c)
+                if bot:
+                    parts.append(jnp.zeros((bot, rows), dt))
+                cols.append(jnp.concatenate(parts, axis=0))
+            a_off += m.ambient_size
+        return cols
 
     def batch_key(self):
         return ("Product",) + tuple(m.batch_key() for m in self.manifolds)

@@ -1028,14 +1028,23 @@ class FlatSchurOps(_FlatOpsBase):
             P, te * te)
 
         def fold_minv(minv_flat):
-            return minv_flat * se_outer
+            folded = minv_flat * se_outer
+            # per-tile pretransposed table (build_minv_tile_table): built
+            # once per linearization, re-used by every CG matvec — 24 of
+            # 128 sublanes of blk DMA per tile and no in-kernel transpose
+            return folded, pk.build_minv_tile_table(
+                folded, pe.rplan[1], te)
 
         def matvec(z, minv_folded, emit_u=False):
+            if isinstance(minv_folded, tuple):
+                minv_folded, mtab = minv_folded
+            else:
+                mtab = None
             cam, u = pk.isc_matvec(
                 JT, ids_T, sf * z, minv_folded, pe.rplan[0], pe.rplan[1],
                 P, C, r, tf, te, max_rows=max_rows, interpret=interp,
                 emit_u=emit_u, windows=windows, masks_T=masks,
-                unroll=unroll)
+                minv_tiled=mtab, unroll=unroll)
             cam = sf * cam
             if emit_u:
                 return cam, (u / se_rows).reshape(-1)
@@ -1160,12 +1169,20 @@ class FlatSchurOps(_FlatOpsBase):
         num_tiles = len(pe.rplan[1]) - 1
         unroll = 16 if num_tiles >= 4096 else 8
 
+        def fold_minv(minv_flat):
+            return minv_flat, pk.build_minv_tile_table(
+                minv_flat, pe.rplan[1], te)
+
         def matvec(z, minv_flat, emit_u=False):
+            if isinstance(minv_flat, tuple):
+                minv_flat, mtab = minv_flat
+            else:
+                mtab = None
             cam, u = pk.isc_matvec(
                 JT, ids_T, z, minv_flat, pe.rplan[0], pe.rplan[1],
                 pe.nv, pf.nv, r, tf, te, max_rows=max_rows,
                 interpret=interp, emit_u=emit_u, windows=windows,
-                masks_T=masks, unroll=unroll)
+                masks_T=masks, minv_tiled=mtab, unroll=unroll)
             return cam, (u.reshape(-1) if emit_u else None)
 
         def normal(xc, xp_rows):
@@ -1185,7 +1202,7 @@ class FlatSchurOps(_FlatOpsBase):
             # (pallas_kernels.sj_assembly_windowed); the single
             # (C_pad, tf*gf) accumulator is ~8 MB at C=13.7k.
             if windows[3] * tf * gf * 4 > 10 * 1024 * 1024:
-                return matvec, None, normal  # SJ output exceeds VMEM
+                return matvec, None, normal, fold_minv  # SJ exceeds VMEM
 
             def jacobi_blocks_w(minv_flat, d2f):
                 P, C = pe.nv, pf.nv
@@ -1205,7 +1222,7 @@ class FlatSchurOps(_FlatOpsBase):
                     d_rows, diag_embed_selector(tf, dt))
                 return [spd_inverse_flat(M, tf)]
 
-            return matvec, jacobi_blocks_w, normal
+            return matvec, jacobi_blocks_w, normal, fold_minv
 
         def jacobi_blocks(minv_flat, d2f):
             P, C = pe.nv, pf.nv
@@ -1229,7 +1246,7 @@ class FlatSchurOps(_FlatOpsBase):
                 d_rows, diag_embed_selector(tf, dt))
             return [spd_inverse_flat(M, tf)]
 
-        return matvec, jacobi_blocks, normal
+        return matvec, jacobi_blocks, normal, fold_minv
 
 
 

@@ -25,6 +25,7 @@ Mosaic layout constraints honored (each one found empirically):
 """
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -770,6 +771,7 @@ def implicit_schur_matvec(
     win_width: int = 0,  # static window chunk width (multiple of 128)
     n_win: int = 1,  # static chunks per tile (window span / win_width)
     masks_T=None,  # (256, n_pad) int8/bf16 from build_matvec_masks
+    blk_tiled: bool = False,  # blk_hbm is a PER-TILE pretransposed table
 ):
     """The whole implicit-Schur product S·z in ONE Pallas kernel
     (implicit_schur_complement.cc:106 on TPU). Per observation tile:
@@ -864,7 +866,20 @@ def implicit_schur_matvec(
     bf16 = jnp.bfloat16
     w_blk = blk_hbm.shape[1]
     nb_out = num_points + 1 + BT
-    assert blk_hbm.shape[0] >= nb_out
+    # pretransposed rows per tile (blk_tiled): isc carries the (te x te)
+    # col-grouped Minv (te*8 rows), normal carries the x point rows (8)
+    tb8 = max(8, te * 8) if normal is False else 8
+    if blk_tiled:
+        # (>= num_tiles_pad * tb8, BT) table from build_minv_tile_table /
+        # build_pt_tile_table: per-tile rows, lane c = point b0+c — no
+        # in-kernel transpose, tb8 of 128 sublanes DMA'd instead of the
+        # full (BT, 128) point-row window (5-16x less blk traffic; the
+        # dominant DMA plane at Venice scale).
+        assert w_blk == BT
+        assert blk_hbm.shape[0] >= num_tiles_pad * tb8, (
+            blk_hbm.shape, num_tiles_pad, tb8)
+    else:
+        assert blk_hbm.shape[0] >= nb_out
     streamed = masks_T is not None
     n_chunks = (n_win * win_width) // _LANE if windowed else C_pad // _LANE
     if streamed:
@@ -914,6 +929,9 @@ def implicit_schur_matvec(
                         jt_hbm.at[:, pl.ds(row0, max_rows)],
                         jt_vmem.at[j], sem_j.at[j]),
                     pltpu.make_async_copy(
+                        blk_hbm_ref.at[pl.ds(pl.multiple_of(
+                            (g * unroll + j) * tb8, 8), tb8), :]
+                        if blk_tiled else
                         blk_hbm_ref.at[pl.ds(b0, BT), :],
                         blk_vmem.at[j], sem_b.at[j]),
                 ]
@@ -1066,7 +1084,9 @@ def implicit_schur_matvec(
                       for i in range(r)]  # r x (1, rows)
                 blk = blk_vmem[j][:, :]
                 if normal:
-                    xp_rows = dot3(jnp.transpose(blk[:, :ge]), ohp_b, d_mm)
+                    xp_rows = dot3(
+                        blk if blk_tiled
+                        else jnp.transpose(blk[:, :ge]), ohp_b, d_mm)
                     jv = [fz[i] + jnp.sum(Je_g[i] * xp_rows, axis=0,
                                           keepdims=True) for i in range(r)]
                     ce = sum(
@@ -1089,22 +1109,33 @@ def implicit_schur_matvec(
                     if streamed:
                         ce = ce * jnp.broadcast_to(in_tile, (ge, max_rows))
                     # u[p] = Minv[p] (E'fz)[p] = sum_{rows of p} Minv[p] ce
-                    # — gather Minv per ROW (one stacked dot, like the
-                    # normal-mode xp_rows), apply the (te x te) matvec as
-                    # per-row sublane algebra, scatter w with the SAME
-                    # one-hot. This replaces the f32-HIGHEST REPm/REDm
-                    # expansion dots that dominated the point side
-                    # (~340 ns/tile of padded HIGHEST passes, ablation r4).
+                    # — gather Minv per ROW (one stacked dot), apply the
+                    # (te x te) matvec in SUBLANE-GROUPED form, scatter w
+                    # with the SAME one-hot. Minv is stored COLUMN-grouped
+                    # (lane k*8+i = M{i,k}, see isc_matvec) so the row
+                    # matvec is te full-width (8, rows) FMAs with cheap
+                    # sublane slices/broadcasts — the r4 row-major layout
+                    # paid te*te sublane-starved (1, rows) products here.
+                    # (A lane-space variant — point-level Minv apply on the
+                    # (BT, lanes) block — measured SLOWER: Mosaic lane
+                    # slices/broadcasts at non-128 offsets relayout.)
+                    minv_T = (blk if blk_tiled
+                              else jnp.transpose(blk[:, :te * 8]))
                     minv_rows = dot3(
-                        jnp.transpose(blk[:, :te2p]), ohp_b, d_mm
-                    )  # (te2p, rows): Minv lanes of the row's point
-                    w = jnp.concatenate(
-                        [sum(minv_rows[i * te + k: i * te + k + 1, :]
-                             * ce[k: k + 1, :] for k in range(te))
-                         for i in range(te)] +
-                        [jnp.zeros((ge - te, max_rows), f32)], axis=0)
-                    tile_out = dot3l(ohp_b, w, d_ll)  # (BT, ge) = u
-                    u_rows = dot3(jnp.transpose(tile_out), ohp_b, d_mm)
+                        minv_T, ohp_b, d_mm
+                    )  # (te*8, rows): sublane k*8+i = M{i,k}
+                    w = sum(
+                        minv_rows[k * 8:(k + 1) * 8, :]
+                        * jnp.broadcast_to(ce[k:k + 1, :], (8, max_rows))
+                        for k in range(te))
+                    # scatter w to points in TRANSPOSED (8, BT) form: the
+                    # split-stacked output then folds on SUBLANES (free)
+                    # where the (BT, m)-oriented dot3l folded on LANE
+                    # offsets (Mosaic relayout, ~60 us/matvec on BAL-16,
+                    # r5 ablation) — and the u-per-row gather needs no
+                    # transpose at all.
+                    tile_out_T = dot3(w, ohp_b, d_ll)  # (8, BT) = u'
+                    u_rows = dot3(tile_out_T, ohp_b, d_mm)
                     q = [fz[i] - jnp.sum(Je_g[i] * u_rows, axis=0,
                                          keepdims=True) for i in range(r)]
                 # u/pt write (emit_u only — the CG loop skips it and only
@@ -1113,6 +1144,10 @@ def implicit_schur_matvec(
                 # writer win, and every point's final writer is the tile
                 # that owns it (segment_block_expand's trick)
                 if emit_u:
+                    if not normal and not _ABL_NO_PT:
+                        # transpose only on emit calls — the CG loop runs
+                        # with emit_u=False and never pays for it
+                        tile_out = jnp.transpose(tile_out_T)
                     if out_cp is not None:
                         out_cp.wait()
                     out_vmem[j, :, :] = jnp.concatenate([
@@ -1160,7 +1195,8 @@ def implicit_schur_matvec(
             body,
             pltpu.VMEM((unroll, 8, max_rows), jnp.int32),
             pltpu.VMEM((unroll, lanes_pad, max_rows), dt),
-            pltpu.VMEM((unroll, BT, w_blk), blk_hbm.dtype),
+            pltpu.VMEM((unroll, tb8, BT) if blk_tiled
+                       else (unroll, BT, w_blk), blk_hbm.dtype),
             msk_scratch,
             pltpu.VMEM((unroll, BT, _LANE), dt),
             pltpu.SemaphoreType.DMA((unroll,)),
@@ -1589,6 +1625,58 @@ def build_matvec_masks(pt_ids, cam_ids, tile_block0, num_points,
         [m, jnp.zeros((256, n_pad - B), dtype)], axis=1)
 
 
+def build_minv_tile_table(minv_flat, tile_block0, te: int,
+                          pad_tiles: int = 16):
+    """PER-TILE pretransposed Minv table for the fused S·z kernel
+    (isc_matvec minv_tiled=...): rows [t*te*8 + k*8 + i], lane c =
+    M{i,k} of point tile_block0[t] + c. Built ONCE per LM linearization
+    (loop-invariant across CG iterations) in plain XLA; the kernel then
+    DMAs 24 sublanes per tile instead of the (128, 128) point-row window
+    and skips the in-kernel (BT, 24) transpose."""
+    tb = np.asarray(tile_block0)
+    T = tb.shape[0] - 1
+    P, te2 = minv_flat.shape
+    assert te2 == te * te and te <= 8
+    dt = minv_flat.dtype
+    tb8 = max(8, te * 8)
+    m3 = minv_flat.reshape(P, te, te)
+    cg = jnp.concatenate(
+        [jnp.transpose(m3, (0, 2, 1)),
+         jnp.zeros((P, te, 8 - te), dt)], axis=2).reshape(P, tb8)
+    pad_rows = int(tb[:-1].max(initial=0)) + BLOCKS_PER_TILE - P
+    if pad_rows > 0:
+        cg = jnp.concatenate([cg, jnp.zeros((pad_rows, tb8), dt)], axis=0)
+    idx = tb[:-1, None] + np.arange(BLOCKS_PER_TILE)[None, :]  # (T, BT)
+    tbl = jnp.transpose(cg[jnp.asarray(idx)], (0, 2, 1))  # (T, tb8, BT)
+    tbl = tbl.reshape(T * tb8, BLOCKS_PER_TILE)
+    return jnp.concatenate(
+        [tbl, jnp.zeros((pad_tiles * tb8, BLOCKS_PER_TILE), dt)], axis=0)
+
+
+def build_pt_tile_table(xp_rows, tile_block0, pad_tiles: int = 16):
+    """PER-TILE pretransposed point-vector table for normal-mode
+    (J'J)x (normal_matvec): rows [t*8 + i], lane c = x[tile_block0[t]+c, i].
+    Built per matvec in plain XLA (a ~1 MB gather) so the kernel DMAs 8
+    sublanes per tile instead of the (128, 128) window."""
+    tb = np.asarray(tile_block0)
+    T = tb.shape[0] - 1
+    P, m = xp_rows.shape
+    assert m <= 8
+    dt = xp_rows.dtype
+    if m < 8:
+        xp_rows = jnp.concatenate(
+            [xp_rows, jnp.zeros((P, 8 - m), dt)], axis=1)
+    pad_rows = int(tb[:-1].max(initial=0)) + BLOCKS_PER_TILE - P
+    if pad_rows > 0:
+        xp_rows = jnp.concatenate(
+            [xp_rows, jnp.zeros((pad_rows, 8), dt)], axis=0)
+    idx = tb[:-1, None] + np.arange(BLOCKS_PER_TILE)[None, :]
+    tbl = jnp.transpose(xp_rows[jnp.asarray(idx)], (0, 2, 1))
+    tbl = tbl.reshape(T * 8, BLOCKS_PER_TILE)
+    return jnp.concatenate(
+        [tbl, jnp.zeros((pad_tiles * 8, BLOCKS_PER_TILE), dt)], axis=0)
+
+
 def _cam_pad(C, windows):
     C_pad = max(_LANE, -(-(C + 1) // _LANE) * _LANE)
     if windows is not None:
@@ -1598,27 +1686,43 @@ def _cam_pad(C, windows):
 
 def isc_matvec(JT, ids_T, z, minv_flat, tile_starts, tile_block0,
                num_points, C, r, tf, te, max_rows=512, unroll=4,
-               interpret=False, emit_u=True, windows=None, masks_T=None):
+               interpret=False, emit_u=True, windows=None, masks_T=None,
+               minv_tiled=None):
     """Fused S·z (see implicit_schur_matvec): z (C*tf,) camera vector,
     minv_flat (num_points, te*te). Returns (Sz_wo_diag (C*tf,),
     u (num_points, te) or None when emit_u=False) — caller adds d2f*z.
     `windows` = plan_camera_windows output for the large-C path;
     `masks_T` = build_matvec_masks output for the streamed-mask path."""
     dt = JT.dtype
+    assert te <= 8, "in-kernel point solve assumes one 8-lane group"
     C_pad = _cam_pad(C, windows)
     gf = max(8, -(-tf // 8) * 8)
     z_T = jnp.zeros((gf, C_pad), dt)
     z_T = jax.lax.dynamic_update_slice(z_T, z.reshape(C, tf).T, (0, 0))
     nb = num_points + 1 + BLOCKS_PER_TILE
-    # HBM->VMEM copies need 128-aligned minor dims: pad the per-point rows
-    blk = jnp.zeros((nb, _LANE), dt)
-    blk = jax.lax.dynamic_update_slice(blk, minv_flat, (0, 0))
+    if minv_tiled is not None:
+        # prebuilt per-tile pretransposed table (build_minv_tile_table):
+        # the fast path for CG loops — build once per linearization
+        blk = minv_tiled
+        tiled = True
+    else:
+        # HBM->VMEM copies need 128-aligned minor dims: pad the per-point
+        # rows. Minv goes in COLUMN-GROUPED layout (lane k*8+i = M{i,k},
+        # zeros for i >= te); the kernel transposes the window in-VMEM.
+        P = minv_flat.shape[0]
+        m3 = minv_flat.reshape(P, te, te)  # [p, i, k]
+        cg = jnp.concatenate(
+            [jnp.transpose(m3, (0, 2, 1)),
+             jnp.zeros((P, te, 8 - te), dt)], axis=2).reshape(P, te * 8)
+        blk = jnp.zeros((nb, _LANE), dt)
+        blk = jax.lax.dynamic_update_slice(blk, cg, (0, 0))
+        tiled = False
     wkw = dict(win_starts=windows[0], win_width=windows[1],
                n_win=windows[2]) if windows is not None else {}
     cam, u = implicit_schur_matvec(
         JT, ids_T, z_T, blk, tile_starts, tile_block0, num_points,
         C, r, tf, te, max_rows=max_rows, unroll=unroll, interpret=interpret,
-        mode="isc", emit_u=emit_u, masks_T=masks_T, **wkw)
+        mode="isc", emit_u=emit_u, masks_T=masks_T, blk_tiled=tiled, **wkw)
     return (cam[:tf, :C].T.reshape(-1),
             u[:num_points, :te] if emit_u else None)
 
@@ -1634,15 +1738,13 @@ def normal_matvec(JT, ids_T, xc, xp, tile_starts, tile_block0,
     gf = max(8, -(-tf // 8) * 8)
     z_T = jnp.zeros((gf, C_pad), dt)
     z_T = jax.lax.dynamic_update_slice(z_T, xc.reshape(C, tf).T, (0, 0))
-    nb = num_points + 1 + BLOCKS_PER_TILE
-    blk = jnp.zeros((nb, _LANE), dt)
-    blk = jax.lax.dynamic_update_slice(blk, xp, (0, 0))
+    blk = build_pt_tile_table(xp, tile_block0)
     wkw = dict(win_starts=windows[0], win_width=windows[1],
                n_win=windows[2]) if windows is not None else {}
     cam, pt = implicit_schur_matvec(
         JT, ids_T, z_T, blk, tile_starts, tile_block0, num_points,
         C, r, tf, te, max_rows=max_rows, unroll=unroll, interpret=interpret,
-        mode="normal", emit_u=True, masks_T=masks_T, **wkw)
+        mode="normal", emit_u=True, masks_T=masks_T, blk_tiled=True, **wkw)
     return cam[:tf, :C].T.reshape(-1), pt[:num_points, :te]
 
 

@@ -29,8 +29,17 @@ class CoordinateDescentMinimizer:
         self.options = options
         self.num_lm_steps = num_lm_steps
         self.meta = bsr.build_meta(program)
-        # Families eligible as independent sets (slot-independence).
-        self.sets: List[int] = []
+        # Independent sets. A family no residual kind touches twice is one
+        # set (the BA case: {points}, {cameras}). A family with intra-kind
+        # coupling (pose graphs: one pose family, binary residuals) is
+        # DECOMPOSED at block granularity by graph coloring — each color
+        # class is an independent set, the reference's CreateOrdering
+        # semantics (coordinate_descent_minimizer.h:84) at batched shape:
+        # the per-color update is the same vmapped family step with the
+        # non-color blocks' deltas masked to zero.
+        from ..utils.ordering import color_family_blocks
+
+        self.sets: List[tuple] = []  # (family_index, color_mask | None)
         for fi, fam in enumerate(program.families):
             if fam.num_var == 0:
                 continue
@@ -40,13 +49,20 @@ class CoordinateDescentMinimizer:
                     ok = False
                     break
             if ok:
-                self.sets.append(fi)
+                self.sets.append((fi, None))
+            else:
+                colors, nc = color_family_blocks(program, fi)
+                for c in range(nc):
+                    self.sets.append((fi, np.asarray(colors == c)))
         # Visit larger sets first (points before cameras), mirroring the
         # reference's ordering of independent sets by size.
-        self.sets.sort(
-            key=lambda fi: program.families[fi].num_var * program.families[fi].tsize,
-            reverse=True,
-        )
+        def _set_size(entry):
+            fi, mask = entry
+            fam = program.families[fi]
+            n = fam.num_var if mask is None else int(mask.sum())
+            return n * fam.tsize
+
+        self.sets.sort(key=_set_size, reverse=True)
         self._step_fns = {}
 
     def _family_step(self, fi: int):
@@ -98,7 +114,7 @@ class CoordinateDescentMinimizer:
         num_steps = self.num_lm_steps
 
         @jax.jit
-        def step(x):
+        def step(x, mask):
             def body(_, carry):
                 x, radius = carry
                 total, g, A, c = per_block_quantities(x)
@@ -108,14 +124,17 @@ class CoordinateDescentMinimizer:
                 delta = -jax.vmap(
                     lambda Li, b: jax.scipy.linalg.cho_solve((Li, True), b)
                 )(L, g)
-                ok = jnp.all(jnp.isfinite(delta), axis=1)
+                ok = mask & jnp.all(jnp.isfinite(delta), axis=1)
                 delta = jnp.where(ok[:, None], delta, 0.0)
                 x_new = apply_delta(x, delta)
                 _, _, _, c_new = per_block_quantities(x_new)
                 accept = ok & (c_new < c)
                 delta = jnp.where(accept[:, None], delta, 0.0)
                 x_final = apply_delta(x, delta)
-                radius = jnp.where(accept, radius * 2.0, radius * 0.25)
+                # radius evolves only for blocks this set owns
+                radius = jnp.where(
+                    mask, jnp.where(accept, radius * 2.0, radius * 0.25),
+                    radius)
                 return (x_final, radius)
 
             radius0 = jnp.full((nv,), 1e4)
@@ -126,6 +145,9 @@ class CoordinateDescentMinimizer:
         return step
 
     def minimize(self, x):
-        for fi in self.sets:
-            x = self._family_step(fi)(x)
+        for fi, mask in self.sets:
+            nv = self.program.families[fi].num_var
+            m = (jnp.ones((nv,), bool) if mask is None
+                 else jnp.asarray(mask))
+            x = self._family_step(fi)(x, m)
         return x

@@ -474,7 +474,9 @@ class IterativeSchurStepOps:
         else:
             suite = fl.make_kernel_suite(vrep, se, sf,
                                          masks=getattr(self, "_masks", None))
-            minv_fold = minv_e[0] if minv_e else None
+            minv_fold = (suite[3](minv_e[0])
+                         if suite is not None and minv_e else
+                         (minv_e[0] if minv_e else None))
         kern = suite[0] if suite is not None else None
         normal_k = suite[2] if suite is not None else None
 

@@ -58,6 +58,58 @@ def eligible_e_sets(program) -> List[int]:
     return sorted(chosen)
 
 
+def color_family_blocks(program, fi: int):
+    """Greedy graph coloring of the VARIABLE blocks of family `fi` over
+    the residual co-occurrence graph — the block-granular independent-set
+    decomposition of the reference
+    (coordinate_descent_minimizer.h:84 CreateOrdering,
+    parameter_block_ordering.h:74, graph_algorithms.h:165): two blocks get
+    different colors iff some residual touches both, so every color class
+    is an independent set even inside a single family (the pose-graph
+    case: one pose family, binary residuals).
+
+    Returns (colors, num_colors): colors is an int32 (num_var,) array;
+    a family no residual kind touches twice is one color. Greedy order is
+    by descending degree (Welsh-Powell), numpy-vectorized edge extraction.
+    """
+    import numpy as np
+
+    fam = program.families[fi]
+    nv = fam.num_var
+    if nv == 0:
+        return np.zeros((0,), np.int32), 0
+    edges = []
+    for kind in program.kinds:
+        ours = [s for s in kind.slots if s.family is fam and s.any_variable]
+        for a in range(len(ours)):
+            for b in range(a + 1, len(ours)):
+                pa = np.asarray(ours[a].pos_in_family)
+                pb = np.asarray(ours[b].pos_in_family)
+                keep = (pa < nv) & (pb < nv) & (pa != pb)
+                if keep.any():
+                    edges.append(np.stack([pa[keep], pb[keep]], axis=1))
+    if not edges:
+        return np.zeros((nv,), np.int32), 1
+    e = np.concatenate(edges, axis=0)
+    e = np.concatenate([e, e[:, ::-1]], axis=0)  # symmetric
+    e = np.unique(e, axis=0)
+    # CSR adjacency
+    deg = np.bincount(e[:, 0], minlength=nv)
+    ptr = np.zeros(nv + 1, np.int64)
+    ptr[1:] = np.cumsum(deg)
+    adj = e[np.argsort(e[:, 0], kind="stable"), 1]
+    colors = np.full(nv, -1, np.int32)
+    order = np.argsort(-deg, kind="stable")
+    for v in order:
+        nb = colors[adj[ptr[v]:ptr[v + 1]]]
+        used = set(int(c) for c in nb if c >= 0)
+        c = 0
+        while c in used:
+            c += 1
+        colors[v] = c
+    return colors, int(colors.max()) + 1
+
+
 def _family_index(program, family) -> int:
     for i, f in enumerate(program.families):
         if f is family:

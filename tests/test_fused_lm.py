@@ -285,7 +285,10 @@ def test_fused_kernel_matvec_matches_flatops(lst, pre):
     # f32 rounding differs between the kernel and the product chain; the
     # SPSE Neumann series amplifies it into slightly different (equally
     # valid) CG trajectories -> compare costs at trajectory tolerance.
-    assert pal.final_cost == pytest.approx(base.final_cost, rel=1e-3)
+    # (2e-3: the r5 transposed point-scatter changes summation order,
+    # shifting the 6-iteration cost by ~1.2e-3 relative — to a LOWER
+    # cost; the converged golden gate pins the real accuracy bar.)
+    assert pal.final_cost == pytest.approx(base.final_cost, rel=2e-3)
 
 
 @pytest.mark.parametrize("lst", ["DENSE_QR", "DENSE_SCHUR"])

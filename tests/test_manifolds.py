@@ -149,3 +149,36 @@ def test_manifold_vmaps():
     np.testing.assert_allclose(jnp.linalg.norm(ys, axis=1), 1.0, atol=1e-12)
     Js = jax.vmap(m.plus_jacobian)(xs)
     assert Js.shape == (16, 4, 3)
+
+
+def test_plus_jacobian_columns_rows_match_plus_jacobian():
+    """The rows-form tangent-basis columns (the jt-mode chain rule input,
+    eval_fused) must equal the columns of plus_jacobian for every
+    supporting manifold, across a batch of random states."""
+    import jax.numpy as jnp
+    from ceres_tpu import manifolds as mf
+
+    rng = np.random.default_rng(11)
+    cases = [
+        mf.EuclideanManifold(5),
+        mf.SubsetManifold(4, [1, 3]),
+        mf.QuaternionManifold(),
+        mf.EigenQuaternionManifold(),
+        mf.ProductManifold(mf.QuaternionManifold(), mf.EuclideanManifold(6)),
+        mf.ProductManifold(mf.EuclideanManifold(2),
+                           mf.EigenQuaternionManifold()),
+    ]
+    for m in cases:
+        assert m.supports_rows_columns
+        rows = 7
+        X = rng.standard_normal((m.ambient_size, rows))
+        # normalize quaternion sub-blocks so plus_jacobian is on-manifold
+        X = X / np.linalg.norm(X, axis=0, keepdims=True)
+        cols = m.plus_jacobian_columns_rows(jnp.asarray(X))
+        assert len(cols) == m.tangent_size
+        for j in range(rows):
+            J = np.asarray(m.plus_jacobian(jnp.asarray(X[:, j])))
+            for d in range(m.tangent_size):
+                np.testing.assert_allclose(
+                    np.asarray(cols[d])[:, j], J[:, d], atol=1e-12,
+                    err_msg=f"{m} col {d} row {j}")

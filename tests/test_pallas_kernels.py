@@ -184,6 +184,17 @@ def test_isc_matvec_kernel_interpret(P, C, B, r, tf, te):
     np.testing.assert_allclose(np.asarray(u), u_ref, rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(camv), cam_ref.reshape(-1),
                                rtol=2e-4, atol=5e-4)
+    # pretransposed per-tile Minv table (the CG fast path) is bit-level
+    # the same math — must match the legacy layout exactly
+    mtab = pk.build_minv_tile_table(jnp.asarray(minv), tb, te)
+    camv3, u3 = pk.isc_matvec(
+        JT, ids_T, jnp.asarray(z), jnp.asarray(minv),
+        jnp.asarray(ts), jnp.asarray(tb), P, C, r, tf, te,
+        max_rows=max_rows, interpret=True, minv_tiled=mtab)
+    np.testing.assert_allclose(np.asarray(camv3), np.asarray(camv),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(u3), np.asarray(u),
+                               rtol=0, atol=0)
 
 
 @pytest.mark.parametrize("P,C,B,r,tf,te", [

@@ -91,3 +91,51 @@ def test_g2o_3d_roundtrip(tmp_path):
     p, arrays = pg.build_problem_3d(poses, cons)
     s = ct.solve(ct.Options(max_num_iterations=20), p)
     assert s.final_cost < 1e-12
+
+
+def test_inner_iterations_pose_graph_block_coloring():
+    """Block-granular independent sets (coordinate_descent_minimizer.h:84
+    CreateOrdering, graph_algorithms.h:165): a pose graph — binary
+    residuals inside ONE pose family — must decompose by graph coloring
+    into >=2 independent sets per family, inner iterations must actually
+    RUN (round-4: zero eligible sets silently degraded to plain LM), and
+    the inner run must reach at least the plain run's cost."""
+    from ceres_tpu.program import CompiledProgram
+    from ceres_tpu.solvers.coordinate_descent import CoordinateDescentMinimizer
+
+    poses, cons, _ = pg.synthetic_2d(num_poses=40, loop_closures=6,
+                                     noise=0.1, seed=3)
+    p, _ = pg.build_problem_2d(poses, cons)
+    prog = CompiledProgram(p)
+    cdm = CoordinateDescentMinimizer(prog, ct.Options())
+    assert len(cdm.sets) >= 2
+    assert any(mask is not None for _, mask in cdm.sets)
+    # every colored set is truly independent: no residual couples two
+    # blocks of the same color
+    for fi, mask in cdm.sets:
+        if mask is None:
+            continue
+        fam = prog.families[fi]
+        for kind in prog.kinds:
+            ours = [s for s in kind.slots
+                    if s.family is fam and s.any_variable]
+            for a in range(len(ours)):
+                for b in range(a + 1, len(ours)):
+                    pa = np.asarray(ours[a].pos_in_family)
+                    pb = np.asarray(ours[b].pos_in_family)
+                    keep = (pa < fam.num_var) & (pb < fam.num_var) & (pa != pb)
+                    assert not np.any(mask[pa[keep]] & mask[pb[keep]])
+
+    def run(inner):
+        poses2, cons2, _ = pg.synthetic_2d(num_poses=40, loop_closures=6,
+                                           noise=0.1, seed=3)
+        p2, _ = pg.build_problem_2d(poses2, cons2)
+        return ct.solve(
+            ct.Options(max_num_iterations=4, fused_loop="NEVER",
+                       use_inner_iterations=inner), p2)
+
+    s_plain = run(False)
+    s_inner = run(True)
+    assert s_inner.num_inner_iteration_steps >= 1
+    assert s_inner.inner_iterations_used
+    assert s_inner.final_cost <= s_plain.final_cost * (1 + 1e-6)
