@@ -15,6 +15,7 @@ from __future__ import annotations
 import dataclasses
 import pathlib
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -80,6 +81,85 @@ SNAVELY_COST = AutoDiffCostFunction(
 # slot order in the cost is [camera, point]; the rows form takes
 # (cam_rows, pt_rows, obs_rows)
 SNAVELY_COST.residual_rows = snavely_residual_rows
+
+
+def snavely_quat_residual(cam, pt, data):
+    """Snavely reprojection with a UNIT-QUATERNION camera: cam is
+    [q(wxyz, 4), t(3), f, k1, k2] (10 ambient / 9 tangent under
+    ProductManifold(Quaternion, Euclidean(6))) — the manifold-BA
+    acceptance shape (bundle_adjuster.cc --use_quaternions role)."""
+    from .. import rotation
+
+    p3 = rotation.unit_quaternion_rotate_point(cam[:4], pt) + cam[4:7]
+    xp = -p3[0] / p3[2]
+    yp = -p3[1] / p3[2]
+    r2 = xp * xp + yp * yp
+    distortion = 1.0 + r2 * (cam[8] + cam[9] * r2)
+    f = cam[7]
+    return jnp.stack([f * distortion * xp - data[0],
+                      f * distortion * yp - data[1]])
+
+
+def snavely_quat_residual_rows(cam, pt, obs):
+    """ROW-VECTORIZED quaternion-camera snavely residual for eval_fused:
+    cam (>=10, rows) [w,x,y,z,tx,ty,tz,f,k1,k2], pt (>=3, rows). Unit-q
+    2-cross rotation written lane-wise (no jnp.cross — Mosaic)."""
+    w = cam[0:1]
+    qx, qy, qz = cam[1:2], cam[2:3], cam[3:4]
+    px, py, pz = pt[0:1], pt[1:2], pt[2:3]
+    # uv = v x p ; uuv = v x uv ; p' = p + 2(w uv + uuv)
+    uvx = qy * pz - qz * py
+    uvy = qz * px - qx * pz
+    uvz = qx * py - qy * px
+    uux = qy * uvz - qz * uvy
+    uuy = qz * uvx - qx * uvz
+    uuz = qx * uvy - qy * uvx
+    rx = px + 2.0 * (w * uvx + uux) + cam[4:5]
+    ry = py + 2.0 * (w * uvy + uuy) + cam[5:6]
+    rz = pz + 2.0 * (w * uvz + uuz) + cam[6:7]
+    xp = -rx / rz
+    yp = -ry / rz
+    r2 = xp * xp + yp * yp
+    distortion = 1.0 + r2 * (cam[8:9] + cam[9:10] * r2)
+    f = cam[7:8]
+    return jnp.concatenate(
+        [f * distortion * xp - obs[0:1], f * distortion * yp - obs[1:2]],
+        axis=0)
+
+
+SNAVELY_QUAT_COST = AutoDiffCostFunction(
+    snavely_quat_residual, 2, [10, 3], name="snavely_quat")
+SNAVELY_QUAT_COST.residual_rows = snavely_quat_residual_rows
+
+
+def cameras_to_quaternion(cameras: np.ndarray) -> np.ndarray:
+    """(C, 9) angle-axis cameras -> (C, 10) unit-quaternion cameras."""
+    from .. import rotation
+
+    q = np.asarray(jax.vmap(rotation.angle_axis_to_quaternion)(
+        jnp.asarray(cameras[:, :3])))
+    return np.concatenate([q, cameras[:, 3:]], axis=1)
+
+
+def build_problem_batched_quat(bal: BALProblem, loss=None):
+    """build_problem_batched with quaternion cameras + manifold: the
+    jt-mode manifold acceptance path (eval_fused pj_cols chain rule)."""
+    from ..manifolds import (EuclideanManifold, ProductManifold,
+                             QuaternionManifold)
+
+    cam_values = cameras_to_quaternion(np.ascontiguousarray(bal.cameras))
+    pt_values = np.ascontiguousarray(bal.points)
+    p = Problem()
+    man = ProductManifold(QuaternionManifold(), EuclideanManifold(6))
+    cams = p.add_parameter_block_array(cam_values, manifold=man)
+    pts = p.add_parameter_block_array(pt_values)
+    p.add_residual_block_batch(
+        SNAVELY_QUAT_COST,
+        loss,
+        [(cams, bal.camera_index), (pts, bal.point_index)],
+        data=bal.observations,
+    )
+    return p, cam_values, pt_values
 
 
 @dataclasses.dataclass

@@ -874,9 +874,14 @@ class FlatSchurOps(_FlatOpsBase):
         fam_e = kind.slots[pe.s].family
         from ..manifolds import EuclideanManifold
 
+        # Non-Euclidean manifolds qualify when they provide the
+        # Mosaic-lowerable rows-form PlusJacobian columns — the kernel
+        # then feeds them as jvp tangents (the in-kernel chain rule,
+        # residual_block.cc:70-196); Euclidean keeps the one-hot path.
         for fam in (fam_f, fam_e):
             m = getattr(fam, "manifold", None)
-            if m is not None and not isinstance(m, EuclideanManifold):
+            if (m is not None and not isinstance(m, EuclideanManifold)
+                    and not getattr(m, "supports_rows_columns", False)):
                 return None
         if fam_e.asize > 8 or fam_f.asize > 16 or pe.t > 8 or pf.t > 16:
             return None
@@ -954,12 +959,21 @@ class FlatSchurOps(_FlatOpsBase):
         wkw = dict(win_starts=windows[0], win_width=windows[1],
                    n_win=windows[2]) if windows is not None else {}
         num_tiles = len(pe.rplan[1]) - 1
+        from ..manifolds import EuclideanManifold
+
+        def _pj(fam):
+            m = getattr(fam, "manifold", None)
+            if m is None or isinstance(m, EuclideanManifold):
+                return None
+            return m.plus_jacobian_columns_rows
+
         jt, rt, cost_part = pk.eval_fused(
             xf_T, pw, inv["obs_T"], inv["ids_T"], pe.rplan[0], pe.rplan[1],
             P, C, kind.r, pf.t, pe.t, rows_fn, max_rows=max_rows,
             unroll=16 if num_tiles >= 4096 else 8,
             interpret=PALLAS_MODE == "interpret",
-            masks_T=inv["masks"], loss_rho=loss_rho, **wkw)
+            masks_T=inv["masks"], loss_rho=loss_rho,
+            pj_cols_f=_pj(fam_f), pj_cols_e=_pj(fam_e), **wkw)
         cost = (0.5 * jnp.sum(cost_part.astype(jnp.float64))
                 + jnp.asarray(program.fixed_cost, jnp.float64))
         return cost, rt, jt

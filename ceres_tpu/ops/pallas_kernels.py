@@ -2055,6 +2055,8 @@ def eval_fused(
     n_win: int = 1,
     masks_T=None,
     loss_rho=None,  # s -> (rho, rho', rho'') for robust losses
+    pj_cols_f=None,  # x_rows -> [tf x (af, rows)] PlusJacobian columns
+    pj_cols_e=None,  # x_rows -> [te x (ae, rows)]
 ):
     """The ENTIRE residual + Jacobian evaluation in ONE kernel for the
     qualified (single-kind, Euclidean) structure — the
@@ -2254,15 +2256,41 @@ def eval_fused(
                 # constants (vector_extract_slice on a dim-1 layout)
                 zt_a = cam_rows * 0.0
                 zt_e = pt_rows * 0.0
+
+                def _pad_cols(cols, g, zt):
+                    # manifold tangent-basis columns, zero-padded to the
+                    # gathered lane height; '+ zt' keeps Euclidean
+                    # sub-columns (constant one-hots) out of the splat
+                    # constant folder (see the Mosaic note above)
+                    out = []
+                    for c in cols:
+                        if c.shape[0] < g:
+                            c = jnp.concatenate(
+                                [c, jnp.zeros((g - c.shape[0], max_rows),
+                                              f32)], axis=0)
+                        out.append(c + zt)
+                    return out
+
+                # Manifold chain rule IN the kernel (the unconditional
+                # J_global . PlusJacobian at residual_block.cc:70-196):
+                # instead of multiplying the ambient Jacobian afterwards,
+                # feed PlusJacobian's columns as the jvp tangents — the
+                # emitted lanes are tangent-space directly.
+                cols_f = (_pad_cols(pj_cols_f(cam_rows), ga, zt_a)
+                          if pj_cols_f is not None else None)
+                cols_e = (_pad_cols(pj_cols_e(pt_rows), 8, zt_e)
+                          if pj_cols_e is not None else None)
                 for d in range(tf):
-                    tc = jnp.where(iot_a == d, one, zero) + zt_a
+                    tc = (cols_f[d] if cols_f is not None
+                          else jnp.where(iot_a == d, one, zero) + zt_a)
                     _, jr = jax.jvp(
                         lambda c, p: rows_fn(c, p, obs_rows),
                         (cam_rows, pt_rows), (tc, zt_e))
                     for i in range(r):
                         jf_lanes[i][d] = jr[i:i + 1, :]
                 for d in range(te):
-                    tp = jnp.where(iot_e == d, one, zero) + zt_e
+                    tp = (cols_e[d] if cols_e is not None
+                          else jnp.where(iot_e == d, one, zero) + zt_e)
                     _, jr = jax.jvp(
                         lambda c, p: rows_fn(c, p, obs_rows),
                         (cam_rows, pt_rows), (zt_a, tp))
