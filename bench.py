@@ -165,9 +165,13 @@ def bench_specialized(jnp, jax, b):
         _sync(st.cost)
         box["st"] = st
 
-    t4, s4 = _median_spread(lambda: run(4))
+    # round-5: repeats widened 5 -> 9 for the committed headline — the
+    # r3->r4 432.8 -> 425.7 drop sat inside the 2.1% lm spread; a 9-rep
+    # median tightens the estimate enough to adjudicate (verdict #7).
+    t4, s4 = _median_spread(lambda: run(4), repeats=9)
     amortized = 4 * K / t4
-    marginal, msp = _paired_diff(4 * K, lambda: run(2), lambda: run(6))
+    marginal, msp = _paired_diff(4 * K, lambda: run(2), lambda: run(6),
+                                 repeats=9)
     return amortized, marginal, float(box["st"].cost), max(s4, msp)
 
 
@@ -253,8 +257,35 @@ def bench_generic(b):
                             evaluation_dtype="float64")
     amort64 = 20.0 / t64
     marg64, m64sp = _paired_diff(14.0, f6_64, f20_64)
+
+    # MIXED tier (round-5): f32 phase + f64 polish through the public
+    # driver, timed end-to-end to convergence; its accuracy bound
+    # (golden within 1e-6 relative) is asserted in the JSON.
+    import ceres_tpu as ct
+    from ceres_tpu.models import bal as bal_mod
+
+    def mixed_run():
+        problem, _, _ = bal_mod.build_problem_batched(_bal16())
+        s = ct.solve(ct.Options(
+            linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+            preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+            evaluation_dtype="mixed", max_num_iterations=40,
+            max_linear_solver_iterations=100, fused_loop="ALWAYS"), problem)
+        return s
+
+    s_m = mixed_run()  # warm (compiles both phases)
+    t0 = time.perf_counter()
+    s_m = mixed_run()
+    t_mixed = time.perf_counter() - t0
+    mixed_iters = len(s_m.iterations)
+    mixed = dict(
+        it_per_s=round(mixed_iters / t_mixed, 2),
+        wall_s=round(t_mixed, 3),
+        iterations=mixed_iters,
+        final_cost=round(float(s_m.final_cost), 3),
+    )
     return (amortized, marginal, cost, converged_cost, max(s20, msp),
-            amort64, marg64, max(s64, m64sp))
+            amort64, marg64, max(s64, m64sp), mixed)
 
 
 def bench_large_c():
@@ -271,7 +302,114 @@ def bench_large_c():
     marginal, msp = _paired_diff(4.0, f4, f8)
     cost = c4()
     meta = dict(C=b.num_cameras, P=b.num_points, obs=b.num_observations)
-    return marginal, cost, meta, msp
+    stages = bench_large_c_stages(b)
+    return marginal, cost, meta, msp, stages
+
+
+def bench_large_c_stages(b):
+    """End-to-end Venice roofline accounting (round-4 verdict #6): per-
+    stage ms/iter via cumulative k-vs-2k fori_loop marginals over the
+    SAME ops object the large_c metric runs, plus an achievable-fraction
+    estimate for each stage from the kernels' HBM traffic at the
+    measured copy roofline. Stage deltas: eval (eval_fused), post_eval
+    (grouped-JT reductions), step (SJ assembly + CG + back-subst);
+    'update' is the published whole-iteration marginal minus the sum."""
+    import jax
+    import jax.numpy as jnp
+
+    import ceres_tpu as ct
+    from ceres_tpu.program import CompiledProgram
+    from ceres_tpu.solvers import fused_lm
+    from ceres_tpu.utils import ordering as om
+
+    from ceres_tpu.models import bal as bal_mod
+
+    problem, _, _ = bal_mod.build_problem_batched(b)
+    prog = CompiledProgram(problem, compute_dtype="float32")
+    opts = ct.Options(
+        linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+        preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+        evaluation_dtype="float32", fused_loop="ALWAYS",
+        max_num_iterations=4, function_tolerance=0.0,
+        gradient_tolerance=0.0, parameter_tolerance=0.0,
+        min_trust_region_radius=0.0,
+        max_linear_solver_iterations=10, min_linear_solver_iterations=10,
+    )
+    ops = fused_lm.IterativeSchurStepOps(prog, opts,
+                                         om.eligible_e_sets(prog))
+    x0 = prog.initial_state()
+    K = 4
+
+    def timed(make_fn):
+        out = {}
+        for mult in (1, 2):
+            fn = jax.jit(make_fn(K * mult))
+            _sync(fn(x0))
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _sync(fn(x0))
+                best = min(best, time.perf_counter() - t0)
+            out[mult] = best
+        return (out[2] - out[1]) / K
+
+    def mk_eval(k):
+        def f(x):
+            def body(i, carry):
+                x, acc = carry
+                cost, r, vrep = ops.evaluate(x)
+                lead = (vrep.jt[0, 0] if hasattr(vrep, "jt")
+                        else vrep[0][0][0, 0, 0])
+                return x + 1e-30 * cost.astype(x.dtype), acc + lead
+            return jax.lax.fori_loop(0, k, body, (x, jnp.float32(0)))[1]
+        return f
+
+    def mk_posteval(k):
+        def f(x):
+            def body(i, carry):
+                x, acc = carry
+                cost, r, vrep = ops.evaluate(x)
+                g, sqn, aux = ops.post_eval(vrep, r)
+                return x + 1e-30 * cost.astype(x.dtype), acc + g[0]
+            return jax.lax.fori_loop(0, k, body, (x, jnp.float64(0)))[1]
+        return f
+
+    def mk_step(k):
+        def f(x):
+            def body(i, carry):
+                x, acc = carry
+                cost, r, vrep = ops.evaluate(x)
+                g, sqn, aux = ops.post_eval(vrep, r)
+                scale = (1.0 / (1.0 + jnp.sqrt(sqn.astype(jnp.float64))))
+                sc = scale.astype(jnp.float32)
+                D2 = (sqn.astype(jnp.float64) * scale * scale / 1e4
+                      ).astype(jnp.float32) + 1e-8
+                step, mcc, ni = ops.compute_step(vrep, aux, g, r, sc, D2)
+                return x + 1e-30 * mcc.astype(x.dtype), acc + step[0]
+            return jax.lax.fori_loop(0, k, body, (x, jnp.float64(0)))[1]
+        return f
+
+    _note("  large-C stages (eval/post_eval/step)...")
+    t_ev = timed(mk_eval)
+    t_pe = timed(mk_posteval)
+    t_st = timed(mk_step)
+    obs = b.num_observations
+    # HBM-floor estimates at the measured ~684 GB/s class roofline:
+    # eval reads ids+obs+masks (~1.3 kB/row incl. J write), post_eval
+    # re-reads J once, step reads J once per CG matvec (10 pinned).
+    jt_bytes = obs * (48 * 4)
+    eval_bytes = obs * (8 * 4 + 8 * 4 + 256) + jt_bytes
+    pe_bytes = jt_bytes
+    cg_bytes = 10 * (jt_bytes + obs * 256)
+    roof = 684e9
+    return {
+        "eval_ms": round(t_ev * 1e3, 2),
+        "post_eval_ms": round((t_pe - t_ev) * 1e3, 2),
+        "step_ms": round((t_st - t_pe) * 1e3, 2),
+        "eval_hbm_floor_ms": round(eval_bytes / roof * 1e3, 2),
+        "post_eval_hbm_floor_ms": round(pe_bytes / roof * 1e3, 2),
+        "step_hbm_floor_ms": round(cg_bytes / roof * 1e3, 2),
+    }
 
 
 def bench_spmv(jax, jnp, b):
@@ -296,41 +434,47 @@ def bench_spmv(jax, jnp, b):
     JT, ids_T = jax.jit(functools.partial(
         pk.prep_matvec_rows, max_rows=max_rows, r=r, tf=tf, te=te))(
         Jf, Je, jnp.asarray(pt), jnp.asarray(cam))
+    # the CG-loop fast path (round 5): streamed bf16 mask planes + the
+    # pretransposed per-tile Minv table (built once per linearization)
     masks = jax.jit(functools.partial(
-        pk.build_matvec_masks, num_points=P, max_rows=max_rows))(
+        pk.build_matvec_masks, num_points=P, max_rows=max_rows,
+        dtype=jnp.bfloat16))(
         jnp.asarray(pt), jnp.asarray(cam), tbj)
+    mtab = jax.jit(functools.partial(
+        pk.build_minv_tile_table, tile_block0=tb, te=te))(minv)
     _sync(JT)
 
-    def k_mv(JT, ids_T, z, minv, masks, k):
+    def k_mv(JT, ids_T, z, minv, masks, mtab, k):
         def body(i, zz):
             cam_o, _ = pk.isc_matvec(JT, ids_T, zz, minv, tsj, tbj, P, C,
                                      r, tf, te, max_rows=max_rows,
                                      emit_u=False, masks_T=masks,
-                                     unroll=8)
+                                     minv_tiled=mtab, unroll=16)
             return zz + 1e-6 * cam_o
         return jax.lax.fori_loop(0, k, body, z)
 
     f2 = jax.jit(functools.partial(k_mv, k=8))
     f6 = jax.jit(functools.partial(k_mv, k=104))
-    _sync(f2(JT, ids_T, z, minv, masks))
-    _sync(f6(JT, ids_T, z, minv, masks))
+    _sync(f2(JT, ids_T, z, minv, masks, mtab))
+    _sync(f6(JT, ids_T, z, minv, masks, mtab))
 
     # 96 matvecs of signal per pair (8-vs-104), all inside single jits
     # (fori_loop): the per-pair difference must dominate the ~25 ms
     # tunnel RTT jitter to be falsifiable
     rate, spread = _paired_diff(
-        96.0, lambda: _sync(f2(JT, ids_T, z, minv, masks)),
-        lambda: _sync(f6(JT, ids_T, z, minv, masks)))
+        96.0, lambda: _sync(f2(JT, ids_T, z, minv, masks, mtab)),
+        lambda: _sync(f6(JT, ids_T, z, minv, masks, mtab)))
     if rate is None:
         return None, None, None, spread
     per = 1.0 / rate  # seconds per matvec
     nnz = B * r * (tf + te)
     gnnz = 2 * nnz / per / 1e9
-    # bytes the kernel actually moves per S·z (J + ids + masks +
-    # per-point rows)
+    # bytes the kernel actually moves per S·z (J + ids + bf16 masks +
+    # the 24-sublane per-tile Minv table)
     T = len(tb) - 1
-    bytes_mv = ((JT.size + ids_T.size) * 4 + masks.size
-                + T * pk.BLOCKS_PER_TILE * 128 * 4)
+    bytes_mv = ((JT.size + ids_T.size) * 4
+                + masks.size * masks.dtype.itemsize
+                + T * te * 8 * 128 * 4)
     return gnnz, per * 1e3, bytes_mv / per, spread
 
 
@@ -400,14 +544,16 @@ def main():
                      if mv_bytes_per_s else None)
     _note(f"spmv done ({gnnz or 0:.2f} Gnnz/s); generic...")
     (gen_amort, gen_marg, gen_cost, gen_converged, gen_spread,
-     gen_amort64, gen_marg64, gen64_spread) = bench_generic(_bal16())
+     gen_amort64, gen_marg64, gen64_spread, mixed) = bench_generic(_bal16())
     _note(f"generic done ({gen_amort:.0f}/{gen_marg or 0:.0f} it/s, "
           f"f64 {gen_amort64:.0f}/{gen_marg64 or 0:.0f}); large-C...")
     try:
-        large_it_s, large_cost, large_meta, large_spread = bench_large_c()
+        (large_it_s, large_cost, large_meta, large_spread,
+         large_stages) = bench_large_c()
     except Exception as e:  # large instance needs the real chip's HBM
         large_it_s, large_cost, large_spread = None, None, None
         large_meta = {"error": str(e)[:120]}
+        large_stages = None
     _note("large-C done; writing JSON")
 
     here = pathlib.Path(__file__).parent
@@ -442,6 +588,9 @@ def main():
         "generic_fused_lm_it_per_s_rtt_corrected": _r(
             20.0 / max(20.0 / gen_amort - rtt_ms / 1e3, 1e-9)),
         "lm_it_per_s_f64": round(gen_amort64, 3),
+        "mixed_tier": dict(mixed, cost_ok=(
+            bool(mixed["final_cost"] <= golden * (1 + 1e-6))
+            if golden else None)),
         "lm_it_per_s_f64_marginal": _r(gen_marg64),
         "generic_final_cost": round(gen_cost, 2),
         "generic_converged_cost": round(gen_converged, 2),
@@ -449,6 +598,7 @@ def main():
         "large_c_it_per_s": _r(large_it_s),
         "large_c_final_cost": _r(large_cost, 2),
         "large_c_shape": large_meta,
+        "large_c_stages": large_stages,
         "spmv_gnnz_per_s_fused": _r(gnnz),
         "spmv_ms_per_matvec": _r(mv_ms),
         "spmv_hbm_fraction": _r(hbm_frac),

@@ -75,9 +75,16 @@ class Options:
     jacobi_scaling: bool = True
 
     # Residual/Jacobian evaluation precision: "float64" (reference parity,
-    # emulated on TPU) or "float32" (TPU-native; solver state and control
-    # flow stay fp64). BA-class problems tolerate fp32; NIST needs fp64.
+    # emulated on TPU), "float32" (TPU-native; solver state and control
+    # flow stay fp64), or "mixed" — the whole-solve analog of the
+    # reference's mixed-precision axis (dense_cholesky.h:198-249): run
+    # the f32 tier to its own plateau at TPU speed, then polish with up
+    # to `mixed_precision_polish_iterations` f64 iterations from that
+    # iterate; reaches the f64 golden cost at a fraction of the all-f64
+    # wall time. BA-class problems tolerate fp32; NIST needs fp64.
     evaluation_dtype: str = "float64"
+    # f64 polish budget for evaluation_dtype="mixed".
+    mixed_precision_polish_iterations: int = 5
 
     # Fused minimizer loop (solvers/fused_lm.py): run the ENTIRE LM loop —
     # evaluation, linear step, accept/reject, radius update, tolerances —
@@ -163,6 +170,10 @@ class Options:
         ]:
             if getattr(self, name) <= 0:
                 return False, f"Options::{name} must be > 0"
+        if self.evaluation_dtype not in ("float64", "float32", "mixed"):
+            return False, (
+                "Options::evaluation_dtype must be one of "
+                "'float64', 'float32', 'mixed'")
         if self.min_trust_region_radius > self.max_trust_region_radius:
             return False, "min_trust_region_radius > max_trust_region_radius"
         if self.min_lm_diagonal > self.max_lm_diagonal:

@@ -1692,7 +1692,8 @@ def _halo_rev(contrib_halo, srv_l, axis, Pl):
 
 def _halo_linearize(cams_l, pts_own, cam_local, pt_halo, obs, srv_l,
                     radius, axis_name, w=None,
-                    min_diag: float = 1e-6, max_diag: float = 1e32):
+                    min_diag: float = 1e-6, max_diag: float = 1e32,
+                    evaluate=None):
     """Shared halo-tier linearization: evaluate, reduce gradients/column
     norms through cut-sized exchanges, build the Jacobi-scaled damped
     normal-equations operator. Used by both the fixed-rule LM step and
@@ -1707,7 +1708,9 @@ def _halo_linearize(cams_l, pts_own, cam_local, pt_halo, obs, srv_l,
         return jax.lax.psum(x, axis_name)
 
     halo_pts = _halo_fwd(pts_own, srv_l, axis_name)
-    r, Jc, Jp = _evaluate(cams_l, halo_pts, cam_local, pt_halo, obs, w)
+    if evaluate is None:
+        evaluate = _evaluate
+    r, Jc, Jp = evaluate(cams_l, halo_pts, cam_local, pt_halo, obs, w)
     cost = psum(0.5 * jnp.sum(r * r))
     C_l = cams_l.shape[0]
     reduce_c, reduce_h = _make_reducers(cam_local, pt_halo, C_l, Hl, None)
@@ -1821,7 +1824,8 @@ def lm_step_camera_halo(cams_l, pts_own, cam_local, pt_halo, obs, srv_l,
     jstep = _mmf(Js * _mmf(segs_step, R), S)
     model_cost_change = psum(-jnp.sum(jstep * (r + jstep / 2.0)))
 
-    new_cost = psum(ba_cost(new_cams, cand_h, cam_local, pt_halo, obs, w))
+    new_cost = psum(ba_cost(
+        new_cams, cand_h, cam_local, pt_halo, obs, w))
     rel_decrease = (cost - new_cost) / jnp.maximum(model_cost_change, 1e-300)
     accept = (model_cost_change > 0) & (rel_decrease > 1e-3)
 
@@ -1948,7 +1952,9 @@ class HaloCarry(NamedTuple):
 
 
 def lm_step_camera_halo_ceres(carry: HaloCarry, cam_local, pt_halo, obs,
-                              srv_l, axis_name, w, opts: ShardedLMOptions):
+                              srv_l, axis_name, w, opts: ShardedLMOptions,
+                              evaluate=None, cost_fn=None,
+                              plus_c=None, plus_e=None):
     """One Ceres-semantics LM iteration on the halo-sharded layout:
     levenberg_marquardt_strategy.cc damping/radius rules (incl. the
     doubling decrease factor), trust_region_step_evaluator.h
@@ -1964,12 +1970,15 @@ def lm_step_camera_halo_ceres(carry: HaloCarry, cam_local, pt_halo, obs,
     env = _halo_linearize(cams_l, pts_own, cam_local, pt_halo, obs, srv_l,
                           radius, axis_name, w,
                           min_diag=opts.min_lm_diagonal,
-                          max_diag=opts.max_lm_diagonal)
+                          max_diag=opts.max_lm_diagonal,
+                          evaluate=evaluate)
     (psum, r, cost, Js, R, S, split, reduce_c, reduce_p, sc, sp,
      gc, gp, diag_c, diag_p, D2c, D2p, rhs_c, rhs_p, Minv_c, Minv_p,
      matvec, _cl, _ph) = env
-    tc = cams_l.shape[1]
-    tp = pts_own.shape[1]
+    # TANGENT widths from the linearization (ambient == tangent only for
+    # Euclidean blocks; the generic-program tier passes manifold plus_*)
+    tc = rhs_c.shape[1]
+    tp = rhs_p.shape[1]
     nc = cams_l.shape[0] * tc
 
     # first iteration: initialize the step-evaluator reference costs
@@ -1981,7 +1990,8 @@ def lm_step_camera_halo_ceres(carry: HaloCarry, cam_local, pt_halo, obs,
         return jnp.concatenate([vc.reshape(-1), vp.reshape(-1)])
 
     def unflat(v):
-        return (v[:nc].reshape(cams_l.shape), v[nc:].reshape(pts_own.shape))
+        return (v[:nc].reshape(cams_l.shape[0], tc),
+                v[nc:].reshape(pts_own.shape[0], tp))
 
     def lhs(v):
         vc, vp = unflat(v)
@@ -2007,8 +2017,14 @@ def lm_step_camera_halo_ceres(carry: HaloCarry, cam_local, pt_halo, obs,
     yc, yp = unflat(res.x)
     step_c, step_p = -yc, -yp
 
-    new_cams = cams_l + step_c * sc
-    new_pts = pts_own + step_p * sp
+    if plus_c is None:
+        new_cams = cams_l + step_c * sc
+    else:
+        new_cams = plus_c(cams_l, step_c * sc)
+    if plus_e is None:
+        new_pts = pts_own + step_p * sp
+    else:
+        new_pts = plus_e(pts_own, step_p * sp)
     both = _halo_fwd(jnp.concatenate([step_p, new_pts], axis=1), srv_l,
                      axis_name)
     step_p_h, cand_h = both[:, :tp], both[:, tp:]
@@ -2016,7 +2032,8 @@ def lm_step_camera_halo_ceres(carry: HaloCarry, cam_local, pt_halo, obs,
         [step_c[cam_local], step_p_h[pt_halo]], axis=1)
     jstep = _mmf(Js * _mmf(segs_step, R), S)
     mcc = psum(-jnp.sum(jstep * (r + jstep / 2.0)))
-    new_cost = psum(ba_cost(new_cams, cand_h, cam_local, pt_halo, obs, w))
+    new_cost = psum((cost_fn or ba_cost)(
+        new_cams, cand_h, cam_local, pt_halo, obs, w))
 
     # invalid step: CG failure, non-finite candidate, or non-positive
     # model decrease (trust_region_minimizer.cc:445,467). The step
@@ -2097,7 +2114,9 @@ def lm_step_camera_halo_ceres(carry: HaloCarry, cam_local, pt_halo, obs,
 
 
 def make_camera_halo_ceres_step(mesh: Mesh, opts: ShardedLMOptions,
-                                k: int = 1, axis: str = "cam"):
+                                k: int = 1, axis: str = "cam",
+                                evaluate=None, cost_fn=None,
+                                plus_c=None, plus_e=None):
     """shard_map'd k-iteration Ceres-semantics halo LM step with early
     termination. step(carry_arrays..., radius...) -> (BAState, term, it);
     stops inside the while_loop once a termination fires."""
@@ -2120,7 +2139,9 @@ def make_camera_halo_ceres_step(mesh: Mesh, opts: ShardedLMOptions,
 
         def step_once(c: HaloCarry):
             return lm_step_camera_halo_ceres(
-                c, cam_local, pt_halo, obs_l, srv_l, axis, w_l, opts)
+                c, cam_local, pt_halo, obs_l, srv_l, axis, w_l, opts,
+                evaluate=evaluate, cost_fn=cost_fn,
+                plus_c=plus_c, plus_e=plus_e)
 
         out = jax.lax.while_loop(cond, step_once, carry)
         return (out.cams, out.pts, out.radius, out.cost, tuple(out.se),

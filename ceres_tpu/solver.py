@@ -169,6 +169,44 @@ def _maybe_build_fused(options: Options, program: CompiledProgram, tier, kernel,
     return fused
 
 
+def _solve_mixed(options: Options, problem: Problem, summary: Summary,
+                 t_start: float) -> Summary:
+    """evaluation_dtype="mixed": the whole-solve mixed-precision schedule
+    (the reference's mixed-precision design axis, dense_cholesky.h:198-249,
+    applied at the minimizer level). Phase 1 runs the f32 tier — TPU-native
+    kernels, f64 state — to its own plateau; phase 2 polishes from that
+    iterate with up to mixed_precision_polish_iterations f64 iterations.
+    The bench gate asserts the result reaches the f64 golden cost within
+    1e-6 relative at a fraction of the all-f64 wall time."""
+    import dataclasses
+
+    o32 = dataclasses.replace(options, evaluation_dtype="float32")
+    s32 = solve(o32, problem, Summary())
+    if not s32.is_solution_usable():
+        summary.__dict__.update(s32.__dict__)
+        return summary
+    polish = min(options.mixed_precision_polish_iterations,
+                 options.max_num_iterations)
+    o64 = dataclasses.replace(options, evaluation_dtype="float64",
+                              max_num_iterations=polish)
+    s64 = solve(o64, problem, Summary())
+    # merge: phase-1 provenance + phase-2 result
+    summary.__dict__.update(s64.__dict__)
+    summary.initial_cost = s32.initial_cost
+    summary.iterations = list(s32.iterations) + list(s64.iterations)
+    summary.num_successful_steps = (s32.num_successful_steps
+                                    + s64.num_successful_steps)
+    summary.num_unsuccessful_steps = (s32.num_unsuccessful_steps
+                                      + s64.num_unsuccessful_steps)
+    summary.minimizer_time_in_seconds = (s32.minimizer_time_in_seconds
+                                         + s64.minimizer_time_in_seconds)
+    summary.total_time_in_seconds = time.monotonic() - t_start
+    summary.message = (f"mixed-precision schedule: f32 phase "
+                       f"({len(s32.iterations)} its) + f64 polish "
+                       f"({len(s64.iterations)} its). " + s64.message)
+    return summary
+
+
 def solve(options: Options, problem: Problem, summary: Optional[Summary] = None) -> Summary:
     """ceres::Solve equivalent (solver.h:1119)."""
     if summary is None:
@@ -180,6 +218,9 @@ def solve(options: Options, problem: Problem, summary: Optional[Summary] = None)
         summary.message = msg
         summary.termination_type = TerminationType.FAILURE
         return summary
+
+    if options.evaluation_dtype == "mixed":
+        return _solve_mixed(options, problem, summary, t_start)
 
     summary.minimizer_type = options.minimizer_type
     summary.num_threads_given = options.num_threads

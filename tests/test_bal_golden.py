@@ -363,3 +363,23 @@ def test_mixed_block_sizes_reach_reference(solver, precond, fused, dtype):
     assert s.final_cost <= golden * (1 + 1e-4), (
         f"{solver}: {s.final_cost} vs mixed golden {golden}"
     )
+
+
+def test_mixed_precision_schedule_reaches_golden():
+    """evaluation_dtype='mixed' (f32 phase + f64 polish — the whole-solve
+    mixed-precision tier, round-4 verdict #9) must reach the f64 golden
+    cost within 1e-6 RELATIVE on the BAL-16 shape. This is the enforced
+    accuracy bound the ~1e-6 claim used to carry only in docs."""
+    s = ct.solve(
+        ct.Options(
+            linear_solver_type=ct.LinearSolverType.ITERATIVE_SCHUR,
+            preconditioner_type=ct.PreconditionerType.SCHUR_JACOBI,
+            evaluation_dtype="mixed",
+            max_num_iterations=40,
+            max_linear_solver_iterations=100,
+        ),
+        make_bench_problem(),
+    )
+    assert s.is_solution_usable(), s.message
+    assert s.final_cost <= GOLDEN * (1 + 1e-6), (
+        f"mixed: {s.final_cost} vs golden {GOLDEN}")

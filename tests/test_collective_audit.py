@@ -237,3 +237,92 @@ def test_camera_halo_matches_dense_sharded():
         k=1, cg_iters=6, halo=True)
     np.testing.assert_allclose(float(st_h.cost), float(st_d.cost),
                                rtol=1e-10)
+
+
+def test_generic_program_halo_step_collectives():
+    """The GENERALIZED halo tier (parallel/sharded_program.py): same
+    audit as the BA-specific step — no all-gather of the point table,
+    cut-sized all-to-alls only, no P-sized operand in any collective —
+    now compiled from an arbitrary CompiledProgram's kind (here the
+    quaternion-manifold BA, exercising the in-evaluation chain rule and
+    the manifold plus inside the sharded while_loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    import ceres_tpu as ct
+    from ceres_tpu.models import bal
+    from ceres_tpu.parallel import sharded_program as sp
+    from ceres_tpu.program import CompiledProgram
+
+    b = _bal_small()
+    pq, _, _ = bal.build_problem_batched_quat(b)
+    prog = CompiledProgram(pq)
+    q = sp.qualify_program_halo(prog)
+    assert q is not None
+    kind, fam_f, fam_e, slot_f, slot_e = q
+    n = 8
+    mesh = sharded_ba.make_mesh(n, axis="cam")
+    import numpy as np
+
+    x0 = np.asarray(prog.initial_state(), np.float64)
+    cams0 = x0[fam_f.state_offset:
+               fam_f.state_offset + fam_f.count * fam_f.asize].reshape(
+        fam_f.count, fam_f.asize)
+    pts0 = x0[fam_e.state_offset:
+              fam_e.state_offset + fam_e.count * fam_e.asize].reshape(
+        fam_e.count, fam_e.asize)
+    data_table, _ = sp._flat_data(kind)
+    plan = sharded_ba.plan_camera_halo(
+        np.asarray(kind.slots[slot_f].pos_in_family),
+        np.asarray(kind.slots[slot_e].pos_in_family),
+        cams0, pts0, data_table, n)
+    evaluate, cost_fn, plus_c, plus_e = sp.build_halo_fns(
+        prog, kind, fam_f, fam_e, slot_f, slot_e)
+    opts = sharded_ba.ShardedLMOptions(max_linear_solver_iterations=4)
+    step = sharded_ba.make_camera_halo_ceres_step(
+        mesh, opts, k=1, axis="cam", evaluate=evaluate, cost_fn=cost_fn,
+        plus_c=plus_c, plus_e=plus_e)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("cam"))
+    sh2 = NamedSharding(mesh, P("cam", None))
+    dt = jnp.float64
+    z = jnp.asarray(0.0, dt)
+    se = (z, z, z, z, z, z, jnp.asarray(0, jnp.int32))
+    args = (
+        jax.device_put(jnp.asarray(plan.cams), sh2),
+        jax.device_put(jnp.asarray(plan.pts), sh2),
+        jax.device_put(jnp.asarray(plan.cam_local), sh),
+        jax.device_put(jnp.asarray(plan.pt_halo), sh),
+        jax.device_put(jnp.asarray(plan.obs), sh2),
+        jax.device_put(jnp.asarray(plan.w), sh),
+        jax.device_put(jnp.asarray(plan.srv_idx),
+                       NamedSharding(mesh, P("cam", None, None))),
+        jnp.asarray(1e4, dt), z, se, jnp.asarray(2.0, dt),
+        jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        jnp.asarray(sharded_ba.HALO_RUNNING, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    hlo = step.lower(*args).compile().as_text()
+    counts = collective_counts(hlo)
+    assert counts.get("all-gather", 0) == 0, counts
+    P_pad = plan.pts.shape[0]
+    Hl = plan.n * plan.Hs
+    assert Hl < P_pad, (Hl, P_pad)
+    for line in hlo.splitlines():
+        line = line.strip()
+        if line.startswith("ROOT"):
+            line = line[4:].lstrip()
+        m = re.match(
+            r"[%\w.\-]+\s*=\s*((?:\([^)]*\)|\S+))\s+"
+            r"(all-reduce|all-gather|all-to-all|collective-permute|"
+            r"reduce-scatter)\(", line)
+        if not m:
+            continue
+        shapes = re.findall(r"f\d+\[([\d,]*)\]", m.group(1))
+        for s_ in shapes:
+            if not s_:
+                continue
+            dims = [int(d) for d in s_.split(",")]
+            assert max(dims) < P_pad, (
+                f"P-sized collective operand: {line[:120]}")

@@ -414,3 +414,82 @@ def test_camera_halo_ceres_semantics():
         max_num_iterations=60)
     assert term2 == TerminationType.CONVERGENCE
     assert float(st2.cost) <= float(ref.cost) * 1.02
+
+
+def _quat_ba_small(seed=0):
+    from ceres_tpu.models import bal
+
+    b = bal.synthetic_bal(num_cameras=8, num_points=120, visibility=0.4,
+                          noise=0.3, seed=seed)
+    b = bal.perturb(b, 0.02, 0.1, 0.1, seed=seed + 1)
+    return b
+
+
+def test_generic_halo_matches_single_device():
+    """The GENERALIZED halo tier (parallel/sharded_program.py, round-5
+    verdict #5): a plain generic-program BA run on the 8-device mesh must
+    match the SAME code on a 1-device mesh to 1e-10 — the sharding is
+    math-invariant (every reduction psum-closed, halo exchanges exact)."""
+    import ceres_tpu as ct
+    from ceres_tpu.models import bal
+    from ceres_tpu.parallel import sharded_ba, sharded_program as sp
+    from ceres_tpu.program import CompiledProgram
+
+    b = _quat_ba_small()
+    # pinned CG budget: the adaptive q-tolerance stop reacts to f64
+    # summation-order noise, which differs between device counts and
+    # would branch the LM trajectory — with the budget pinned, the
+    # remaining difference is pure roundoff
+    opts = sharded_ba.ShardedLMOptions(eta=1e-30,
+                                       max_linear_solver_iterations=8)
+    p1, _, _ = bal.build_problem_batched(b)
+    prog1 = CompiledProgram(p1)
+    x8, info8, term8 = sp.solve_program_camera_halo(
+        prog1, opts, max_num_iterations=6,
+        mesh=sharded_ba.make_mesh(8, axis="cam"), k=2)
+    p2, _, _ = bal.build_problem_batched(b)
+    prog2 = CompiledProgram(p2)
+    x1, info1, term1 = sp.solve_program_camera_halo(
+        prog2, opts, max_num_iterations=6,
+        mesh=sharded_ba.make_mesh(1, axis="cam"), k=2)
+    assert info8["final_cost"] == pytest.approx(info1["final_cost"],
+                                               rel=1e-10)
+    np.testing.assert_allclose(x8, x1, rtol=1e-8, atol=1e-10)
+
+
+def test_generic_halo_quaternion_manifold():
+    """A MANIFOLD program through the halo tier: quaternion-camera BA
+    (ProductManifold(Quaternion, Euclidean(6))) — the per-family plus and
+    the in-evaluation chain rule shard identically (1e-10 vs 1-device),
+    quaternions stay unit, and the solve reaches the unsharded basin."""
+    import ceres_tpu as ct
+    from ceres_tpu.models import bal
+    from ceres_tpu.parallel import sharded_ba, sharded_program as sp
+    from ceres_tpu.program import CompiledProgram
+
+    b = _quat_ba_small(seed=5)
+    opts = sharded_ba.ShardedLMOptions(eta=1e-30,
+                                       max_linear_solver_iterations=8)
+    pq, _, _ = bal.build_problem_batched_quat(b)
+    prog = CompiledProgram(pq)
+    x8, info8, term8 = sp.solve_program_camera_halo(
+        prog, opts, max_num_iterations=8,
+        mesh=sharded_ba.make_mesh(8, axis="cam"), k=2)
+    pq1, _, _ = bal.build_problem_batched_quat(b)
+    x1, info1, _ = sp.solve_program_camera_halo(
+        CompiledProgram(pq1), opts, max_num_iterations=8,
+        mesh=sharded_ba.make_mesh(1, axis="cam"), k=2)
+    assert info8["final_cost"] == pytest.approx(info1["final_cost"],
+                                               rel=1e-10)
+    fam_f = prog.kinds[0].slots[0].family
+    C, af = fam_f.count, fam_f.asize
+    cams = x8[fam_f.state_offset:
+              fam_f.state_offset + C * af].reshape(C, af)
+    qn = np.linalg.norm(cams[:, :4], axis=1)
+    np.testing.assert_allclose(qn, 1.0, atol=1e-9)
+    # reaches the unsharded basin
+    pq2, _, _ = bal.build_problem_batched_quat(b)
+    s = ct.solve(ct.Options(max_num_iterations=8, fused_loop="NEVER",
+                            linear_solver_type=(
+                                ct.LinearSolverType.ITERATIVE_SCHUR)), pq2)
+    assert info8["final_cost"] <= s.final_cost * 1.05
