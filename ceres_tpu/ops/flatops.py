@@ -931,7 +931,10 @@ class FlatSchurOps(_FlatOpsBase):
             jnp.asarray(pe.local, jnp.int32),
             jnp.asarray(pf.local, jnp.int32),
             jnp.asarray(pe.rplan[1]), pe.nv, max_rows)
-        return {"obs_T": obs_T, "ids_T": ids_T, "masks": masks}
+        gb = pk.row_tile_gather_bases(
+            np.asarray(pe.local), np.asarray(pe.rplan[0]), pe.nv)
+        return {"obs_T": obs_T, "ids_T": ids_T, "masks": masks,
+                "gather_bases": jnp.asarray(gb)}
 
     def eval_fused_x(self, program, q, inv, x):
         """Fused evaluation at state x: returns (cost f64, rT, JT)."""
@@ -969,6 +972,7 @@ class FlatSchurOps(_FlatOpsBase):
 
         jt, rt, cost_part = pk.eval_fused(
             xf_T, pw, inv["obs_T"], inv["ids_T"], pe.rplan[0], pe.rplan[1],
+            inv["gather_bases"],
             P, C, kind.r, pf.t, pe.t, rows_fn, max_rows=max_rows,
             unroll=16 if num_tiles >= 4096 else 8,
             interpret=PALLAS_MODE == "interpret",

@@ -125,9 +125,15 @@ def plan_row_tiles(sorted_ids: np.ndarray, num_blocks: int,
     max_rows = _LANE
     while p < num_blocks:
         row0 = (offsets[p] // _LANE) * _LANE
+        # The lane-aligned window reaches BACK into the previous tile's
+        # rows; eval_fused gathers those rows' blocks through an 8-aligned
+        # window based at the FIRST row's block id (gather_base below), so
+        # the tile's own last block must stay within BT of that base.
+        first_id = int(sorted_ids[row0]) if row0 < sorted_ids.shape[0] else p
+        base = (first_id // 8) * 8
         # largest q in (p, p+BT], q multiple of 8 (or == num_blocks), with
         # rows in budget
-        q_hi = min(p + blocks_per_tile, num_blocks)
+        q_hi = min(base + blocks_per_tile, p + blocks_per_tile, num_blocks)
         q = p + 1
         best = q
         while q <= q_hi:
@@ -151,6 +157,29 @@ def plan_row_tiles(sorted_ids: np.ndarray, num_blocks: int,
     max_rows = -(-max_rows // _LANE) * _LANE
     return (np.asarray(starts, np.int32), np.asarray(block0, np.int32),
             max_rows)
+
+
+def row_tile_gather_bases(sorted_ids, tile_starts, num_blocks):
+    """Per-tile 8-aligned block-window base for eval_fused's point
+    gather: align8(id of the FIRST row in the tile's lane-aligned
+    window). The window reaches back into the previous tile's rows, so
+    basing the gather at block0[t] would hand those rows the WRONG
+    blocks (the round-5 jt-gradient bug: every tile's leading boundary
+    rows were evaluated against blocks shifted by the alignment gap,
+    poisoning multi-tile jt-mode on both CPU interpret and TPU).
+    plan_row_tiles caps tile width so [base, base+BT) covers all owned
+    blocks."""
+    sorted_ids = np.asarray(sorted_ids)
+    ts = np.asarray(tile_starts)
+    nb = sorted_ids.shape[0]
+    out = np.zeros(ts.shape[0] - 1, np.int32)
+    for t in range(ts.shape[0] - 1):
+        r0 = int(ts[t])
+        fid = int(sorted_ids[r0]) if r0 < nb else num_blocks
+        if fid < 0:
+            fid = num_blocks
+        out[t] = (fid // 8) * 8
+    return out
 
 
 def plan_camera_windows(pt_ids: np.ndarray, cam_ids: np.ndarray,
@@ -2041,6 +2070,7 @@ def eval_fused(
     ids_T,  # (8, n_pad) id planes (prep_matvec_rows layout)
     tile_starts,
     tile_block0,
+    gather_bases,  # (T,) int32 row_tile_gather_bases: pw window bases
     num_points: int,
     C: int,
     r: int,
@@ -2127,9 +2157,13 @@ def eval_fused(
         tile_block0 = jnp.concatenate(
             [jnp.asarray(tile_block0, jnp.int32),
              jnp.broadcast_to(jnp.asarray(tile_block0)[-1:], (pad,))])
+        gather_bases = jnp.concatenate(
+            [jnp.asarray(gather_bases, jnp.int32),
+             jnp.broadcast_to(jnp.asarray(gather_bases)[-1:], (pad,))])
         if windowed:
             win_starts = jnp.concatenate(
                 [win_starts, jnp.broadcast_to(win_starts[-1:], (pad,))])
+    gather_bases = jnp.asarray(gather_bases, jnp.int32)
 
     def kernel(*refs):
         if windowed:
@@ -2139,8 +2173,8 @@ def eval_fused(
         masks_hbm = None
         if streamed:
             masks_hbm, refs = refs[0], refs[1:]
-        (starts_ref, block0_ref, ids_hbm, obs_hbm, xf_ref, pw_hbm_ref,
-         jt_hbm, rt_hbm, cost_out) = refs
+        (starts_ref, block0_ref, gbase_ref, ids_hbm, obs_hbm, xf_ref,
+         pw_hbm_ref, jt_hbm, rt_hbm, cost_out) = refs
         g = pl.program_id(0)
 
         def body(ids_vmem, obs_vmem, pw_vmem, msk_vmem, jt_vmem, rt_vmem,
@@ -2148,7 +2182,13 @@ def eval_fused(
             copies = []
             for j in range(unroll):
                 row0 = pl.multiple_of(starts_ref[g * unroll + j], _LANE)
-                b0 = pl.multiple_of(block0_ref[g * unroll + j], 8)
+                # point window based at the FIRST row's block id
+                # (row_tile_gather_bases): the lane-aligned row window
+                # reaches BACK into the previous tile's rows, whose
+                # blocks sit below block0[t] — basing the gather at
+                # block0[t] evaluated those boundary rows against the
+                # wrong blocks (the round-5 multi-tile jt-gradient bug)
+                b0 = pl.multiple_of(gbase_ref[g * unroll + j], 8)
                 cps = [
                     pltpu.make_async_copy(
                         ids_hbm.at[:, pl.ds(row0, max_rows)],
@@ -2180,7 +2220,7 @@ def eval_fused(
                 sub = jax.lax.broadcasted_iota(jnp.int32, (BT, max_rows), 0)
             one = jnp.ones((), f32)
             zero = jnp.zeros((), f32)
-            jt_cp = rt_cp = None
+            out_cps = []
             cost_acc = jnp.zeros((8, max_rows), f32)
 
             for j in range(unroll):
@@ -2188,6 +2228,7 @@ def eval_fused(
                     c.wait()
                 b0 = block0_ref[g * unroll + j]
                 b1 = block0_ref[g * unroll + j + 1]
+                b0x = gbase_ref[g * unroll + j]
                 pid1 = ids_vmem[j][0:1, :]
                 cid1 = ids_vmem[j][1:2, :]
                 in_tile = jnp.where(
@@ -2195,16 +2236,24 @@ def eval_fused(
                 if streamed:
                     mk = msk_vmem[j]
                     ohc_lo = mk[0:128, :].astype(bf16)
-                    ohp_b = mk[128:256, :].astype(bf16)
                 else:
                     lo1 = cid1 - _LANE * jax.lax.div(cid1, jnp.int32(_LANE))
                     ohc_lo = jnp.where(
                         jnp.broadcast_to(lo1, (_LANE, max_rows)) == csub,
                         one, zero).astype(bf16)
-                    pid = jnp.broadcast_to(pid1, (BT, max_rows))
-                    ohp_b = jnp.where(
-                        (pid - b0 == sub) & (pid < b1)
-                        & (pid < num_points), one, zero).astype(bf16)
+                # The POINT gather one-hot is always built in-kernel
+                # relative to the per-tile gather base b0x (NOT the
+                # streamed owner-relative plane and NOT block0[t]): every
+                # row of the lane-aligned window — including the leading
+                # rows whose points belong to the PREVIOUS tile — must
+                # gather its true point so the written lanes are correct
+                # for whichever tile writes last.
+                subx = jax.lax.broadcasted_iota(
+                    jnp.int32, (BT, max_rows), 0)
+                pidx = jnp.broadcast_to(pid1, (BT, max_rows))
+                ohp_b = jnp.where(
+                    (pidx - b0x == subx) & (pidx >= 0)
+                    & (pidx < num_points), one, zero).astype(bf16)
                 if windowed:
                     w0 = pl.multiple_of(win_ref[g * unroll + j], _LANE)
                     hi1 = jax.lax.div(cid1 - w0, jnp.int32(_LANE))
@@ -2362,21 +2411,31 @@ def eval_fused(
                     jt_tile, zero)
                 res = jnp.where(
                     jnp.broadcast_to(valid1, (r, max_rows)), res, zero)
-                if jt_cp is not None:
-                    jt_cp.wait()
-                    rt_cp.wait()
+                for cp in out_cps:
+                    cp.wait()
+                out_cps = []
                 jt_vmem[j, :, :] = jt_tile
                 rt_vmem[j, :, :] = jnp.concatenate(
                     [res, jnp.zeros((8 - r, max_rows), f32)], axis=0)
                 row0w = pl.multiple_of(starts_ref[g * unroll + j], _LANE)
-                jt_cp = pltpu.make_async_copy(
+                # Full-window write, serialized against the previous
+                # tile's copy (the waits above): rows shared between
+                # windows are computed identically by every writer now
+                # that the point gather covers the leading boundary rows
+                # (gather base above) — the trailing rows beyond this
+                # tile's point coverage are garbage here and re-written
+                # correctly by their owner tile, which always runs (and
+                # therefore completes its serialized copy) later.
+                cp1 = pltpu.make_async_copy(
                     jt_vmem.at[j], jt_hbm.at[:, pl.ds(row0w, max_rows)],
-                    sem_j)
-                rt_cp = pltpu.make_async_copy(
+                    sem_j.at[0])
+                cp2 = pltpu.make_async_copy(
                     rt_vmem.at[j], rt_hbm.at[:, pl.ds(row0w, max_rows)],
-                    sem_r)
-                jt_cp.start()
-                rt_cp.start()
+                    sem_r.at[0])
+                cp1.start()
+                cp2.start()
+                out_cps.append(cp1)
+                out_cps.append(cp2)
                 # masked cost partials; WHERE-masked: non-owned rows may
                 # hold NaN (0*NaN would keep it). With a loss the cost is
                 # rho(s) of the RAW residual norm (res is scaled by now).
@@ -2385,9 +2444,8 @@ def eval_fused(
                 s_row = jnp.where(in_tile > 0.5, raw_cost, zero)
                 cost_acc = cost_acc + jnp.concatenate(
                     [s_row, jnp.zeros((7, max_rows), f32)], axis=0)
-            if jt_cp is not None:
-                jt_cp.wait()
-                rt_cp.wait()
+            for cp in out_cps:
+                cp.wait()
             folded = None
             for k in range(max_rows // _LANE):
                 piece = cost_acc[:, k * _LANE:(k + 1) * _LANE]
@@ -2409,19 +2467,21 @@ def eval_fused(
             pltpu.SemaphoreType.DMA((unroll,)),
             pltpu.SemaphoreType.DMA((unroll,)),
             pltpu.SemaphoreType.DMA((unroll,)),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((max_rows // _LANE,)),
+            pltpu.SemaphoreType.DMA((max_rows // _LANE,)),
         )
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # gather_bases
         pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         pl.BlockSpec(memory_space=pltpu.VMEM),  # xf_T
         pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # pw_pts
     ]
-    inputs = (tile_starts, tile_block0, ids_T, obs_T, xf_T, pw_pts)
+    inputs = (tile_starts, tile_block0, gather_bases, ids_T, obs_T, xf_T,
+              pw_pts)
     if streamed:
         in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)] + in_specs
         inputs = (masks_T,) + inputs

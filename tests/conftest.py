@@ -102,6 +102,9 @@ _SLOW_TESTS = {
     "test_plus_jacobian_matches_autodiff",
     "test_evaluation_callback_invoked",
     "test_inner_iterations_converge",
+    "test_jt_mode_multitile_gradient_parity",
+    "test_jt_mode_quaternion_manifold_parity",
+    "test_jt_mode_quaternion_solve_matches_host",
     "test_inner_iterations_fused_matches_host",
 }
 

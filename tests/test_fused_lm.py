@@ -535,3 +535,47 @@ def test_jt_mode_quaternion_solve_matches_host():
     assert fused.is_solution_usable() and host.is_solution_usable()
     assert fused.final_cost == pytest.approx(host.final_cost, rel=2e-3,
                                              abs=1e-8)
+
+
+def test_jt_mode_multitile_gradient_parity():
+    """Round-5 regression: multi-TILE jt-mode evaluation. The lane-aligned
+    tile windows reach back into the previous tile's rows; basing the
+    point gather at block0[t] evaluated those boundary rows against the
+    wrong points — every earlier test used single-tile problems, so the
+    bug only surfaced at real scale (gradient rel err 14 on TPU, f32
+    solves stalled ~350x above golden). The fix (plan width cap +
+    row_tile_gather_bases + in-kernel one-hot at the base) must hold the
+    jt gradient to f32 parity on a problem with MANY tiles."""
+    from ceres_tpu.ops import bsr, flatops as fo, partition as pt_mod
+    from ceres_tpu.program import CompiledProgram
+    from ceres_tpu.utils import ordering as om
+    from ceres_tpu.models import bal
+
+    b = bal.synthetic_bal(num_cameras=8, num_points=1200, visibility=0.1,
+                          noise=0.5, seed=0)
+    b = bal.perturb(b, 0.02, 0.1, 0.1, seed=1)
+    p = bal.build_problem_batched(b)[0]
+    prog = CompiledProgram(p, compute_dtype="float32")
+    pm = pt_mod.build_partition(bsr.build_meta(prog),
+                                om.eligible_e_sets(prog))
+    old = fo.PALLAS_MODE
+    fo.PALLAS_MODE = "interpret"
+    try:
+        fl = fo.FlatSchurOps(pm)
+        q = fl.eval_kernel_qual(prog)
+        assert q is not None
+        assert len(q[0].rplan[1]) - 1 >= 8, "needs a multi-tile plan"
+        inv = fl.eval_invariants(prog, q)
+        x = prog.initial_state()
+        cost, rt, jt = fl.eval_fused_x(prog, q, inv, x)
+        g_e, _, _, g_f, _ = fl.post_eval_kernel_jt(
+            jt, rt, inv["ids_T"], masks=inv["masks"])
+        g_jt = np.asarray(pt_mod.combine(pm, jnp.asarray(g_e),
+                                         jnp.asarray(g_f)))
+        o = prog._eval_core(x, True, False, need_grad=True)
+        g32 = np.asarray(o["gradient"])
+        rel = np.abs(g_jt - g32).max() / np.abs(g32).max()
+        assert rel < 1e-4, rel
+        assert float(cost) == pytest.approx(float(o["cost"]), rel=1e-5)
+    finally:
+        fo.PALLAS_MODE = old
