@@ -944,21 +944,20 @@ class DenseSchurStepOps:
                        jnp.eye(C, dtype=dt)).reshape(t_full, t_full)
         S = S - ata + jnp.diag(d2f)
         rhs = pt.extract_f(pm, b) - U[0, :t_full]
-        # Factor/solve the REDUCED system in f64 (r5): at large trust
-        # region the lightly-damped S is ill-conditioned in f32 — the
-        # f32 factor returned garbage steps whose astronomical candidate
-        # costs collapsed the radius to ~1e-4 and stalled the whole f32
-        # tier ~350x above the golden cost (measured on TPU; the CPU CI
-        # gate never engaged this kernel path). S is only
-        # (C*tf, C*tf): the emulated-f64 Cholesky costs microseconds
-        # against an 80+ ms iteration — the mixed-precision boundary
-        # belongs AFTER the assembly, not after the factor
-        # (dense_cholesky.h:198-249's lesson).
-        S64 = S.astype(jnp.float64)
-        rhs64 = rhs.astype(jnp.float64)
-        L = jnp.linalg.cholesky(S64)
-        z64 = jax.scipy.linalg.cho_solve((L, True), rhs64)
-        z = z64.astype(dt)
+        L = jnp.linalg.cholesky(S)
+        from .linear.dense import tri_inverse_lower
+
+        Linv = tri_inverse_lower(L)
+        z = Linv.T @ (Linv @ rhs)
+        # one refinement pass on the reduced solve: the f32 explicit
+        # L^{-1} apply leaves ~1e-4 relative error that stalls the last
+        # LM digits on TPU (two extra (t_full, t_full) matvecs — free).
+        # (An all-f64 factor/solve here costs ~3x the whole iteration —
+        # XLA's emulated-f64 Cholesky on TPU is slow even at n=144; the
+        # f32-factor-plus-refinement form is the right mixed-precision
+        # boundary, dense_cholesky.h:198-249.)
+        resid = rhs - jnp.matmul(S, z, precision=jax.lax.Precision.HIGHEST)
+        z = z + Linv.T @ (Linv @ resid)
         # implicit back substitution: y_e = K'(u - K E_s'F_s z)
         if jt_form:
             suite = fl.make_kernel_suite_raw(
