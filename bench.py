@@ -21,10 +21,16 @@ auxiliary fields. Workloads mirror BASELINE.md configs 3/4:
    DENSE_SCHUR on the identical committed instance) — reports cost_ok;
  - generic_converged_cost: the generic fused pipeline run to
    convergence at f64 with default tolerances, asserted against the same
-   golden (generic_cost_ok) — the capped below-plateau
-   `generic_final_cost` is an f32 throughput protocol, not a correctness
-   claim (f32 EVALUATION carries a ~4e-3 gradient noise floor near the
-   optimum; the reference evaluates in f64, as does this gate).
+   golden (generic_cost_ok); `generic_final_cost` is the capped
+   20-iteration f32 throughput protocol's cost — after the round-5
+   multi-tile gather fix it lands within ~1% of golden (the r4 readings
+   of ~1.8e7 were the masked jt-gradient bug, not an f32 noise floor);
+ - mixed_tier: evaluation_dtype="mixed" (f32 phase + f64 polish) run to
+   convergence through the public driver; cost_ok asserts the golden
+   cost within 1e-6 RELATIVE — the reference-accuracy tier at ~3x the
+   all-f64 rate;
+ - large_c_stages: per-stage ms/iter of the Venice iteration (cumulative
+   k-vs-2k marginals over the same ops object) + HBM-floor estimates.
 
 Variance discipline (round-3): every timing is the MEDIAN of REPEATS
 measurements taken within one process; per-metric relative spread
